@@ -1,0 +1,128 @@
+"""Differential-test harness: load selected *pure* functions from the
+read-only reference checkout at /root/reference and expose them as an
+oracle for our kernels.
+
+The reference modules cannot be imported wholesale (they import torch /
+flair / spacy and load model weights at import time), so we AST-extract
+only the named top-level defs/classes we need and exec them in a minimal
+namespace. Nothing is copied into this repository; tests skip gracefully
+when the reference checkout is absent.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import types
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+def _extract(path: str, names: set[str]) -> str:
+    with open(path, "r", encoding="utf-8") as f:
+        src = f.read()
+    tree = ast.parse(src)
+    chunks = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.ClassDef)) and node.name in names:
+            chunks.append(ast.get_source_segment(src, node))
+    found = len(chunks)
+    assert found == len(names), f"extracted {found}, wanted {names} from {path}"
+    return "\n\n\n".join(chunks)
+
+
+def _extract_method(path: str, class_name: str, method: str) -> str:
+    with open(path, "r", encoding="utf-8") as f:
+        src = f.read()
+    tree = ast.parse(src)
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name == class_name:
+            for sub in node.body:
+                if isinstance(sub, ast.FunctionDef) and sub.name == method:
+                    seg = ast.get_source_segment(src, sub)
+                    # dedent one level
+                    lines = seg.splitlines()
+                    indent = len(lines[0]) - len(lines[0].lstrip())
+                    return "\n".join(line[indent:] for line in lines)
+    raise AssertionError(f"{class_name}.{method} not found in {path}")
+
+
+_cache: dict = {}
+
+
+def load_conj_oracle():
+    """metric.get_coords + data.coords_to_sentences (and helpers)."""
+    if "conj" in _cache:
+        return _cache["conj"]
+    import difflib
+    import re
+    import warnings
+
+    ns: dict = {"warnings": warnings, "re": re, "difflib": difflib}
+    exec(
+        _extract(os.path.join(REFERENCE_DIR, "metric.py"), {"Coordination", "get_coords"}),
+        ns,
+    )
+    exec(
+        _extract(
+            os.path.join(REFERENCE_DIR, "data.py"),
+            {
+                "coords_to_sentences",
+                "get_tree",
+                "is_parent",
+                "get_sentences",
+                "remove_unbreakable_conjuncts",
+            },
+        ),
+        ns,
+    )
+    mod = types.SimpleNamespace(**ns)
+    _cache["conj"] = mod
+    return mod
+
+
+class _FakeExtraction:
+    def __init__(self, pred, head_pred_index, sent, confidence, index):
+        self.pred = pred
+        self.sent = sent
+        self.confidence = confidence
+        self.args = []
+
+    def addArg(self, arg):
+        self.args.append(arg)
+
+
+def load_triple_oracle(no_lt: bool = False):
+    """metric.Carb._process_extraction as a standalone callable.
+
+    Returns fn(labels_list, words, score) -> object with .pred/.args.
+    """
+    key = ("triple", no_lt)
+    if key in _cache:
+        return _cache[key]
+    import re
+
+    import numpy as np
+
+    ns: dict = {"re": re, "Extraction": _FakeExtraction}
+    exec(
+        _extract_method(
+            os.path.join(REFERENCE_DIR, "metric.py"), "Carb", "_process_extraction"
+        ),
+        ns,
+    )
+    method = ns["_process_extraction"]
+    fake_self = types.SimpleNamespace(
+        hparams=types.SimpleNamespace(no_lt=no_lt)
+    )
+
+    def call(labels, words, score):
+        arr = np.asarray(labels, dtype=np.int64)
+        return method(fake_self, arr, words, score)
+
+    _cache[key] = call
+    return call
