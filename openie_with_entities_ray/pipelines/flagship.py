@@ -1,0 +1,143 @@
+"""Flagship pipeline: source_docs → sentences → triples → entities → graph.
+
+Ray-Data-native splitpredict analogue (/root/reference/run.py:161-243):
+
+    read_parquet(source_docs)
+      → map_batches: sentence explode + sha256 lineage   (stateless tasks)
+      → map_batches(FusedExtractor, concurrency=...)     (actor pool;
+          conj-split + OIE label + decode + per-sentence dedup/top-k,
+          zero shuffle — see stages/extract.py)
+      → map_batches(EntityTagger, concurrency=...)       (actor pool)
+      → [groupby canonicalization / edge dedup / partitioned write]
+
+Everything is lazy/streaming; nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+from ..stages.canonical import canonicalize_surfaces
+from ..stages.extract import ConjSplitter, FusedExtractor, OIEExtractor
+from ..stages.entity import tag_entities
+from ..stages.graph import (
+    add_partition_column,
+    completed_partitions,
+    dedup_edges,
+    triples_to_edges,
+    write_partition,
+)
+from ..stages.group import dedup_topk_grouped
+from ..stages.sentences import docs_to_sentences
+
+
+def extract_triples(
+    docs_ds,
+    *,
+    seed: int = 777,
+    num_extractions: int = 5,
+    no_lt: bool = False,
+    fused: bool = True,
+    concurrency=(1, 16),
+    batch_size: int = 512,
+):
+    """source_docs Dataset → final triples Dataset (TRIPLES schema)."""
+    sentences = docs_to_sentences(docs_ds)
+    if fused:
+        return sentences.map_batches(
+            FusedExtractor,
+            fn_constructor_kwargs=dict(
+                seed=seed, num_extractions=num_extractions, no_lt=no_lt
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    # staged variant: conj-split stage → OIE stage → grouped dedup/top-k
+    splits = sentences.map_batches(
+        ConjSplitter,
+        fn_constructor_kwargs=dict(seed=seed),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).drop_columns(["conj_words"])
+    raw = splits.map_batches(
+        OIEExtractor,
+        fn_constructor_kwargs=dict(seed=seed, no_lt=no_lt),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return dedup_topk_grouped(raw, num_extractions)
+
+
+def extract_triples_with_entities(docs_ds, **kwargs):
+    return tag_entities(extract_triples(docs_ds, **kwargs))
+
+
+def build_graph(triples_ds, *, deduped: bool = True):
+    """triples → (nodes_ds, edges_ds)."""
+    import pyarrow as pa
+
+    nodes = canonicalize_surfaces(triples_ds)
+    edges = triples_ds.map_batches(triples_to_edges, batch_format="pyarrow")
+    if deduped:
+        edges = dedup_edges(edges)
+    return nodes, edges
+
+
+def materialize_graph(docs_ds, out_dir: str, *, seed: int = 777,
+                      with_entities: bool = True):
+    """Single-pass end-to-end run: triples → edges Parquet (hash-partitioned
+    layout via the ``part`` column) + nodes Parquet. Streaming writes; no
+    mid-pipeline materialization."""
+    triples = (
+        extract_triples_with_entities(docs_ds, seed=seed)
+        if with_entities
+        else extract_triples(docs_ds, seed=seed)
+    )
+    edges = triples.map_batches(triples_to_edges, batch_format="pyarrow")
+    edges.write_parquet(f"{out_dir}/edges")
+    canonicalize_surfaces(triples).write_parquet(f"{out_dir}/nodes")
+
+
+def resumable_materialize(
+    input_shards,
+    out_dir: str,
+    *,
+    seed: int = 777,
+    resume: bool = True,
+    with_entities: bool = False,
+):
+    """Resumable run over a list of input Parquet shards.
+
+    The unit of resume is the *input shard* (north-rule per-partition
+    checkpoints): each shard runs the full streaming pipeline and writes
+    ``out_dir/edges/part=<k>/`` plus a manifest carrying the shard path and
+    its input row sha. A re-run skips every shard whose manifest exists —
+    pruning happens at the read, so nothing upstream re-executes (unlike a
+    post-hoc filter on the output). At cluster scale input_shards are the
+    source-table files; per-shard pipelines still stream block-by-block.
+
+    Returns (manifests_written, shards_skipped).
+    """
+    import ray.data
+
+    edges_dir = f"{out_dir}/edges"
+    done = completed_partitions(edges_dir) if resume else set()
+    manifests, skipped = [], []
+    for part, shard_path in enumerate(input_shards):
+        if part in done:
+            skipped.append(part)
+            continue
+        docs = ray.data.read_parquet(shard_path)
+        triples = (
+            extract_triples_with_entities(docs, seed=seed)
+            if with_entities
+            else extract_triples(docs, seed=seed)
+        )
+        edges = triples.map_batches(triples_to_edges, batch_format="pyarrow")
+        manifests.append(
+            write_partition(
+                edges, edges_dir, part, extra_meta={"input": str(shard_path)}
+            )
+        )
+    return manifests, skipped

@@ -1,0 +1,104 @@
+"""Entity stage: mention detect + link on triples; constraint violations.
+
+The reference runs NER per sentence to build per-word entity features
+(/root/reference/data.py:34-74,138-169) and audits entity constraints over
+emitted triples (/root/reference/scripts/violations.py:48-110):
+
+- c1: no entity appears in subject or object;
+- c2: more than one entity inside subject or object;
+- c3: an entity appears inside the predicate;
+- c4: an entity is segmented across triple parts.
+
+Here: a :class:`DictionaryNER` actor pool tags + links mentions in each
+triple's arg1/rel/arg2 and emits entity-typed argument columns plus the
+four violation flags as quality columns. Linking = alias-dict candidate
+generation + cosine disambiguation against a deterministic context
+embedding (state/ner.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..state.ner import DictionaryNER
+
+
+class EntityTagger:
+    """triples → triples + (subj_ents, subj_types, obj_ents, obj_types,
+    rel_ents, c1..c4 violation flags)."""
+
+    def __init__(self, alias_dict=None):
+        self.ner = DictionaryNER(alias_dict)
+
+    def _mentions(self, text: str, context):
+        if not text:
+            return []
+        return self.ner.tag_and_link(text.split())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a1 = batch.column("arg1").to_pylist()
+        rel = batch.column("rel").to_pylist()
+        a2 = batch.column("arg2").to_pylist()
+        sents = (
+            batch.column("orig_sentence").to_pylist()
+            if "orig_sentence" in batch.column_names
+            else [""] * len(a1)
+        )
+
+        subj_ids, subj_types, obj_ids, obj_types, rel_ids = [], [], [], [], []
+        c1, c2, c3, c4 = [], [], [], []
+        for arg1, pred, arg2, sent in zip(a1, rel, a2, sents):
+            ctx = sent.split() if sent else (arg1 + " " + pred + " " + arg2).split()
+            m1 = self.ner.find_mentions(arg1.split()) if arg1 else []
+            mr = self.ner.find_mentions(pred.split()) if pred else []
+            m2 = self.ner.find_mentions(arg2.split()) if arg2 else []
+            for m in m1 + mr + m2:
+                cid, typ = self.ner.link(m, ctx)
+                m.canonical_id = cid
+                m.type = typ
+            subj_ids.append([m.canonical_id for m in m1])
+            subj_types.append([m.type for m in m1])
+            obj_ids.append([m.canonical_id for m in m2])
+            obj_types.append([m.type for m in m2])
+            rel_ids.append([m.canonical_id for m in mr])
+            # violation flags (violations.py:48-110 semantics over the
+            # dictionary tagger's mentions)
+            c1.append(len(m1) == 0 and len(m2) == 0)
+            c2.append(len(m1) > 1 or len(m2) > 1)
+            c3.append(len(mr) > 0)
+            # c4: an entity's surface is split across parts — detect a
+            # multiword surface whose words appear in different parts
+            sent_mentions = self.ner.find_mentions(sent.split()) if sent else []
+            seg = False
+            for m in sent_mentions:
+                if m.end > m.start:  # multi-word entity
+                    words = m.surface.split()
+                    parts = [arg1.split(), pred.split(), arg2.split()]
+                    hit = [any(w in p for w in words) for p in parts]
+                    whole = any(m.surface in s for s in (arg1, pred, arg2))
+                    if sum(hit) > 1 and not whole:
+                        seg = True
+                        break
+            c4.append(seg)
+
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols["subj_ents"] = pa.array(subj_ids, pa.list_(pa.string()))
+        cols["subj_types"] = pa.array(subj_types, pa.list_(pa.string()))
+        cols["obj_ents"] = pa.array(obj_ids, pa.list_(pa.string()))
+        cols["obj_types"] = pa.array(obj_types, pa.list_(pa.string()))
+        cols["rel_ents"] = pa.array(rel_ids, pa.list_(pa.string()))
+        cols["viol_c1"] = pa.array(c1, pa.bool_())
+        cols["viol_c2"] = pa.array(c2, pa.bool_())
+        cols["viol_c3"] = pa.array(c3, pa.bool_())
+        cols["viol_c4"] = pa.array(c4, pa.bool_())
+        return pa.table(cols)
+
+
+def tag_entities(triples_ds, *, concurrency=(1, 8), batch_size: int = 1024):
+    """Attach entity columns with an actor pool (NER state per actor)."""
+    return triples_ds.map_batches(
+        EntityTagger,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,151 @@
+"""Graph materialization: triples → node/edge Parquet with resumable,
+manifest-tracked partitioned output.
+
+Replaces the reference's append-mode output files
+(/root/reference/model.py:697-701 — a crashed run leaves a partial,
+unresumable file) with idempotent per-partition Parquet + a manifest:
+
+    out_dir/
+      edges/part=<k>/...parquet      (hash partition of the doc key)
+      nodes/...parquet
+      _manifests/part-<k>.json       {"partition": k, "rows": n,
+                                      "input_sha256s": [...]}
+
+Resume = anti-join of existing manifests against the partition plan: a
+re-run processes only partitions whose manifest is missing, then yields
+byte-identical output (every stage is a pure function of the input rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import pyarrow as pa
+
+
+def doc_partition(repo: str, path: str, num_partitions: int) -> int:
+    """Stable hash partition of the document key (repo, path)."""
+    return zlib.crc32(f"{repo}\x00{path}".encode("utf-8")) % num_partitions
+
+
+def add_partition_column(ds, num_partitions: int):
+    def add(batch: pa.Table) -> pa.Table:
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        parts = [
+            doc_partition(r, p, num_partitions) for r, p in zip(repos, paths)
+        ]
+        return batch.append_column("part", pa.array(parts, pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def triples_to_edges(batch: pa.Table) -> pa.Table:
+    """EDGES schema: canonical src/dst from normalized arg surfaces (linked
+    entity id when the entity stage provided exactly one)."""
+    from .canonical import canonical_id, normalize_surface
+
+    a1 = batch.column("arg1").to_pylist()
+    a2 = batch.column("arg2").to_pylist()
+    subj_ents = (
+        batch.column("subj_ents").to_pylist()
+        if "subj_ents" in batch.column_names
+        else [[] for _ in a1]
+    )
+    obj_ents = (
+        batch.column("obj_ents").to_pylist()
+        if "obj_ents" in batch.column_names
+        else [[] for _ in a1]
+    )
+
+    def node_of(surface, ents):
+        if ents and len(ents) == 1:
+            return ents[0]
+        return canonical_id(normalize_surface(surface))
+
+    cols = {
+        "src": pa.array(
+            [node_of(s, e) for s, e in zip(a1, subj_ents)], pa.string()
+        ),
+        "dst": pa.array(
+            [node_of(s, e) for s, e in zip(a2, obj_ents)], pa.string()
+        ),
+        "rel": batch.column("rel"),
+        "confidence": batch.column("confidence"),
+        "repo": batch.column("repo"),
+        "path": batch.column("path"),
+        "commit": batch.column("commit"),
+        "sent_id": batch.column("sent_id"),
+    }
+    if "part" in batch.column_names:
+        cols["part"] = batch.column("part")
+    return pa.table(cols)
+
+
+def dedup_edges(edges_ds):
+    """Corpus-level exact edge dedup (SURVEY.md §2.8): hash-partition on
+    (src, rel, dst) via groupby, keep the max-confidence witness."""
+    import pandas as pd
+
+    def key(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{s}\x00{r}\x00{d}"
+            for s, r, d in zip(
+                batch.column("src").to_pylist(),
+                batch.column("rel").to_pylist(),
+                batch.column("dst").to_pylist(),
+            )
+        ]
+        return batch.append_column("edge_key", pa.array(keys, pa.string()))
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["confidence", "repo", "path", "sent_id"],
+            ascending=[False, True, True, True],
+        ).head(1)
+
+    return (
+        edges_ds.map_batches(key, batch_format="pyarrow")
+        .groupby("edge_key")
+        .map_groups(first, batch_format="pandas")
+        .drop_columns(["edge_key"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# resumable partitioned writer
+
+
+def _manifest_path(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, "_manifests", f"part-{part}.json")
+
+
+def completed_partitions(out_dir: str) -> set:
+    mdir = os.path.join(out_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            done.add(int(name[len("part-") : -len(".json")]))
+    return done
+
+
+def write_partition(ds_part, out_dir: str, part: int, extra_meta=None) -> dict:
+    """Write one partition's rows + manifest atomically (tmp file + rename
+    for the manifest; the parquet dir is only declared done by the
+    manifest, so a crash mid-write is invisible to resume)."""
+    dest = os.path.join(out_dir, f"part={part}")
+    rows = ds_part.count()
+    ds_part.write_parquet(dest)
+    meta = {"partition": part, "rows": rows}
+    if extra_meta:
+        meta.update(extra_meta)
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    tmp = _manifest_path(out_dir, part) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _manifest_path(out_dir, part))
+    return meta

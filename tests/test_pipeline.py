@@ -1,0 +1,155 @@
+"""End-to-end conformance: distributed engine vs single-process oracle.
+
+The north-rule gate: the Ray pipeline's triples must match the
+reference-semantics oracle at P/R >= 0.95 (they should be identical — the
+labeler is a pure function, so any gap is an engine-plumbing defect),
+the content_sha256 lineage invariant must hold per row, and a resumed run
+must produce the same output as an uninterrupted one.
+"""
+
+import collections
+
+import pyarrow.parquet as pq
+import pytest
+
+from openie_with_entities_ray.eval.benchmark import precision_recall
+from openie_with_entities_ray.functions.text import sha256_hex
+from openie_with_entities_ray.pipelines.oracle import oracle_predictions
+from openie_with_entities_ray.sources.source_docs import (
+    synthetic_doc,
+    synthetic_source_docs,
+)
+
+N_DOCS = 150
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def engine_triples(ray_session):
+    from openie_with_entities_ray.pipelines.flagship import extract_triples
+
+    docs = synthetic_source_docs(N_DOCS, seed=SEED)
+    return extract_triples(docs).take_all()
+
+
+def group_by_sentence(rows):
+    """Collapse engine rows to the reference output data model: a dict
+    keyed by sentence with exact-dedup per sentence (the reference's
+    all_predictions accumulator merges duplicate sentences across the
+    corpus, model.py:609-634; our per-doc lineage rows are richer)."""
+    grouped = collections.defaultdict(list)
+    for r in rows:
+        ex = (r["rel"], [r["arg1"], r["arg2"]], r["confidence"])
+        if ex not in grouped[r["orig_sentence"]]:
+            grouped[r["orig_sentence"]].append(ex)
+    return dict(grouped)
+
+
+def test_parity_vs_oracle(engine_triples):
+    docs = [synthetic_doc(i, SEED) for i in range(N_DOCS)]
+    gold = {
+        sent: [(t.rel, [t.arg1, t.arg2], t.confidence) for t in triples]
+        for sent, triples in oracle_predictions(docs, seed=777).items()
+        if triples
+    }
+    predicted = group_by_sentence(engine_triples)
+
+    precision, recall = precision_recall(gold, predicted)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # with a pure-function labeler the match must in fact be exact
+    assert precision == 1.0 and recall == 1.0
+
+    # exact multiset equality of (sentence, arg1, rel, arg2, conf)
+    gold_set = {
+        (s, a[0], r, a[1], c) for s, exs in gold.items() for r, a, c in exs
+    }
+    pred_set = {
+        (s, a[0], r, a[1], c) for s, exs in predicted.items() for r, a, c in exs
+    }
+    assert gold_set == pred_set
+
+
+def test_staged_pipeline_matches_fused(ray_session, engine_triples):
+    from openie_with_entities_ray.pipelines.flagship import extract_triples
+
+    docs = synthetic_source_docs(N_DOCS, seed=SEED)
+    staged = extract_triples(docs, fused=False).take_all()
+    key = lambda r: (
+        r["repo"], r["path"], r["sent_id"], r["arg1"], r["rel"], r["arg2"],
+        r["confidence"],
+    )
+    assert sorted(map(key, staged)) == sorted(map(key, engine_triples))
+
+
+def test_lineage_sha256(engine_triples):
+    expected = {}
+    for i in range(N_DOCS):
+        d = synthetic_doc(i, SEED)
+        expected[(d["repo"], d["path"], d["commit"])] = sha256_hex(d["content"])
+    assert engine_triples, "pipeline produced no rows"
+    for r in engine_triples:
+        assert r["content_sha256"] == expected[(r["repo"], r["path"], r["commit"])]
+
+
+def test_resumable_materialize(ray_session, tmp_path):
+    import ray.data
+
+    from openie_with_entities_ray.pipelines.flagship import resumable_materialize
+
+    # 4 input shards on disk
+    shards = []
+    for k in range(4):
+        docs = [synthetic_doc(i, SEED) for i in range(k * 20, (k + 1) * 20)]
+        import pyarrow as pa
+
+        path = tmp_path / f"shard{k}.parquet"
+        pq.write_table(
+            pa.table({c: [d[c] for d in docs] for c in docs[0]}), path
+        )
+        shards.append(str(path))
+
+    out_interrupted = tmp_path / "out_a"
+    out_full = tmp_path / "out_b"
+
+    # "crashed" run: only the first two shards complete
+    m1, skipped1 = resumable_materialize(shards[:2], str(out_interrupted))
+    assert len(m1) == 2 and skipped1 == []
+
+    # resumed run over all shards: skips 0 and 1
+    m2, skipped2 = resumable_materialize(shards, str(out_interrupted))
+    assert skipped2 == [0, 1] and [m["partition"] for m in m2] == [2, 3]
+
+    # uninterrupted run
+    m3, _ = resumable_materialize(shards, str(out_full), resume=False)
+    assert len(m3) == 4
+
+    def edge_set(root):
+        ds = ray.data.read_parquet(str(root / "edges"))
+        return sorted(
+            (r["src"], r["rel"], r["dst"], r["repo"], r["path"], r["sent_id"])
+            for r in ds.take_all()
+        )
+
+    assert edge_set(out_interrupted) == edge_set(out_full)
+
+
+def test_graph_materialize(ray_session):
+    from openie_with_entities_ray.pipelines.flagship import (
+        build_graph,
+        extract_triples,
+    )
+
+    docs = synthetic_source_docs(60, seed=SEED)
+    triples = extract_triples(docs)
+    nodes, edges = build_graph(triples)
+    node_rows = nodes.take_all()
+    edge_rows = edges.take_all()
+    assert node_rows and edge_rows
+    # node ids are content-addressed: recomputing from surface_norm agrees
+    from openie_with_entities_ray.stages.canonical import canonical_id
+
+    for n in node_rows[:50]:
+        assert n["node_id"] == canonical_id(n["surface_norm"])
+    # deduped edges are unique on (src, rel, dst)
+    keys = [(e["src"], e["rel"], e["dst"]) for e in edge_rows]
+    assert len(keys) == len(set(keys))
