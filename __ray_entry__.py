@@ -4,13 +4,11 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
+CORRECTNESS_r{N}.json). Results may be a ``ray.data.Dataset``, a
 ``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: neither
+this module nor the library ever calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +18,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG-construction pipeline on /root/testdata/sf0.001:
+    source_docs → sentences → conj-split + OIE extraction (actor pool) →
+    entity tag/link → triples with entity-typed args."""
+    from openie_with_entities_ray.pipelines.flagship import (
+        extract_triples_with_entities,
+    )
+    from openie_with_entities_ray.sources.source_docs import read_source_docs
+
+    docs = read_source_docs("/root/testdata/sf0.001")
+    return extract_triples_with_entities(docs)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from openie_with_entities_ray.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query (the
+    labeler/NER pipeline operators are covered by the pytest
+    reference-semantics oracle instead)."""
+    from openie_with_entities_ray.queries import build_oracle_sql
+
+    return build_oracle_sql()

@@ -1,0 +1,152 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at num_cpus=$RAY_GRAFT_CPUS (default 32) and print
+ONE JSON line:
+
+    {"metric": "flagship_e2e", "value": <sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "rows": {...}, "throughput_rows_per_s": ...}
+
+--scaling: run the headline pipeline twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs plus scaling efficiency (sandbox proxy for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            log_to_driver=False,  # keep stdout to exactly one JSON line
+        )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from openie_with_entities_ray.pipelines.flagship import (
+        build_graph,
+        extract_triples,
+        extract_triples_with_entities,
+    )
+    from openie_with_entities_ray.queries import (
+        q_ann_topk,
+        q_events_windows,
+        q_lineitem_agg,
+        q_minhash_pairs,
+        q_revenue_by_nation,
+    )
+    from openie_with_entities_ray.sources.source_docs import read_source_docs
+
+    # warm the OS page cache so we measure compute+shuffle, not first I/O
+    read_source_docs(SF_DIR).count()
+
+    timings: dict = {}
+    rows: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    # headline: flagship extraction + entity link + graph materialize
+    def flagship():
+        docs = read_source_docs(SF_DIR)
+        triples = extract_triples_with_entities(docs)
+        nodes, edges = build_graph(triples, deduped=False)
+        n_e = edges.count()
+        return n_e
+
+    timed("flagship", flagship)
+
+    timed("triples_only", lambda: extract_triples(read_source_docs(SF_DIR)).count())
+    timed("lineitem_agg", lambda: q_lineitem_agg(SF_DIR).count())
+    timed("revenue_by_nation", lambda: q_revenue_by_nation(SF_DIR).count())
+    timed("events_windows", lambda: q_events_windows(SF_DIR).count())
+    timed("minhash_pairs", lambda: q_minhash_pairs(SF_DIR).count())
+    timed("ann_topk", lambda: q_ann_topk(SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "flagship_e2e",
+        "value": timings["flagship"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "total_sec": total,
+        "throughput_rows_per_s": (
+            round(rows["flagship"] / timings["flagship"], 1)
+            if timings["flagship"]
+            else None
+        ),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        line = next(
+            l for l in reversed(out.strip().splitlines()) if l.startswith("{")
+        )
+        return json.loads(line)
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo = r_lo["value"]
+    t_hi = r_hi["value"]
+    # throughput-basis efficiency: (T_lo/T_hi) / (hi/lo); 1.0 = linear
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "throughput_lo": round(r_lo["rows"]["flagship"] / t_lo, 1),
+        "throughput_hi": round(r_hi["rows"]["flagship"] / t_hi, 1),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,100 @@
+"""Text-analysis kernels for the large-scale training-data operators:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure, deterministic, vectorization-friendly; Ray wrappers live in
+stages/dataops.py. Integer-valued scores (permille / centi units) are used
+where a DuckDB oracle must reproduce the value exactly without float
+round-trip hazards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+STOPWORDS_EN = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+# tiny deterministic stopword profiles for n-gram-free language ID
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in", "a", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+}
+
+_BPE_ISH = re.compile(r"\w+|[^\w\s]")
+
+
+def token_count(text: str) -> int:
+    """Whitespace token count."""
+    return len(text.split())
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Regex word/punct tokenization (a BPE-like proxy without a model)."""
+    return len(_BPE_ISH.findall(text))
+
+
+def quality_stats(text: str) -> dict:
+    """Length / punctuation / stopword statistics as exact integers:
+    - ``n_words``: whitespace tokens
+    - ``stopword_permille``: 1000 * stopword_count // n_words
+    - ``mean_word_len_centi``: 100 * total_word_chars // n_words
+    - ``punct_permille``: 1000 * punct_chars // total_chars
+    """
+    words = text.split()
+    n = len(words)
+    if n == 0:
+        return {
+            "n_words": 0,
+            "stopword_permille": 0,
+            "mean_word_len_centi": 0,
+            "punct_permille": 0,
+        }
+    lower = [w.lower() for w in words]
+    stop = sum(1 for w in lower if w in STOPWORDS_EN)
+    total_chars = sum(len(w) for w in words)
+    punct = sum(1 for ch in text if not ch.isalnum() and not ch.isspace())
+    n_chars = len(text)
+    return {
+        "n_words": n,
+        "stopword_permille": (1000 * stop) // n,
+        "mean_word_len_centi": (100 * total_chars) // n,
+        "punct_permille": (1000 * punct) // n_chars if n_chars else 0,
+    }
+
+
+def detect_language(text: str) -> str:
+    """Stopword-profile language ID; CJK scripts detected by codepoint.
+    Returns a language code or 'und'."""
+    for ch in text[:200]:
+        if "一" <= ch <= "鿿":
+            return "zh"
+        if "぀" <= ch <= "ヿ":
+            return "ja"
+    words = set(w.lower() for w in text.split()[:200])
+    best_lang, best_hits = "und", 0
+    for lang in sorted(_LANG_PROFILES):
+        hits = len(words & _LANG_PROFILES[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits >= 2 else "und"
+
+
+def md5_fingerprint(text: str) -> str:
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Deterministic rolling-hash document fingerprint: min crc32 over
+    word-window shingles (a 1-perm MinHash; robust to local edits)."""
+    words = text.split()
+    if len(words) <= window:
+        return zlib.crc32(" ".join(words).encode("utf-8"))
+    best = 0xFFFFFFFF
+    for i in range(len(words) - window + 1):
+        h = zlib.crc32(" ".join(words[i : i + window]).encode("utf-8"))
+        if h < best:
+            best = h
+    return best

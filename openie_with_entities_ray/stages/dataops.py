@@ -1,0 +1,369 @@
+"""Training-data-pipeline operators over document/embedding tables:
+dedup (exact, MinHash-LSH, SimHash, embedding-cosine), similarity search
+(brute-force + LSH-bucketed ANN), and text analysis.
+
+Distributed shapes:
+- exact dedup: content-hash column (map_batches) → groupby(hash) → min-key
+  witness per group (hash partition + per-group first, SURVEY.md §2.8);
+- MinHash-LSH: signature per row (actor pool; permutation params built
+  once per actor) → explode to (band, band_hash, id, signature) rows →
+  groupby(band, band_hash) → in-bucket pairs verified by signature
+  agreement (no text re-shipped) → distinct pairs;
+- SimHash: 64-bit signature → 4x16-bit band buckets → in-bucket Hamming
+  verify;
+- ANN: per-batch numpy matmul against a broadcast query matrix, partial
+  top-k per batch, tiny final merge (the classic combiner shape).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.dedup import MinHasher, hamming64, simhash64
+from ..functions.textstats import (
+    bpe_ish_token_count,
+    detect_language,
+    md5_fingerprint,
+    quality_stats,
+    rolling_fingerprint,
+    token_count,
+)
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def add_text_stats(docs_ds, text_col: str = "text"):
+    """Quality / token / language / fingerprint columns in one pass."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        q = [quality_stats(t) for t in texts]
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols["n_words"] = pa.array([x["n_words"] for x in q], pa.int64())
+        cols["stopword_permille"] = pa.array(
+            [x["stopword_permille"] for x in q], pa.int64()
+        )
+        cols["mean_word_len_centi"] = pa.array(
+            [x["mean_word_len_centi"] for x in q], pa.int64()
+        )
+        cols["punct_permille"] = pa.array(
+            [x["punct_permille"] for x in q], pa.int64()
+        )
+        cols["n_tokens_bpe"] = pa.array(
+            [bpe_ish_token_count(t) for t in texts], pa.int64()
+        )
+        cols["lang_detected"] = pa.array(
+            [detect_language(t) for t in texts], pa.string()
+        )
+        cols["fingerprint_md5"] = pa.array(
+            [md5_fingerprint(t) for t in texts], pa.string()
+        )
+        cols["fingerprint_rolling"] = pa.array(
+            [rolling_fingerprint(t) for t in texts], pa.int64()
+        )
+        return pa.table(cols)
+
+    return docs_ds.map_batches(stats, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup_groups(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """content sha256 → (hash, keeper id, group size)."""
+    from ray.data.aggregate import Count, Min
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                "content_sha256": pa.array(
+                    [hashlib.sha256(t.encode()).hexdigest() for t in texts],
+                    pa.string(),
+                ),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("content_sha256")
+        .aggregate(
+            Min(id_col, alias_name="keeper_id"), Count(alias_name="n_docs")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+
+
+class MinHashSignatures:
+    """Actor: permutation params once per actor; signatures per batch."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 7, k: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_bands: int = 16):
+        self.hasher = MinHasher(num_perm=num_perm, seed=seed, k=k)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_bands = num_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_band, out_hash, out_sig = [], [], [], []
+        for i, t in zip(ids, texts):
+            sig = self.hasher.signature(t)
+            for band, bh in self.hasher.band_hashes(sig, self.num_bands):
+                out_id.append(i)
+                out_band.append(band)
+                out_hash.append(bh)
+                out_sig.append(sig.tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.string()),
+                "signature": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+
+def minhash_candidate_pairs(
+    docs_ds,
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+):
+    """LSH buckets → verified near-dup pairs (id_a < id_b, est_jaccard).
+
+    Verification uses signature agreement (an unbiased Jaccard estimator),
+    so bucket groups never re-ship document text.
+    """
+    sigs = docs_ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, seed=seed, text_col=text_col, id_col=id_col,
+            num_bands=num_bands,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        ids = rows["doc_id"].to_list()
+        sig_arrays = [
+            np.frombuffer(s, dtype=np.uint64) for s in rows["signature"]
+        ]
+        a_ids, b_ids, est = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                e = float(np.mean(sig_arrays[i] == sig_arrays[j]))
+                if e >= threshold:
+                    a_ids.append(ids[i])
+                    b_ids.append(ids[j])
+                    est.append(e)
+        return pd.DataFrame(
+            {"id_a": a_ids, "id_b": b_ids, "est_jaccard": est}
+        )
+
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # same pair can surface from several bands → distinct
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+
+
+def simhash_pairs(
+    docs_ds,
+    *,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """64-bit SimHash; candidate buckets via 4x16-bit bands (any pair within
+    Hamming distance 3 shares at least one exact band), then exact Hamming
+    verify in-bucket."""
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for i, t in zip(ids, texts):
+            h = simhash64(t)
+            for band in range(4):
+                out_id.append(i)
+                out_band.append(band)
+                out_key.append((h >> (band * 16)) & 0xFFFF)
+                out_sig.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int64()),
+                "simhash": pa.array(out_sig, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        ids = rows["doc_id"].to_list()
+        sigs = rows["simhash"].to_list()
+        a_ids, b_ids, dist = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = hamming64(int(sigs[i]), int(sigs[j]))
+                if d <= max_hamming:
+                    a_ids.append(ids[i])
+                    b_ids.append(ids[j])
+                    dist.append(d)
+        return pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "hamming": dist})
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+        .groupby(["band", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+
+def ann_topk(
+    emb_ds,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Brute-force cosine top-k: per-batch numpy matmul → per-batch partial
+    top-k rows → tiny final sort/limit. The query vector is captured in the
+    task closure (one object-store copy, not per batch)."""
+    qn = query.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = np.array(batch.column(id_col).to_pylist())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qn) / norms
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                "cosine": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+    top = partials.sort(["cosine", id_col], descending=[True, False]).limit(k)
+    return top
+
+
+class LSHBucketer:
+    """Random-hyperplane LSH with L tables of P planes each (actor holds
+    the projection matrices). A vector lands in L buckets; a pair at angle
+    θ collides in at least one table with prob 1-(1-(1-θ/π)^P)^L —
+    recall/precision is tuned with (P, L). Multi-table = the scale path
+    for approximate cosine search and near-dup."""
+
+    def __init__(self, dim: int = 64, num_planes: int = 4,
+                 num_tables: int = 6, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.planes = [
+            rng.randn(num_planes, dim) for _ in range(num_tables)
+        ]
+        self.num_planes = num_planes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = mat.shape[0]
+        cols = {c: [] for c in batch.column_names}
+        tables, buckets = [], []
+        for t, planes in enumerate(self.planes):
+            bits = (mat @ planes.T) > 0
+            bucket = (bits * (1 << np.arange(self.num_planes))).sum(axis=1)
+            for c in batch.column_names:
+                cols[c].extend(batch.column(c).to_pylist())
+            tables.extend([t] * n)
+            buckets.extend(bucket.tolist())
+        out = {c: pa.array(cols[c]) for c in batch.column_names}
+        out["table"] = pa.array(tables, pa.int32())
+        out["bucket"] = pa.array(buckets, pa.int64())
+        return pa.table(out)
+
+
+def embedding_near_dup_pairs(
+    emb_ds,
+    *,
+    threshold: float = 0.3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    num_planes: int = 4,
+    num_tables: int = 6,
+):
+    """Embedding-cosine near-dup: multi-table LSH bucketing (actor pool) →
+    in-bucket pairwise cosine ≥ threshold → distinct pairs across tables.
+    Approximate by design; (num_planes, num_tables) set the recall."""
+    from ray.data.aggregate import Max
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = rows[id_col].to_list()
+        mat = np.array(rows["embedding"].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = mat @ mat.T
+        a_ids, b_ids, cos = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a_ids.append(ids[i])
+                    b_ids.append(ids[j])
+                    cos.append(float(sims[i, j]))
+        return pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "cosine": cos})
+
+    bucketed = emb_ds.map_batches(
+        LSHBucketer,
+        fn_constructor_kwargs=dict(
+            dim=dim, num_planes=num_planes, num_tables=num_tables
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine")
+    )
