@@ -281,7 +281,7 @@ def q_lineitem_agg(sf_dir):
         return g
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -340,10 +340,13 @@ def q_revenue_by_nation(sf_dir):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
+    # hash-join partition count scales with the cluster: ~cpus/4 aggregator
+    # actors (measured: oversubscribing them serializes the shuffle)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=max(2, cpus // 4),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -378,7 +381,7 @@ def q_revenue_by_nation(sf_dir):
         )
 
     agg = (
-        joined.map_batches(partial, batch_format="pandas")
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("n_name")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
@@ -424,7 +427,7 @@ def q_top_customers(sf_dir):
         )
 
     agg = (
-        orders.map_batches(partial, batch_format="pandas")
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("o_custkey")
         .aggregate(
             Sum("total", alias_name="total"),
@@ -478,7 +481,7 @@ def q_events_windows(sf_dir):
         )
 
     agg = (
-        ev.map_batches(partial, batch_format="pandas")
+        ev.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby(["event_type", "window_h"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),

@@ -1,0 +1,249 @@
+"""Readers for the reference's text file formats (SURVEY.md §2.1).
+
+Each parser is a pure text→rows kernel wired to ``ray.data.read_text`` /
+``read_binary_files``; formats per the reference:
+
+- S2 labels file:   blank-line-separated blocks; first line = sentence
+  (with markers), following lines = per-word label names
+  (/root/reference/data.py:256-309)
+- S3 conj file:     blank-line-separated blocks; first line = original
+  sentence, rest = split sentences (/root/reference/run.py:206-227)
+- S4 CaRB gold TSV: ``sent \t rel \t arg1 \t arg2...``; args containing
+  'C: ' are skipped (/root/reference/carb/oie_readers/goldReader.py:14-38)
+- S5 allennlp:      ``sent \t <arg1>..</arg1> <rel>..</rel> <arg2>..</arg2>
+  \t confidence`` (/root/reference/carb/oie_readers/allennlpReader.py:13-85)
+- S6 tabbed:        ``sent \t prob \t pred \t arg1 \t arg2...``
+  (/root/reference/carb/oie_readers/tabReader.py:23-49)
+
+Multi-line record formats (S2/S3) cannot split on arbitrary line
+boundaries, so they read whole files (``read_binary_files``) and explode
+blocks inside the batch — one file is the unit of parallelism, matching
+how the reference consumes them.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+OIE_LABEL_IDS = {
+    "NONE": 0, "ARG1": 1, "REL": 2, "ARG2": 3,
+    "LOC": 4, "TIME": 4, "TYPE": 5, "ARGS": 3,
+}  # data.py:407-409
+CONJ_LABEL_IDS = {
+    "CP_START": 2, "CP": 1, "CC": 3, "SEP": 4, "OTHERS": 5, "NONE": 0,
+}  # data.py:410-412
+
+_ALLENNLP_RE = re.compile(
+    r"<arg1>\s*(.*?)\s*</arg1>\s*<rel>\s*(.*?)\s*</rel>\s*<arg2>\s*(.*?)\s*</arg2>"
+)
+
+
+def parse_labels_blocks(text: str, label_ids=None):
+    """S2: yields (sentence, [[label ids per word]...]) per block; labels are
+    truncated to the word count and capped at 5 rows (data.py:260,301-307)."""
+    label_ids = label_ids or OIE_LABEL_IDS
+    out = []
+    for block in text.split("\n\n"):
+        lines = [l for l in block.splitlines() if l.strip()]
+        if not lines:
+            continue
+        sentence = lines[0].strip()
+        n_words = len(sentence.split())
+        rows = []
+        for line in lines[1:]:
+            row = [label_ids[w] for w in line.split()][:n_words]
+            rows.append(row)
+        out.append((sentence, rows[:5]))
+    return out
+
+
+def parse_conj_blocks(text: str):
+    """S3: yields (orig_sentence, [split...]) per block; a single-line block
+    maps to itself (run.py:212-227)."""
+    text = text.replace("\\", "")  # run.py:208-209
+    out = []
+    for block in text.split("\n\n"):
+        lines = [l for l in block.strip().splitlines() if l.strip()]
+        if not lines:
+            continue
+        if len(lines) == 1:
+            out.append((lines[0], [lines[0]]))
+        else:
+            out.append((lines[0], lines[1:]))
+    return out
+
+
+def parse_gold_tsv_line(line: str):
+    """S4: (sentence, rel, [args]) or None; 'C: '-prefixed args skipped."""
+    parts = line.rstrip("\n").split("\t")
+    if len(parts) < 3:
+        return None
+    sent, rel = parts[0], parts[1]
+    args = [a for a in parts[2:] if "C: " not in a]
+    return sent, rel, args
+
+
+def parse_allennlp_line(line: str):
+    """S5: (sentence, arg1, rel, arg2, confidence) or None."""
+    parts = line.rstrip("\n").split("\t")
+    if len(parts) < 3:
+        return None
+    m = _ALLENNLP_RE.search(parts[1])
+    if not m:
+        return None
+    try:
+        conf = float(parts[2])
+    except ValueError:
+        return None
+    return parts[0], m.group(1), m.group(2), m.group(3), conf
+
+
+def parse_tabbed_line(line: str):
+    """S6: (sentence, confidence, rel, [args]) or None."""
+    parts = line.rstrip("\n").split("\t")
+    if len(parts) < 4:
+        return None
+    try:
+        conf = float(parts[1])
+    except ValueError:
+        return None
+    return parts[0], conf, parts[2], parts[3:]
+
+
+# ---------------------------------------------------------------------------
+# Ray Dataset constructors
+
+
+def read_gold_tsv(paths):
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        sents, rels, args = [], [], []
+        for line in batch.column("text").to_pylist():
+            rec = parse_gold_tsv_line(line)
+            if rec:
+                sents.append(rec[0])
+                rels.append(rec[1])
+                args.append(rec[2])
+        return pa.table(
+            {
+                "sentence": pa.array(sents, pa.string()),
+                "rel": pa.array(rels, pa.string()),
+                "args": pa.array(args, pa.list_(pa.string())),
+            }
+        )
+
+    return ray.data.read_text(paths).map_batches(parse, batch_format="pyarrow")
+
+
+def read_allennlp(paths):
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("sentence", "arg1", "rel", "arg2", "confidence")}
+        for line in batch.column("text").to_pylist():
+            rec = parse_allennlp_line(line)
+            if rec:
+                for k, v in zip(cols, rec):
+                    cols[k].append(v)
+        return pa.table(
+            {
+                "sentence": pa.array(cols["sentence"], pa.string()),
+                "arg1": pa.array(cols["arg1"], pa.string()),
+                "rel": pa.array(cols["rel"], pa.string()),
+                "arg2": pa.array(cols["arg2"], pa.string()),
+                "confidence": pa.array(cols["confidence"], pa.float64()),
+            }
+        )
+
+    return ray.data.read_text(paths).map_batches(parse, batch_format="pyarrow")
+
+
+def read_tabbed(paths):
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        sents, confs, rels, args = [], [], [], []
+        for line in batch.column("text").to_pylist():
+            rec = parse_tabbed_line(line)
+            if rec:
+                sents.append(rec[0])
+                confs.append(rec[1])
+                rels.append(rec[2])
+                args.append(rec[3])
+        return pa.table(
+            {
+                "sentence": pa.array(sents, pa.string()),
+                "confidence": pa.array(confs, pa.float64()),
+                "rel": pa.array(rels, pa.string()),
+                "args": pa.array(args, pa.list_(pa.string())),
+            }
+        )
+
+    return ray.data.read_text(paths).map_batches(parse, batch_format="pyarrow")
+
+
+def read_conj_file(paths):
+    """S3 → SPLIT_SENTENCES-shaped rows (no doc provenance: file formats
+    carry none; keys are (file path, block index))."""
+    import ray.data
+
+    def parse(batch) -> pa.Table:
+        out_path, out_block, out_split, out_orig, out_sent = [], [], [], [], []
+        for path, data in zip(
+            batch["path"].tolist(), list(batch["bytes"])
+        ):
+            text = bytes(data).decode("utf-8")
+            for block_id, (orig, splits) in enumerate(parse_conj_blocks(text)):
+                for split_id, s in enumerate(splits):
+                    out_path.append(path)
+                    out_block.append(block_id)
+                    out_split.append(split_id)
+                    out_orig.append(orig)
+                    out_sent.append(s)
+        return pa.table(
+            {
+                "path": pa.array(out_path, pa.string()),
+                "sent_id": pa.array(out_block, pa.int64()),
+                "split_id": pa.array(out_split, pa.int64()),
+                "orig_sentence": pa.array(out_orig, pa.string()),
+                "split_sentence": pa.array(out_sent, pa.string()),
+            }
+        )
+
+    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
+        parse, batch_format="numpy"
+    )
+
+
+def read_labels_file(paths, task: str = "oie"):
+    """S2 → (path, sent_id, sentence, labels) rows."""
+    import ray.data
+
+    ids = OIE_LABEL_IDS if task == "oie" else CONJ_LABEL_IDS
+
+    def parse(batch) -> pa.Table:
+        out_path, out_sid, out_sent, out_labels = [], [], [], []
+        for path, data in zip(batch["path"].tolist(), list(batch["bytes"])):
+            text = bytes(data).decode("utf-8")
+            for sid, (sentence, rows) in enumerate(
+                parse_labels_blocks(text, ids)
+            ):
+                out_path.append(path)
+                out_sid.append(sid)
+                out_sent.append(sentence)
+                out_labels.append(rows)
+        return pa.table(
+            {
+                "path": pa.array(out_path, pa.string()),
+                "sent_id": pa.array(out_sid, pa.int64()),
+                "sentence": pa.array(out_sent, pa.string()),
+                "labels": pa.array(out_labels, pa.list_(pa.list_(pa.int8()))),
+            }
+        )
+
+    return ray.data.read_binary_files(paths, include_paths=True).map_batches(
+        parse, batch_format="numpy"
+    )

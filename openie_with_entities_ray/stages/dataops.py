@@ -101,6 +101,36 @@ def exact_dedup_groups(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def distinct_pairs(pairs_ds, value_col: str, how: str = "max",
+                   num_parts: int = 64):
+    """Distinct (id_a, id_b) with min/max over ``value_col``.
+
+    High-cardinality Ray aggregates pay ~1ms of Python per group, so a
+    166k-group ``groupby(pair).aggregate()`` takes minutes. Instead:
+    coarse hash partition (``id_a % num_parts`` → few, large groups) and a
+    vectorized pandas groupby inside each group — same result, constant
+    number of Ray groups."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("id_a").to_pylist())
+        return batch.append_column(
+            "part", pa.array(ids % num_parts, pa.int64())
+        )
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby(["id_a", "id_b"], as_index=False)[value_col]
+            .agg(how)
+        )
+        return out
+
+    return (
+        pairs_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup
 
@@ -162,33 +192,38 @@ def minhash_candidate_pairs(
         concurrency=(1, 8),
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-        ids = rows["doc_id"].to_list()
-        sig_arrays = [
-            np.frombuffer(s, dtype=np.uint64) for s in rows["signature"]
-        ]
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per band (few, large groups — tiny per-bucket
+        # groups would drown in per-group overhead); buckets resolved with
+        # a vectorized pandas groupby inside
         a_ids, b_ids, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                e = float(np.mean(sig_arrays[i] == sig_arrays[j]))
-                if e >= threshold:
+        # drop singleton buckets before the Python group loop (most buckets
+        # hold one doc; iterating them costs more than the real work)
+        counts = group["band_hash"].value_counts()
+        group = group[group["band_hash"].map(counts) >= 2]
+        for _, bucket in group.groupby("band_hash", sort=False):
+            rows = bucket.drop_duplicates(subset=["doc_id"]).sort_values(
+                "doc_id"
+            )
+            ids = rows["doc_id"].to_list()
+            sigs_mat = np.stack(
+                [np.frombuffer(s, dtype=np.uint64) for s in rows["signature"]]
+            )
+            for i in range(len(ids)):
+                eq = (sigs_mat[i + 1 :] == sigs_mat[i]).mean(axis=1)
+                for off in np.nonzero(eq >= threshold)[0]:
                     a_ids.append(ids[i])
-                    b_ids.append(ids[j])
-                    est.append(e)
+                    b_ids.append(ids[i + 1 + off])
+                    est.append(float(eq[off]))
         return pd.DataFrame(
             {"id_a": a_ids, "id_b": b_ids, "est_jaccard": est}
         )
 
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = sigs.groupby("band").map_groups(
+        band_pairs, batch_format="pandas"
     )
     # same pair can surface from several bands → distinct
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    return distinct_pairs(pairs, "est_jaccard", how="max")
 
 
 # ---------------------------------------------------------------------------
@@ -226,30 +261,50 @@ def simhash_pairs(
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-        ids = rows["doc_id"].to_list()
-        sigs = rows["simhash"].to_list()
-        a_ids, b_ids, dist = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(sigs[i]), int(sigs[j]))
-                if d <= max_hamming:
-                    a_ids.append(ids[i])
-                    b_ids.append(ids[j])
-                    dist.append(d)
-        return pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "hamming": dist})
-
-    from ray.data.aggregate import Min
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # vectorized in-bucket verify: XOR matrix + popcount via unpackbits
+        # (clustered corpora produce buckets of hundreds of docs — a Python
+        # pair loop goes quadratic in interpreter time)
+        frames = []
+        counts = group["band_key"].value_counts()
+        group = group[group["band_key"].map(counts) >= 2]
+        for _, bucket in group.groupby("band_key", sort=False):
+            rows = bucket.drop_duplicates(subset=["doc_id"]).sort_values(
+                "doc_id"
+            )
+            ids = np.asarray(rows["doc_id"].to_list())
+            sigs = np.asarray(rows["simhash"].to_list(), dtype=np.uint64)
+            xor = sigs[:, None] ^ sigs[None, :]
+            dist = np.unpackbits(
+                xor.view(np.uint8).reshape(xor.shape + (8,)), axis=-1
+            ).sum(axis=-1)
+            ii, jj = np.nonzero(np.triu(dist <= max_hamming, k=1))
+            if len(ii):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ii],
+                            "id_b": ids[jj],
+                            "hamming": dist[ii, jj].astype(np.int64),
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
 
     pairs = (
         docs_ds.map_batches(sig_batch, batch_format="pyarrow")
-        .groupby(["band", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    return distinct_pairs(pairs, "hamming", how="min")
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +389,6 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup: multi-table LSH bucketing (actor pool) →
     in-bucket pairwise cosine ≥ threshold → distinct pairs across tables.
     Approximate by design; (num_planes, num_tables) set the recall."""
-    from ray.data.aggregate import Max
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
@@ -364,6 +418,4 @@ def embedding_near_dup_pairs(
     pairs = bucketed.groupby(["table", "bucket"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("cosine", alias_name="cosine")
-    )
+    return distinct_pairs(pairs, "cosine", how="max")

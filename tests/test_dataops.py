@@ -1,0 +1,199 @@
+"""Tests for dedup / similarity / text-analysis operators and multimodal
+stubs."""
+
+import numpy as np
+import pytest
+
+from openie_with_entities_ray.functions.dedup import (
+    MinHasher,
+    hamming64,
+    jaccard,
+    minhash_jaccard_estimate,
+    simhash64,
+)
+from openie_with_entities_ray.functions.textstats import (
+    detect_language,
+    quality_stats,
+    token_count,
+)
+
+TEXT_A = "the quick brown fox jumps over the lazy dog again and again today"
+TEXT_B = "the quick brown fox jumps over the lazy dog again and again tonight"
+TEXT_C = "completely different words about database engines and query plans"
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=256)
+    sa, sb = mh.signature(TEXT_A), mh.signature(TEXT_B)
+    est = minhash_jaccard_estimate(sa, sb)
+    true = jaccard(TEXT_A, TEXT_B)
+    assert abs(est - true) < 0.15
+    sc = mh.signature(TEXT_C)
+    assert minhash_jaccard_estimate(sa, sc) < 0.2
+
+
+def test_simhash_near_for_near_texts():
+    assert hamming64(simhash64(TEXT_A), simhash64(TEXT_B)) <= 6
+    assert hamming64(simhash64(TEXT_A), simhash64(TEXT_C)) > 10
+    assert simhash64(TEXT_A) == simhash64(TEXT_A)
+
+
+def test_quality_and_langid():
+    q = quality_stats("the cat sat on a mat .")
+    assert q["n_words"] == 7
+    assert q["stopword_permille"] == (1000 * 3) // 7
+    assert token_count("a b  c") == 3
+    assert detect_language("the cat is in the house and it is warm") == "en"
+    assert detect_language("der Hund ist nicht mit der Katze") == "de"
+    assert detect_language("xyzzy plugh") == "und"
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        exact_dedup_groups,
+        minhash_candidate_pairs,
+    )
+
+    texts = [TEXT_A, TEXT_B, TEXT_C, TEXT_A, "tiny"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    pairs = minhash_candidate_pairs(ds, threshold=0.5).take_all()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 3) in found  # exact dup
+    assert (0, 1) in found  # near dup
+    assert not any({a, b} == {0, 2} for a, b in found)
+
+    groups = exact_dedup_groups(ds).take_all()
+    by_hash = {g["content_sha256"]: g for g in groups}
+    dup_group = [g for g in groups if g["n_docs"] == 2]
+    assert len(dup_group) == 1 and dup_group[0]["keeper_id"] == 0
+
+
+def test_ann_topk_matches_bruteforce(ray_session):
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    rows = emb.take_all()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = np.random.RandomState(5).randn(64)
+    qn = q / np.linalg.norm(q)
+    sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ qn
+    expect = ids[np.lexsort((ids, -sims))[:5]].tolist()
+
+    got = [r["vec_id"] for r in ann_topk(emb, q, k=5).take_all()]
+    assert got == expect
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    import ray.data
+
+    from openie_with_entities_ray.stages.multimodal import (
+        MediaDecoder,
+        decode_media,
+        sample_frames,
+        synthetic_media_table,
+    )
+
+    media = ray.data.from_arrow(synthetic_media_table(30))
+    feats = decode_media(media).take_all()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic features
+    again = decode_media(ray.data.from_arrow(synthetic_media_table(30))).take_all()
+    assert [r["features"] for r in feats] == [r["features"] for r in again]
+
+    frames = sample_frames(media, num_frames=3).take_all()
+    assert len(frames) == 3 * sum(1 for _ in range(30) if _ % 3 == 2)
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(backend="real")
+
+
+def test_text_format_readers(tmp_path, ray_session):
+    from openie_with_entities_ray.sources.readers import (
+        parse_allennlp_line,
+        parse_conj_blocks,
+        parse_gold_tsv_line,
+        parse_labels_blocks,
+        read_allennlp,
+        read_conj_file,
+    )
+
+    line = (
+        "A founded B .\t<arg1> A </arg1> <rel> founded </rel> "
+        "<arg2> B </arg2>\t0.95"
+    )
+    assert parse_allennlp_line(line) == ("A founded B .", "A", "founded", "B", 0.95)
+    assert parse_gold_tsv_line("s\tr\ta1\tC: skipme\ta2") == ("s", "r", ["a1", "a2"])
+
+    conj_text = "A and B left .\nA left .\nB left .\n\nC slept .\n"
+    blocks = parse_conj_blocks(conj_text)
+    assert blocks == [
+        ("A and B left .", ["A left .", "B left ."]),
+        ("C slept .", ["C slept ."]),
+    ]
+
+    labels_text = (
+        "A founded B . [unused1] [unused2] [unused3]\n"
+        "ARG1 REL ARG2 NONE\n\n"
+    )
+    parsed = parse_labels_blocks(labels_text)
+    assert parsed == [
+        ("A founded B . [unused1] [unused2] [unused3]", [[1, 2, 3, 0]])
+    ]
+
+    # Dataset round trips
+    p = tmp_path / "pred.allennlp"
+    p.write_text(line + "\n")
+    rows = read_allennlp(str(p)).take_all()
+    assert rows[0]["arg1"] == "A" and rows[0]["confidence"] == 0.95
+
+    c = tmp_path / "out.conj"
+    c.write_text(conj_text)
+    rows = read_conj_file(str(c)).take_all()
+    assert len(rows) == 3
+    assert {r["orig_sentence"] for r in rows} == {"A and B left .", "C slept ."}
+
+
+def test_renderers(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.render import (
+        render_allennlp_lines,
+        render_oie_blocks,
+    )
+
+    triples = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": ["r", "r"],
+                "path": ["p", "p"],
+                "commit": ["c", "c"],
+                "sent_id": [0, 0],
+                "split_id": [0, 1],
+                "depth": [0, 0],
+                "orig_sentence": ["A and B left .", "A and B left ."],
+                "arg1": ["A", "B"],
+                "rel": ["left", "left"],
+                "arg2": ["", ""],
+                "confidence": [0.9, 0.8],
+            }
+        )
+    )
+    blocks = render_oie_blocks(triples).take_all()
+    assert len(blocks) == 1
+    assert blocks[0]["block"] == (
+        "A and B left .\n0.90: (A; left; )\n0.80: (B; left; )"
+    )
+    lines = render_allennlp_lines(triples).take_all()
+    assert lines[0]["line"].endswith("\t0.9")
