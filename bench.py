@@ -72,17 +72,27 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
 
+    # the sf documents table is one tiny parquet file (one read block);
+    # replicate deterministically + repartition so the headline measures
+    # pipeline throughput, not single-block serialization (BASELINE.md)
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "80"))
+    n_blocks = max(16, NUM_CPUS * 4)
+
+    def docs():
+        return read_source_docs(
+            SF_DIR, num_blocks=n_blocks, replicate=replicate
+        )
+
     # headline: flagship extraction + entity link + graph materialize
     def flagship():
-        docs = read_source_docs(SF_DIR)
-        triples = extract_triples_with_entities(docs)
+        triples = extract_triples_with_entities(docs())
         nodes, edges = build_graph(triples, deduped=False)
         n_e = edges.count()
         return n_e
 
     timed("flagship", flagship)
 
-    timed("triples_only", lambda: extract_triples(read_source_docs(SF_DIR)).count())
+    timed("triples_only", lambda: extract_triples(docs()).count())
     timed("lineitem_agg", lambda: q_lineitem_agg(SF_DIR).count())
     timed("revenue_by_nation", lambda: q_revenue_by_nation(SF_DIR).count())
     timed("events_windows", lambda: q_events_windows(SF_DIR).count())

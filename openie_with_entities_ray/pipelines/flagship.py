@@ -29,6 +29,16 @@ from ..stages.group import dedup_topk_grouped
 from ..stages.sentences import docs_to_sentences
 
 
+def _default_concurrency():
+    """Actor-pool size scaled to the cluster: leave ~1/4 of CPUs for the
+    stateless read/explode/write stages so the pool never starves them."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # min > 1 so the pool doesn't spend the whole run autoscaler-ramping
+    return (max(1, cpus // 4), max(2, (cpus * 3) // 4))
+
+
 def extract_triples(
     docs_ds,
     *,
@@ -36,10 +46,12 @@ def extract_triples(
     num_extractions: int = 5,
     no_lt: bool = False,
     fused: bool = True,
-    concurrency=(1, 16),
+    concurrency=None,
     batch_size: int = 512,
 ):
     """source_docs Dataset → final triples Dataset (TRIPLES schema)."""
+    if concurrency is None:
+        concurrency = _default_concurrency()
     sentences = docs_to_sentences(docs_ds)
     if fused:
         return sentences.map_batches(

@@ -632,6 +632,64 @@ def q_per_org_pairs(sf_dir):
     return tr.map_batches(keep, batch_format="pyarrow")
 
 
+def q_carb_selfcheck(sf_dir):
+    """North-rule conformance made visible: the distributed engine's
+    triples evaluated against the single-process reference-semantics
+    oracle with the CaRB matcher (distributed J3 co-group + A4 partials).
+    Expected: precision_permille == recall_permille == 1000."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from .eval.distributed import carb_precision_recall
+    from .pipelines.flagship import extract_triples
+    from .pipelines.oracle import oracle_predictions
+
+    pred = extract_triples(_source_docs(sf_dir)).map_batches(
+        lambda b: pa.table(
+            {
+                "sentence": b.column("orig_sentence"),
+                "rel": b.column("rel"),
+                "arg1": b.column("arg1"),
+                "arg2": b.column("arg2"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    docs_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    docs = [
+        {"content": t, "lang": lg}
+        for t, lg in zip(
+            docs_tbl.column("text").to_pylist(),
+            docs_tbl.column("lang").to_pylist(),
+        )
+    ]
+    gold_rows = {
+        "sentence": [], "rel": [], "arg1": [], "arg2": [],
+    }
+    for sent, triples in oracle_predictions(docs, seed=777).items():
+        for t in triples:
+            gold_rows["sentence"].append(sent)
+            gold_rows["rel"].append(t.rel)
+            gold_rows["arg1"].append(t.arg1)
+            gold_rows["arg2"].append(t.arg2)
+    gold = ray.data.from_arrow(pa.table(gold_rows))
+
+    p, r = carb_precision_recall(gold, pred)
+    return pd.DataFrame(
+        [
+            {
+                "precision_permille": int(p * 1000 + 0.5),
+                "recall_permille": int(r * 1000 + 0.5),
+                "gate_095_pass": bool(p >= 0.95 and r >= 0.95),
+            }
+        ]
+    )
+
+
 def q_text_stats(sf_dir):
     from .stages.dataops import add_text_stats
 
@@ -705,6 +763,7 @@ def build_queries():
         "predicate_freq": q_predicate_freq,
         "violations": q_violations,
         "per_org_pairs": q_per_org_pairs,
+        "carb_selfcheck": q_carb_selfcheck,
         "text_stats": q_text_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,

@@ -20,13 +20,42 @@ import hashlib
 import pyarrow as pa
 
 
-def read_source_docs(sf_dir: str, columns=None):
-    """documents.parquet → source_docs-shaped Dataset (prunes at the read)."""
+def read_source_docs(sf_dir: str, columns=None, num_blocks: int | None = None,
+                     replicate: int = 1):
+    """documents.parquet → source_docs-shaped Dataset (prunes at the read).
+
+    ``num_blocks``: the sf documents table is a single small parquet file —
+    ONE read block — so without a repartition every downstream stage runs
+    as a single task regardless of cluster size (at production scale the
+    file count provides natural block parallelism instead).
+
+    ``replicate``: deterministic R-fold corpus replication with distinct
+    commit provenance — used by the benchmark to give the pipeline enough
+    work to measure throughput rather than fixed startup overhead.
+    """
     import ray.data
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
+    if replicate > 1:
+        def rep(batch: pa.Table) -> pa.Table:
+            return pa.concat_tables(
+                [
+                    batch.set_column(
+                        0, "doc_id",
+                        pa.array(
+                            [i * replicate + r for i in batch.column("doc_id").to_pylist()],
+                            pa.int64(),
+                        ),
+                    )
+                    for r in range(replicate)
+                ]
+            )
+
+        ds = ds.map_batches(rep, batch_format="pyarrow")
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
 
     def to_source_docs(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()

@@ -27,13 +27,36 @@ class EntityTagger:
     """triples → triples + (subj_ents, subj_types, obj_ents, obj_types,
     rel_ents, c1..c4 violation flags)."""
 
+    _CACHE_LIMIT = 200_000
+
     def __init__(self, alias_dict=None):
         self.ner = DictionaryNER(alias_dict)
+        # entity surfaces are Zipf-distributed: the same argument strings
+        # and sentences recur constantly, and every triple of a sentence
+        # re-scans that sentence for the c4 check — memoize (bounded)
+        self._mention_cache: dict = {}
+        self._link_cache: dict = {}
 
-    def _mentions(self, text: str, context):
+    def _find(self, text: str):
         if not text:
             return []
-        return self.ner.tag_and_link(text.split())
+        hit = self._mention_cache.get(text)
+        if hit is None:
+            if len(self._mention_cache) > self._CACHE_LIMIT:
+                self._mention_cache.clear()
+            hit = self.ner.find_mentions(text.split())
+            self._mention_cache[text] = hit
+        return hit
+
+    def _link(self, mention, sentence: str, ctx):
+        key = (mention.surface, sentence)
+        hit = self._link_cache.get(key)
+        if hit is None:
+            if len(self._link_cache) > self._CACHE_LIMIT:
+                self._link_cache.clear()
+            hit = self.ner.link(mention, ctx)
+            self._link_cache[key] = hit
+        return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         a1 = batch.column("arg1").to_pylist()
@@ -49,18 +72,17 @@ class EntityTagger:
         c1, c2, c3, c4 = [], [], [], []
         for arg1, pred, arg2, sent in zip(a1, rel, a2, sents):
             ctx = sent.split() if sent else (arg1 + " " + pred + " " + arg2).split()
-            m1 = self.ner.find_mentions(arg1.split()) if arg1 else []
-            mr = self.ner.find_mentions(pred.split()) if pred else []
-            m2 = self.ner.find_mentions(arg2.split()) if arg2 else []
-            for m in m1 + mr + m2:
-                cid, typ = self.ner.link(m, ctx)
-                m.canonical_id = cid
-                m.type = typ
-            subj_ids.append([m.canonical_id for m in m1])
-            subj_types.append([m.type for m in m1])
-            obj_ids.append([m.canonical_id for m in m2])
-            obj_types.append([m.type for m in m2])
-            rel_ids.append([m.canonical_id for m in mr])
+            m1 = self._find(arg1)
+            mr = self._find(pred)
+            m2 = self._find(arg2)
+            linked = {
+                id(m): self._link(m, sent, ctx) for m in m1 + mr + m2
+            }
+            subj_ids.append([linked[id(m)][0] for m in m1])
+            subj_types.append([linked[id(m)][1] for m in m1])
+            obj_ids.append([linked[id(m)][0] for m in m2])
+            obj_types.append([linked[id(m)][1] for m in m2])
+            rel_ids.append([linked[id(m)][0] for m in mr])
             # violation flags (violations.py:48-110 semantics over the
             # dictionary tagger's mentions)
             c1.append(len(m1) == 0 and len(m2) == 0)
@@ -68,7 +90,7 @@ class EntityTagger:
             c3.append(len(mr) > 0)
             # c4: an entity's surface is split across parts — detect a
             # multiword surface whose words appear in different parts
-            sent_mentions = self.ner.find_mentions(sent.split()) if sent else []
+            sent_mentions = self._find(sent)
             seg = False
             for m in sent_mentions:
                 if m.end > m.start:  # multi-word entity
@@ -94,8 +116,12 @@ class EntityTagger:
         return pa.table(cols)
 
 
-def tag_entities(triples_ds, *, concurrency=(1, 8), batch_size: int = 1024):
+def tag_entities(triples_ds, *, concurrency=None, batch_size: int = 1024):
     """Attach entity columns with an actor pool (NER state per actor)."""
+    if concurrency is None:
+        from ..pipelines.flagship import _default_concurrency
+
+        concurrency = _default_concurrency()
     return triples_ds.map_batches(
         EntityTagger,
         batch_format="pyarrow",

@@ -1,0 +1,169 @@
+"""Differential + golden tests for the CaRB matcher, benchmark compare,
+and conjunction metrics."""
+
+import random
+import types
+
+import pytest
+
+from openie_with_entities_ray.eval.benchmark import compare, normalize_key, precision_recall
+from openie_with_entities_ray.eval.conj_metrics import (
+    count_sentence,
+    empty_counters,
+    scores,
+)
+from openie_with_entities_ray.eval.matcher import (
+    MatchTuple,
+    binary_linient_tuple_match,
+    linient_tuple_match,
+)
+from openie_with_entities_ray.functions.conjunctions import Coordination
+
+from reference_oracle import REFERENCE_DIR, _extract, reference_available
+
+
+def _load_reference_matcher():
+    """Extract the reference Matcher class, stubbing its nltk imports
+    (stopwords data is unavailable offline; the linient matchers never use
+    it, but the class body evaluates it)."""
+    import string
+    from copy import copy
+
+    ns = {
+        "string": string,
+        "copy": copy,
+        "sentence_bleu": lambda *a, **k: 0.0,
+        "stopwords": types.SimpleNamespace(words=lambda lang: []),
+    }
+    exec(_extract(f"{REFERENCE_DIR}/carb/matcher.py", {"Matcher"}), ns)
+    return ns["Matcher"]
+
+
+class _Ext:
+    def __init__(self, pred, args):
+        self.pred = pred
+        self.args = list(args)
+
+
+WORDS = ["the", "cat", "is", "was", "be", "dog", "ran", "said", "big", "x", "y"]
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference absent")
+def test_matcher_differential():
+    ref_matcher = _load_reference_matcher()
+    rng = random.Random(99)
+    for _ in range(800):
+        def rand_tuple():
+            pred = " ".join(rng.choices(WORDS, k=rng.randint(0, 4)))
+            args = [
+                " ".join(rng.choices(WORDS + ["."], k=rng.randint(0, 4)))
+                for _ in range(rng.randint(1, 4))
+            ]
+            return pred, args
+
+        gp, ga = rand_tuple()
+        ep, ea = rand_tuple()
+        ours = linient_tuple_match(MatchTuple(gp, ga), MatchTuple(ep, ea))
+        theirs = ref_matcher.linient_tuple_match(
+            _Ext(gp, ga), _Ext(ep, ea), True, True
+        )
+        assert ours == list(theirs), (gp, ga, ep, ea)
+
+        ours_b = binary_linient_tuple_match(MatchTuple(gp, ga), MatchTuple(ep, ea))
+        theirs_b = ref_matcher.binary_linient_tuple_match(
+            _Ext(gp, ga), _Ext(ep, ea), True, True
+        )
+        assert ours_b == list(theirs_b), (gp, ga, ep, ea)
+
+
+def test_normalize_key():
+    assert normalize_key("A -LRB- b -RRB- .") == "Ab"
+    assert normalize_key("Hello , world !") == "Helloworld"
+
+
+def test_compare_perfect_predictions():
+    gold = {
+        "A founded B .": [("founded", ["A", "B"], 1.0)],
+        "C bought D .": [("bought", ["C", "D"], 1.0)],
+    }
+    predicted = {
+        "A founded B .": [("founded", ["A", "B"], 0.9)],
+        "C bought D .": [("bought", ["C", "D"], 0.8)],
+    }
+    auc, optimal, curve = compare(gold, predicted)
+    assert optimal[2] == 1.0  # perfect F1
+    p, r = precision_recall(gold, predicted)
+    assert (p, r) == (1.0, 1.0)
+
+
+def test_compare_miss_and_spurious():
+    gold = {"A founded B .": [("founded", ["A", "B"], 1.0)]}
+    predicted = {
+        "A founded B .": [("founded", ["A", "B"], 0.9)],
+        "E hired F .": [("hired", ["E", "F"], 0.5)],  # spurious sentence
+    }
+    p, r = precision_recall(gold, predicted)
+    assert r == 1.0 and p == 0.5
+
+
+def test_conj_counters_reference_semantics():
+    # gold has coords at 1 (valid) and 5 (None); pred matches 1 inexactly,
+    # misses 5 correctly (tn), and has a pred-only coord at 9 (ignored)
+    gold = {
+        1: Coordination(1, [(0, 0), (2, 2)]),
+        5: None,
+        7: Coordination(7, [(6, 6), (8, 8)]),
+    }
+    pred = {
+        1: Coordination(1, [(0, 0), (2, 3)]),
+        9: Coordination(9, [(8, 8), (10, 10)]),
+    }
+    counters = empty_counters()
+    count_sentence(counters, pred, gold)
+    exact = counters["exact"]
+    assert exact["tp"] == 1 and exact["tp_t"] == 0 and exact["tp_f"] == 1
+    assert exact["fn"] == 1  # gold@7 unmatched
+    assert exact["tn"] == 1  # both None at 5
+    assert exact["fp"] == 0  # pred-only index 9 ignored (reference quirk)
+    # whole-span criteria: (0,0)..(2,3) vs (0,0)..(2,2) endpoints differ
+    assert counters["whole"]["tp_t"] == 0
+    # same spans starting point → outer first conjunct equal? (0,0)==(0,0)
+    # but last (2,3)!=(2,2) → incorrect
+    assert counters["outer"]["tp_t"] == 0
+    s = scores(counters)
+    assert s["P_exact"] == 0.0 and s["R_exact"] == 0.0
+
+
+def test_conj_metric_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.eval.conj_metrics import conj_metric_dataset
+
+    # two sentences where pred == gold → all F1 == 1
+    labels = [[2, 4, 1, 3, 1, 0, 0, 0]]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "sentence": ["A , B and C founded D ."] * 2,
+                "pred_labels": [labels, labels],
+                "gold_labels": [labels, labels],
+            }
+        )
+    )
+    s = conj_metric_dataset(ds)
+    assert s["F1_exact"] == 1.0 and s["P_exact"] == 1.0
+
+
+def test_label_projection():
+    from openie_with_entities_ray.functions.triples import (
+        project_labels_to_original,
+    )
+
+    # split words at original positions [0, 2, 3]; orig has 5 words
+    rows = [[1, 2, 3, 0, 0, 0], [0] * 6]
+    lines = project_labels_to_original(rows, [0, 2, 3], 5)
+    assert lines == ["ARG1 NONE REL ARG2 NONE"]
+    # depth with no ARG1/REL dropped
+    rows = [[3, 3, 0, 0, 0, 0]]
+    assert project_labels_to_original(rows, [0, 1, 2], 5) == []
