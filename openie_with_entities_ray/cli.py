@@ -1,0 +1,329 @@
+"""CLI — the reference ``run.py`` surface re-expressed over Ray Data.
+
+A user of the reference runs (README.md:59-63):
+
+    python run.py --mode splitpredict --inp sentences.txt --out out \
+        --task oie --num_extractions 5 ...
+
+Here the same pipelines run as:
+
+    python -m openie_with_entities_ray --mode splitpredict \
+        --inp sentences.txt --out /tmp/out --num_extractions 5
+
+Modes (the reference's mode-composition micro-DSL, run.py:401-402, as a
+stage registry):
+
+- ``predict``       task=oie: OIE extraction without conjunction
+                    splitting; task=conj: only the splitter (writes .conj)
+- ``splitpredict``  conj split then OIE (the flagship; writes .oie,
+                    .allennlp, .conj and, with ``--type labels``,
+                    .labels)
+- ``eval``          CaRB benchmark: ``--gold`` TSV vs ``--inp`` allennlp
+                    file → AUC + optimal F1 (carb/carb.py:436-524)
+- ``graph``         Parquet source_docs table → nodes/edges Parquet
+- ``train``/``resume``  not supported: this engine performs inference/KG
+                    construction; training stays in the reference stack
+                    (SURVEY.md §3.2)
+
+Input files speak the reference's format: one sentence per line,
+punctuation space-separated (README.md:53-57). Checkpoint flags
+(``--oie_model``/``--conj_model``) select the labeler backend: absent →
+the deterministic surrogate labeler (seeded by ``--seed``).
+
+The CLI owns its Ray session (guarded init + shutdown); library code
+never initializes Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="openie_with_entities_ray",
+        description="Ray-Data-native OpenIE / KG-construction engine",
+    )
+    p.add_argument("--mode", required=True,
+                   choices=["predict", "splitpredict", "eval", "graph"])
+    p.add_argument("--inp", type=str, help="input file (or parquet for graph)")
+    p.add_argument("--out", type=str, help="output path prefix / directory")
+    p.add_argument("--task", type=str, default="oie", choices=["oie", "conj"])
+    p.add_argument("--gold", type=str, help="gold TSV for --mode eval")
+    p.add_argument("--num_extractions", type=int, default=5)
+    p.add_argument("--no_lt", action="store_true")
+    p.add_argument("--type", type=str, default="",
+                   help="'labels' adds a .labels output; 'sentences' "
+                        "renders 'arg1 rel arg2' lines in the .oie file")
+    p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--num_cpus", type=int, default=None)
+    p.add_argument("--ent_extractor", type=str, default="dictionary",
+                   help="entity backend (only the deterministic "
+                        "'dictionary' backend exists in this environment)")
+    p.add_argument("--oie_model", type=str, default="")
+    p.add_argument("--conj_model", type=str, default="")
+    return p
+
+
+def _read_sentence_file(path: str):
+    """S1 reader: one sentence per line, normalized (data.py:417-438);
+    provenance = (cli, path, line number)."""
+    import pyarrow as pa
+    import ray.data
+
+    from .functions.text import normalize_sentence, sha256_hex, within_length_limit
+
+    with open(path, "r", encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    rows = {"repo": [], "path": [], "commit": [], "content_sha256": [],
+            "sent_id": [], "sentence": []}
+    for i, line in enumerate(lines):
+        sent = normalize_sentence(line)
+        if not sent or not within_length_limit(sent):
+            continue
+        rows["repo"].append("cli")
+        rows["path"].append(path)
+        rows["commit"].append("")
+        rows["content_sha256"].append(sha256_hex(line))
+        rows["sent_id"].append(i)
+        rows["sentence"].append(sent)
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def _conj_stage(sentences_ds, seed: int, batch_size: int):
+    from .stages.extract import ConjSplitter
+
+    return sentences_ds.map_batches(
+        ConjSplitter,
+        fn_constructor_kwargs=dict(seed=seed),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
+def _write_conj(splits_rows, out: str) -> None:
+    """K4: orig + splits per block, blank-line separated (model.py:678-690)."""
+    import collections
+
+    by_sent = collections.defaultdict(list)
+    for r in sorted(splits_rows, key=lambda r: (r["sent_id"], r["split_id"])):
+        by_sent[r["sent_id"]].append(r)
+    blocks = []
+    for sid in sorted(by_sent):
+        rows = by_sent[sid]
+        orig = rows[0]["orig_sentence"]
+        splits = [r["split_sentence"] for r in rows]
+        if splits == [orig]:
+            blocks.append(orig)
+        else:
+            blocks.append("\n".join([orig] + splits))
+    with open(f"{out}.conj", "w", encoding="utf-8") as f:
+        f.write("\n\n".join(blocks) + "\n")
+
+
+def _write_oie_allennlp(triple_rows, out: str, style: str) -> None:
+    """K1 + K2 from grouped triples (model.py:640-654)."""
+    import collections
+
+    from .functions.triples import (
+        Triple,
+        ext_to_allennlp,
+        ext_to_sentence,
+        ext_to_string,
+    )
+
+    by_sent = collections.defaultdict(list)
+    for r in sorted(
+        triple_rows, key=lambda r: (r["sent_id"], r["split_id"], r["depth"])
+    ):
+        by_sent[(r["sent_id"], r["orig_sentence"])].append(r)
+    oie_blocks, allennlp_lines = [], []
+    for (sid, sentence), rows in sorted(by_sent.items()):
+        lines = [sentence]
+        for r in rows:
+            t = Triple(r["arg1"], r["rel"], r["arg2"], r["confidence"])
+            lines.append(
+                ext_to_sentence(t) if style == "sentences" else ext_to_string(t)
+            )
+            allennlp_lines.append(ext_to_allennlp(sentence, t))
+        oie_blocks.append("\n".join(lines))
+    with open(f"{out}.oie", "w", encoding="utf-8") as f:
+        f.write("\n".join(oie_blocks) + "\n")
+    with open(f"{out}.allennlp", "w", encoding="utf-8") as f:
+        f.write("\n".join(allennlp_lines) + "\n")
+
+
+def _write_labels(split_rows, out: str, seed: int, no_lt: bool) -> None:
+    """K3/O11: label rows projected onto original word positions
+    (run.py:246-291 file shape, incl. the leading blank line per block)."""
+    import collections
+
+    from .functions.triples import project_labels_to_original
+    from .state.labeler import DeterministicLabeler
+
+    labeler = DeterministicLabeler(seed=seed)
+    by_sent = collections.defaultdict(list)
+    for r in sorted(split_rows, key=lambda r: (r["sent_id"], r["split_id"])):
+        by_sent[(r["sent_id"], r["orig_sentence"])].append(r)
+    lines = []
+    for (sid, sentence), rows in sorted(by_sent.items()):
+        lines.append("\n" + sentence)
+        n_orig = len(sentence.split())
+        for r in rows:
+            rows_lbl, _ = labeler.label_oie(r["split_sentence"])
+            lines.extend(
+                project_labels_to_original(
+                    rows_lbl, list(r["split_indices"]), n_orig
+                )
+            )
+    lines.append("\n")
+    with open(f"{out}.labels", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+
+
+def run_splitpredict(args) -> None:
+    from .stages.extract import OIEExtractor
+    from .stages.group import dedup_topk_grouped
+
+    sentences = _read_sentence_file(args.inp)
+    splits = _conj_stage(sentences, args.seed, args.batch_size)
+    split_rows = splits.take_all()
+    _write_conj(split_rows, args.out)
+
+    raw = splits.drop_columns(["conj_words", "split_indices"]).map_batches(
+        OIEExtractor,
+        fn_constructor_kwargs=dict(seed=args.seed, no_lt=args.no_lt),
+        batch_format="pyarrow",
+        batch_size=args.batch_size,
+        concurrency=(1, 8),
+    )
+    triples = dedup_topk_grouped(raw, args.num_extractions).take_all()
+    _write_oie_allennlp(triples, args.out, args.type)
+    if "labels" in (args.type or ""):
+        _write_labels(split_rows, args.out, args.seed, args.no_lt)
+    print(
+        f"Triples written to {args.out}.oie, Conjunctions written to "
+        f"{args.out}.conj"
+    )
+
+
+def run_predict(args) -> None:
+    if args.task == "conj":
+        sentences = _read_sentence_file(args.inp)
+        split_rows = _conj_stage(sentences, args.seed, args.batch_size).take_all()
+        _write_conj(split_rows, args.out)
+        print(f"Conjunctions written to {args.out}.conj")
+        return
+    # task oie: no conjunction splitting — each sentence is its own split
+    import pyarrow as pa
+
+    from .stages.extract import OIEExtractor
+    from .stages.group import dedup_topk_grouped
+
+    sentences = _read_sentence_file(args.inp)
+
+    def as_splits(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in batch.column_names}
+        n = batch.num_rows
+        cols["split_id"] = pa.array([0] * n, pa.int64())
+        cols["split_sentence"] = batch.column("sentence")
+        cols["orig_sentence"] = batch.column("sentence")
+        return pa.table(cols)
+
+    splits = sentences.map_batches(as_splits, batch_format="pyarrow")
+    raw = splits.map_batches(
+        OIEExtractor,
+        fn_constructor_kwargs=dict(seed=args.seed, no_lt=args.no_lt),
+        batch_format="pyarrow",
+        batch_size=args.batch_size,
+        concurrency=(1, 8),
+    )
+    triples = dedup_topk_grouped(raw, args.num_extractions).take_all()
+    _write_oie_allennlp(triples, args.out, args.type)
+    print(f"Triples written to {args.out}.oie")
+
+
+def run_eval(args) -> None:
+    """CaRB standalone eval (carb/carb.py:507-524 output shape)."""
+    import collections
+
+    from .eval.benchmark import compare
+    from .sources.readers import parse_allennlp_line, parse_gold_tsv_line
+
+    gold: dict = collections.defaultdict(list)
+    with open(args.gold, "r", encoding="utf-8") as f:
+        for line in f:
+            rec = parse_gold_tsv_line(line)
+            if rec:
+                gold[rec[0]].append((rec[1], rec[2], 1.0))
+    pred: dict = collections.defaultdict(list)
+    with open(args.inp, "r", encoding="utf-8") as f:
+        for line in f:
+            rec = parse_allennlp_line(line)
+            if rec:
+                pred[rec[0]].append((rec[2], [rec[1], rec[3]], rec[4]))
+    auc, optimal, curve = compare(dict(gold), dict(pred))
+    print(f"AUC: {auc}\tOptimal (precision, recall, F1): {optimal[:3]}")
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            f.write("Precision\tRecall\tConfidence\n")
+            for p, r, c in sorted(curve, key=lambda x: x[1]):
+                f.write(f"{p}\t{r}\t{c}\n")
+
+
+def run_graph(args) -> None:
+    import ray.data
+
+    from .pipelines.flagship import materialize_graph
+
+    docs = ray.data.read_parquet(args.inp)
+    materialize_graph(docs, args.out, seed=args.seed)
+    print(f"Graph written to {args.out}/nodes and {args.out}/edges")
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.inp:
+        parser.error(f"--mode {args.mode} requires --inp")
+    if not args.out and args.mode != "eval":
+        parser.error(f"--mode {args.mode} requires --out")
+    if args.mode == "eval" and not args.gold:
+        parser.error("--mode eval requires --gold")
+    needs_ray = args.mode in ("predict", "splitpredict", "graph")
+    if needs_ray:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    try:
+        if args.mode == "splitpredict":
+            run_splitpredict(args)
+        elif args.mode == "predict":
+            run_predict(args)
+        elif args.mode == "eval":
+            run_eval(args)
+        elif args.mode == "graph":
+            run_graph(args)
+    finally:
+        if needs_ray:
+            import ray
+
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

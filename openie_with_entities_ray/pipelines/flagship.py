@@ -70,7 +70,7 @@ def extract_triples(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-    ).drop_columns(["conj_words"])
+    ).drop_columns(["conj_words", "split_indices"])
     raw = splits.map_batches(
         OIEExtractor,
         fn_constructor_kwargs=dict(seed=seed, no_lt=no_lt),

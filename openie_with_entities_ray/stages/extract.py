@@ -40,15 +40,21 @@ from ..state.labeler import DeterministicLabeler
 _SENT_KEY_COLS = ("repo", "path", "commit", "content_sha256", "sent_id")
 
 
-def _split_sentence_rows(labeler, sentence: str):
+def _split_sentence_rows(labeler, sentence: str, with_indices: bool = False):
     """conj label → decode → split; '' split list means identity
     (run.py:180-187: a sentence with no surviving coordination maps to
-    itself)."""
+    itself). With ``with_indices``, also returns each split's sorted
+    original-word index list (run.py:246-291 uses them to project labels
+    back onto original positions; identity split → full range,
+    run.py:256-258)."""
     rows = labeler.label_conj(sentence)
     coords = decode_coordinations(rows)
     splits, conj_words, indices = split_on_coordinations(coords, sentence.split())
     if not splits:
-        return [sentence], conj_words
+        splits = [sentence]
+        indices = [list(range(len(sentence.split())))]
+    if with_indices:
+        return splits, conj_words, [sorted(ix) for ix in indices]
     return splits, conj_words
 
 
@@ -62,9 +68,11 @@ class ConjSplitter:
         keys = {c: batch.column(c).to_pylist() for c in _SENT_KEY_COLS}
         sentences = batch.column("sentence").to_pylist()
         out = {c: [] for c in _SENT_KEY_COLS}
-        out_split_id, out_split, out_orig, out_conj = [], [], [], []
+        out_split_id, out_split, out_orig, out_conj, out_idx = [], [], [], [], []
         for row_idx, sentence in enumerate(sentences):
-            splits, conj_words = _split_sentence_rows(self.labeler, sentence)
+            splits, conj_words, indices = _split_sentence_rows(
+                self.labeler, sentence, with_indices=True
+            )
             for split_id, split_sentence in enumerate(splits):
                 for c in _SENT_KEY_COLS:
                     out[c].append(keys[c][row_idx])
@@ -72,6 +80,7 @@ class ConjSplitter:
                 out_split.append(split_sentence)
                 out_orig.append(sentence)
                 out_conj.append(conj_words)
+                out_idx.append(indices[split_id])
         return pa.table(
             {
                 "repo": pa.array(out["repo"], pa.string()),
@@ -83,6 +92,7 @@ class ConjSplitter:
                 "split_sentence": pa.array(out_split, pa.string()),
                 "orig_sentence": pa.array(out_orig, pa.string()),
                 "conj_words": pa.array(out_conj, pa.list_(pa.string())),
+                "split_indices": pa.array(out_idx, pa.list_(pa.int64())),
             }
         )
 

@@ -57,6 +57,14 @@ _PUNCT = frozenset(".,;:!?()")
 
 _APPOSITION_DETS = frozenset(("a", "an", "the"))
 
+# conjunct spans stop at function words — keeps conjuncts tight nominals
+# so the unbreakable-word veto sees pre-conjunct context as the reference
+# conj model does (data.py:786-807 checks the span BEFORE the first
+# conjunct)
+_FUNCTION_WORDS = frozenset(
+    "the a an of in at on for with to by from".split()
+)
+
 MAX_OIE_DEPTH = 5  # model.py:93 (_max_depth, oie task)
 MAX_CONJ_DEPTH = 3  # model.py:93 (conj task)
 
@@ -197,6 +205,7 @@ class DeterministicLabeler:
                 j <= n - 2
                 and words[j] not in _PUNCT
                 and words[j].lower() not in COORDINATORS
+                and words[j].lower() not in _FUNCTION_WORDS
                 and not is_verb(words[j])
                 and j - cc <= 4
             ):
@@ -217,7 +226,12 @@ class DeterministicLabeler:
                     end = k - 1
                     k -= 1
                     continue
-                if w in _PUNCT or w.lower() in COORDINATORS or is_verb(w):
+                if (
+                    w in _PUNCT
+                    or w.lower() in COORDINATORS
+                    or w.lower() in _FUNCTION_WORDS
+                    or is_verb(w)
+                ):
                     break
                 if end - k >= 4:
                     break
