@@ -266,5 +266,82 @@ class SequenceLabeler:
     """Contract marker: anything exposing label_oie / label_conj."""
 
 
+class TorchGridLabeler:
+    """The real-deployment slot: BERT iterative grid labeler.
+
+    Contract notes for when weights + torch are available (replicating
+    /root/reference/model.py:58-267):
+
+    - wordpiece-tokenize per word with BOS=101/EOS=102 and UNK=[100] for
+      empty encodings (data.py:294-303); track word_starts;
+    - split the last ``iterative_layers=2`` encoder layers; per depth run
+      them over the previous hidden state plus the label embedding of the
+      previous depth's argmax, gather vectors at word_starts, apply merge
+      + label heads (model.py:132-188);
+    - at inference stop early when a depth emits no (ARG1 and REL)
+      (model.py:180-188);
+    - confidence = exp(sum over words of max log-prob where label != 0,
+      normalized by the batch-column count + 1 — the reference's
+      ``sum(dim=0)`` quirk, model.py:201-209), rounded to 2 decimals at
+      test time (model.py:477): top-k ordering depends on this;
+    - drop sentences over 100 words or >=512 wordpieces (data.py:284-285).
+
+    Instantiated inside an actor's ``__init__`` (one weight load per
+    worker, run.py:46-51 analogue); raises ImportError here because torch
+    is not part of this environment.
+    """
+
+    def __init__(self, checkpoint_path: str, task: str = "oie",
+                 model_str: str = "bert-base-cased", iterative_layers: int = 2):
+        try:
+            import torch  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "TorchGridLabeler needs torch + transformers + the "
+                "reference checkpoints (README.md:20-35); this environment "
+                "ships neither — use DeterministicLabeler, which has the "
+                "same output contract"
+            ) from e
+        raise NotImplementedError(
+            "weight-loading path not implemented in this environment"
+        )
+
+
 def default_labeler(seed: int = 777) -> DeterministicLabeler:
     return DeterministicLabeler(seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# train-time featurizer surrogates (O5/O6): the reference computes per-word
+# POS (ADJ/ADV/NOUN/PROPN/VERB membership) and non-light-verb flags with
+# spaCy (data.py:100-134) — train-time only. These heuristic equivalents
+# keep the feature columns producible without spaCy.
+
+LIGHT_VERBS = frozenset(
+    """
+    take have get give do make set put bring keep hold turn begin come go
+    run let see say use find tell ask work seem feel leave call become
+    grow appear look move play pay hear include believe allow meet lead
+    live stand happen carry talk sit produce offer consider expect suggest
+    let help start show provide continue remain
+    """.split()
+)
+
+
+def pos_feature(words):
+    """1 iff the word is content-like (the reference marks
+    ADJ/ADV/NOUN/PROPN/VERB, data.py:106-110); +3 trailing zeros for the
+    markers (data.py:111)."""
+    flags = [
+        0 if (w.lower() in _FUNCTION_WORDS or w in _PUNCT) else 1
+        for w in words
+    ]
+    return flags + [0, 0, 0]
+
+
+def verb_feature(words):
+    """1 iff verb and not a light verb (data.py:115-134); +3 zeros."""
+    flags = [
+        1 if is_verb(w) and w.lower() not in LIGHT_VERBS else 0 for w in words
+    ]
+    return flags + [0, 0, 0]
