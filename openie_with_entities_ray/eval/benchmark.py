@@ -47,6 +47,88 @@ def _f1(p, r):
     return 2.0 * p * r / (p + r) if (p + r) > 0 else 0.0
 
 
+def sentence_contribution(
+    gold_exs, pred_exs, confidence_thresholds, matching_func
+):
+    """One sentence's additive contribution to the PR-sweep arrays
+    (carb.py:200-262, 'OPTIMISED GLOBAL MATCH', strategy 'sm').
+
+    ``gold_exs``/``pred_exs``: [(pred, args, confidence)]. Returns the
+    four numpy arrays (p, pl, r, rl) indexed by the GLOBAL threshold list
+    — pure and additive, so the distributed form sums these per-sentence
+    partials (eval/distributed.py)."""
+    num_conf = len(confidence_thresholds)
+    p = np.zeros(num_conf)
+    pl = np.zeros(num_conf)
+    r = np.zeros(num_conf)
+    rl = np.zeros(num_conf)
+
+    gold_tuples = [MatchTuple(g[0], g[1]) for g in gold_exs]
+    pred_tuples = [MatchTuple(e[0], e[1]) for e in pred_exs]
+    scores = [
+        [matching_func(g, e) for e in pred_tuples] for g in gold_tuples
+    ]
+
+    sent_confs = sorted(ex[2] for ex in pred_exs)
+    prev_c = 0
+    for conf in sent_confs:
+        c = confidence_thresholds.index(conf)
+        ext_indices = [j for j, ex in enumerate(pred_exs) if ex[2] >= conf]
+        recall_numerator = sum(
+            max((row[j][1] for j in ext_indices), default=0)
+            for row in scores
+        )
+        # greedy one-to-one precision matching (carb.py:222-247)
+        precision_numerator = 0.0
+        sel_rows: list = []
+        sel_cols: list = []
+        for _ in range(min(len(scores), len(ext_indices))):
+            best = (-1.0, -1, -1)
+            for i in range(len(scores)):
+                if i in sel_rows:
+                    continue
+                for j in ext_indices:
+                    if j in sel_cols:
+                        continue
+                    if scores[i][j][0] > best[0]:
+                        best = (scores[i][j][0], i, j)
+            if best[1] < 0:
+                raise RuntimeError("no match found in precision matching")
+            sel_rows.append(best[1])
+            sel_cols.append(best[2])
+            precision_numerator += best[0]
+
+        p[prev_c : c + 1] += precision_numerator
+        pl[prev_c : c + 1] += len(ext_indices)
+        r[prev_c : c + 1] += recall_numerator
+        rl[prev_c : c + 1] += len(scores)
+        prev_c = c + 1
+    rl[prev_c:] += len(scores)
+    return p, pl, r, rl
+
+
+def finish_curve(p, pl, r, rl, confidence_thresholds):
+    """Summed arrays → (auc, optimal_point, curve) (carb.py:264-314)."""
+    prec_scores = [a / b if b > 0 else 1 for a, b in zip(p, pl)]
+    rec_scores = [a / b if b > 0 else 0 for a, b in zip(r, rl)]
+    f1s = [_f1(a, b) for a, b in zip(prec_scores, rec_scores)]
+    if f1s:
+        best = int(np.nanargmax(f1s))
+        optimal = (
+            round(prec_scores[best], 4),
+            round(rec_scores[best], 4),
+            round(f1s[best], 4),
+            confidence_thresholds[best],
+        )
+        auc_rec = list(rec_scores) + [0.0]
+        auc_prec = list(prec_scores) + [1.0]
+        auc = round(abs(np.trapz(auc_prec, auc_rec)), 4)
+    else:
+        optimal = (0, 0, 0, 0)
+        auc = 0.0
+    return auc, optimal, list(zip(prec_scores, rec_scores, confidence_thresholds))
+
+
 def compare(
     gold: dict,
     predicted: dict,
@@ -72,70 +154,15 @@ def compare(
 
     for sent, gold_exs in gold.items():
         pred_exs = predicted.get(sent, [])
-        gold_tuples = [MatchTuple(g[0], g[1]) for g in gold_exs]
-        pred_tuples = [MatchTuple(e[0], e[1]) for e in pred_exs]
-        scores = [
-            [matching_func(g, e) for e in pred_tuples] for g in gold_tuples
-        ]
-
-        sent_confs = sorted(ex[2] for ex in pred_exs)
-        prev_c = 0
-        for conf in sent_confs:
-            c = confidence_thresholds.index(conf)
-            ext_indices = [
-                j for j, ex in enumerate(pred_exs) if ex[2] >= conf
-            ]
-            recall_numerator = sum(
-                max((row[j][1] for j in ext_indices), default=0)
-                for row in scores
-            )
-            # greedy one-to-one precision matching (carb.py:222-247)
-            precision_numerator = 0.0
-            sel_rows: list = []
-            sel_cols: list = []
-            for _ in range(min(len(scores), len(ext_indices))):
-                best = (-1.0, -1, -1)
-                for i in range(len(scores)):
-                    if i in sel_rows:
-                        continue
-                    for j in ext_indices:
-                        if j in sel_cols:
-                            continue
-                        if scores[i][j][0] > best[0]:
-                            best = (scores[i][j][0], i, j)
-                if best[1] < 0:
-                    raise RuntimeError("no match found in precision matching")
-                sel_rows.append(best[1])
-                sel_cols.append(best[2])
-                precision_numerator += best[0]
-
-            p[prev_c : c + 1] += precision_numerator
-            pl[prev_c : c + 1] += len(ext_indices)
-            r[prev_c : c + 1] += recall_numerator
-            rl[prev_c : c + 1] += len(scores)
-            prev_c = c + 1
-        rl[prev_c:] += len(scores)
-
-    prec_scores = [a / b if b > 0 else 1 for a, b in zip(p, pl)]
-    rec_scores = [a / b if b > 0 else 0 for a, b in zip(r, rl)]
-    f1s = [_f1(a, b) for a, b in zip(prec_scores, rec_scores)]
-
-    if f1s:
-        best = int(np.nanargmax(f1s))
-        optimal = (
-            round(prec_scores[best], 4),
-            round(rec_scores[best], 4),
-            round(f1s[best], 4),
-            confidence_thresholds[best],
+        dp, dpl, dr, drl = sentence_contribution(
+            gold_exs, pred_exs, confidence_thresholds, matching_func
         )
-        auc_rec = list(rec_scores) + [0.0]
-        auc_prec = list(prec_scores) + [1.0]
-        auc = round(abs(np.trapz(auc_prec, auc_rec)), 4)
-    else:
-        optimal = (0, 0, 0, 0)
-        auc = 0.0
-    curve = list(zip(prec_scores, rec_scores, confidence_thresholds))
-    return auc, optimal, curve
+        p += dp
+        pl += dpl
+        r += dr
+        rl += drl
+
+    return finish_curve(p, pl, r, rl, confidence_thresholds)
 
 
 def precision_recall(gold: dict, predicted: dict):

@@ -78,6 +78,99 @@ def _group_counts(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def carb_sweep(gold_ds, pred_ds):
+    """Distributed FULL PR sweep (A4): two passes.
+
+    1. distinct predicted confidences — tiny (2-decimal rounding caps the
+       cardinality at ~100), collected to the driver and captured in the
+       kernel closure;
+    2. per-sentence co-group → additive (p, pl, r, rl) arrays over the
+       global threshold list (benchmark.sentence_contribution) → one
+       driver-side array sum → AUC / optimal F1.
+
+    ``pred_ds`` rows need (sentence, rel, arg1, arg2, confidence);
+    ``gold_ds`` rows (sentence, rel, arg1, arg2)."""
+    import numpy as np
+
+    from .benchmark import finish_curve, sentence_contribution
+    from .matcher import binary_linient_tuple_match
+
+    conf_rows = pred_ds.select_columns(["confidence"]).unique("confidence")
+    thresholds = sorted(conf_rows)
+
+    def tag_pred(batch: pa.Table) -> pa.Table:
+        keys = [normalize_key(s) for s in batch.column("sentence").to_pylist()]
+        return pa.table(
+            {
+                "sent_key": pa.array(keys, pa.string()),
+                "side": pa.array(["p"] * batch.num_rows, pa.string()),
+                "rel": batch.column("rel"),
+                "arg1": batch.column("arg1"),
+                "arg2": batch.column("arg2"),
+                "confidence": batch.column("confidence"),
+            }
+        )
+
+    def tag_gold(batch: pa.Table) -> pa.Table:
+        keys = [normalize_key(s) for s in batch.column("sentence").to_pylist()]
+        return pa.table(
+            {
+                "sent_key": pa.array(keys, pa.string()),
+                "side": pa.array(["g"] * batch.num_rows, pa.string()),
+                "rel": batch.column("rel"),
+                "arg1": batch.column("arg1"),
+                "arg2": batch.column("arg2"),
+                "confidence": pa.array([1.0] * batch.num_rows, pa.float64()),
+            }
+        )
+
+    unioned = gold_ds.map_batches(tag_gold, batch_format="pyarrow").union(
+        pred_ds.map_batches(tag_pred, batch_format="pyarrow")
+    )
+
+    def group_arrays(group: pd.DataFrame) -> pd.DataFrame:
+        gold = group[group["side"] == "g"]
+        if len(gold) == 0:
+            # predictions for a sentence absent from gold do not enter the
+            # sweep (carb.py iterates gold sentences only)
+            return pd.DataFrame(
+                {k: pd.Series(dtype=object) for k in ("p", "pl", "r", "rl")}
+            )
+        pred = group[group["side"] == "p"]
+        gold_exs = [
+            (r, [a1, a2], 1.0)
+            for r, a1, a2 in zip(gold["rel"], gold["arg1"], gold["arg2"])
+        ]
+        pred_exs = [
+            (r, [a1, a2], c)
+            for r, a1, a2, c in zip(
+                pred["rel"], pred["arg1"], pred["arg2"], pred["confidence"]
+            )
+        ]
+        p, pl, r, rl = sentence_contribution(
+            gold_exs, pred_exs, thresholds, binary_linient_tuple_match
+        )
+        return pd.DataFrame(
+            {"p": [p.tobytes()], "pl": [pl.tobytes()],
+             "r": [r.tobytes()], "rl": [rl.tobytes()]}
+        )
+
+    partials = unioned.groupby("sent_key").map_groups(
+        group_arrays, batch_format="pandas"
+    )
+    num_conf = len(thresholds)
+    p = np.zeros(num_conf)
+    pl = np.zeros(num_conf)
+    r = np.zeros(num_conf)
+    rl = np.zeros(num_conf)
+    for row in partials.take_all():
+        p += np.frombuffer(row["p"], dtype=np.float64)
+        pl += np.frombuffer(row["pl"], dtype=np.float64)
+        r += np.frombuffer(row["r"], dtype=np.float64)
+        rl += np.frombuffer(row["rl"], dtype=np.float64)
+    return finish_curve(p, pl, r, rl, thresholds)
+
+
 def carb_precision_recall(gold_ds, pred_ds):
     """Both datasets: rows with (sentence, rel, arg1, arg2). Returns
     (precision, recall) at the zero-confidence threshold."""

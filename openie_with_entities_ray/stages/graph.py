@@ -136,11 +136,20 @@ def completed_partitions(out_dir: str) -> set:
 def write_partition(ds_part, out_dir: str, part: int, extra_meta=None) -> dict:
     """Write one partition's rows + manifest atomically (tmp file + rename
     for the manifest; the parquet dir is only declared done by the
-    manifest, so a crash mid-write is invisible to resume)."""
+    manifest, so a crash mid-write is invisible to resume). The manifest
+    carries the north rule's lineage + metrics: row count, wall time,
+    and whatever the caller adds (input shard path/sha)."""
+    import time
+
+    t0 = time.perf_counter()
     dest = os.path.join(out_dir, f"part={part}")
     rows = ds_part.count()
     ds_part.write_parquet(dest)
-    meta = {"partition": part, "rows": rows}
+    meta = {
+        "partition": part,
+        "rows": rows,
+        "elapsed_s": round(time.perf_counter() - t0, 3),
+    }
     if extra_meta:
         meta.update(extra_meta)
     os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
