@@ -377,6 +377,79 @@ class LSHBucketer:
         return pa.table(out)
 
 
+def ivf_build(
+    emb_ds,
+    num_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 17,
+    vec_col: str = "embedding",
+):
+    """IVF index build: deterministic k-means (seeded init + fixed Lloyd
+    iterations over a driver-side sample) → centroid matrix + the dataset
+    with an ``ivf_bucket`` assignment column (map_batches against the
+    broadcast centroids).
+
+    The sample is ``limit(sample_size)`` — deterministic for a
+    deterministic source. At production scale the sample is a seeded
+    ``random_sample``; centroids stay tiny and broadcast."""
+    import ray
+
+    sample = np.array(
+        [r[vec_col] for r in emb_ds.limit(sample_size).take_all()],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), num_centroids, replace=False)]
+    for _ in range(5):  # fixed Lloyd iterations → deterministic
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(num_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                centroids[c] = v / n if n else centroids[c]
+    cent_ref = ray.put(centroids)
+
+    def assign_bucket(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        buckets = ((mat / nrm) @ cents.T).argmax(axis=1)
+        return batch.append_column(
+            "ivf_bucket", pa.array(buckets, pa.int64())
+        )
+
+    return centroids, emb_ds.map_batches(assign_bucket, batch_format="pyarrow")
+
+
+def ivf_search(
+    bucketed_ds,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Search only the ``nprobe`` nearest centroid buckets (row pruning
+    before the matmul), then brute-force top-k within them."""
+    qn = query.astype(np.float64)
+    qn = qn / (np.linalg.norm(qn) or 1.0)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    probe_set = set(int(b) for b in probe)
+
+    def in_probe(batch: pa.Table) -> pa.Table:
+        mask = [int(b) in probe_set for b in batch.column("ivf_bucket").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    pruned = bucketed_ds.map_batches(in_probe, batch_format="pyarrow")
+    return ann_topk(pruned, query, k, vec_col=vec_col, id_col=id_col)
+
+
 def embedding_near_dup_pairs(
     emb_ds,
     *,

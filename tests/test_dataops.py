@@ -197,3 +197,26 @@ def test_renderers(ray_session):
     )
     lines = render_allennlp_lines(triples).take_all()
     assert lines[0]["line"].endswith("\t0.9")
+
+
+def test_ivf_search_recall(ray_session):
+    import numpy as np
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import ann_topk, ivf_build, ivf_search
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    q = np.random.RandomState(9).randn(64)
+    exact = [r["vec_id"] for r in ann_topk(emb, q, k=10).take_all()]
+
+    centroids, bucketed = ivf_build(emb, num_centroids=8, seed=17)
+    # probing every bucket must equal brute force
+    full = [r["vec_id"] for r in
+            ivf_search(bucketed, centroids, q, k=10, nprobe=8).take_all()]
+    assert full == exact
+    # partial probe: reasonable recall on random vectors
+    part = [r["vec_id"] for r in
+            ivf_search(bucketed, centroids, q, k=10, nprobe=3).take_all()]
+    assert len(set(part) & set(exact)) >= 4
