@@ -153,3 +153,33 @@ def test_graph_materialize(ray_session):
     # deduped edges are unique on (src, rel, dst)
     keys = [(e["src"], e["rel"], e["dst"]) for e in edge_rows]
     assert len(keys) == len(set(keys))
+
+
+def test_canonicalize_combiner_bounds_shuffle(ray_session):
+    """Skew handling: the canonicalization shuffle moves at most one row
+    per distinct normalized surface per batch (the map-side combiner =
+    salted two-phase aggregation), no matter how hot a key is."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.canonical import _partial_counts
+
+    # one Zipf-hot surface in 90% of rows
+    n = 1000
+    batch = pa.table(
+        {
+            "arg1": ["Acme Corp" if i % 10 else f"rare{i}" for i in range(n)],
+            "arg2": ["Hooli"] * n,
+        }
+    )
+    partial = _partial_counts(batch)
+    # 1000 rows in → (distinct surfaces) rows out, hot key pre-summed
+    assert partial.num_rows == len(set(batch.column("arg1").to_pylist())) + 1
+    counts = dict(
+        zip(
+            partial.column("surface_norm").to_pylist(),
+            partial.column("n_mentions").to_pylist(),
+        )
+    )
+    assert counts["acme corp"] == 900
+    assert counts["hooli"] == 1000
