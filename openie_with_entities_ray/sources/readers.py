@@ -113,6 +113,187 @@ def parse_tabbed_line(line: str):
 
 
 # ---------------------------------------------------------------------------
+# S7: other-system line formats (carb/oie_readers/*.py; registry dispatch
+# carb/carb.py:440-478). Each parser yields (sentence, rel, args,
+# confidence) tuples.
+
+
+def parse_clausie_blocks(text: str):
+    """ClausIE (clausieReader.py:19-33): a 1-field line sets the sentence;
+    5-field lines are quoted (arg1, rel, arg2) + confidence."""
+    out = []
+    sentence = None
+    for line in text.splitlines():
+        data = line.strip().split("\t")
+        if len(data) == 1 and data[0]:
+            sentence = data[0]
+        elif len(data) == 5 and sentence is not None:
+            arg1, rel, arg2 = [s[1:-1] for s in data[1:4]]
+            try:
+                conf = float(data[4])
+            except ValueError:
+                continue
+            out.append((sentence, rel, [arg1, arg2], conf))
+    return out
+
+
+def parse_ollie_blocks(text: str):
+    """OLLIE (ollieReader.py:8-17): header line then 7-col TSV
+    (confidence, arg1, rel, arg2, enabler, attribution, sentence)."""
+    out = []
+    for line in text.splitlines()[1:]:
+        data = line.strip().split("\t")
+        if len(data) < 7:
+            continue
+        confidence, arg1, rel, arg2, _enabler, _attr, sent = data[:7]
+        try:
+            conf = float(confidence)
+        except ValueError:
+            continue
+        out.append((sent, rel, [arg1, arg2], conf))
+    return out
+
+
+def parse_stanford_line(line: str):
+    """Stanford (stanfordReader.py:8-17): args at cols 2-4, confidence at
+    11, sentence at 12."""
+    data = line.rstrip("\n").split("\t")
+    if len(data) < 13:
+        return None
+    try:
+        conf = float(data[11])
+    except ValueError:
+        return None
+    return (data[12], data[3], [data[2], data[4]], conf)
+
+
+def parse_props_line(line: str):
+    """PropS (propsReader.py:8-16): (confidence, sentence, rel) then args
+    at every second column from 4."""
+    data = line.rstrip("\n").split("\t")
+    if len(data) < 3 or not line.strip():
+        return None
+    try:
+        conf = float(data[0])
+    except ValueError:
+        return None
+    args = data[4::2]
+    return (data[1], data[2], args, conf)
+
+
+def _simple_arg(s: str):
+    """'SimpleArgument(text,List(...))' → text (openieFourReader.py:25)."""
+    return s[s.index("(") + 1 : s.index(",List(")]
+
+
+def parse_openie4_line(line: str):
+    data = line.rstrip("\n").split("\t")
+    if len(data) < 6 or not all(data[2:5]):
+        return None
+    try:
+        conf = float(data[0])
+        arg1, rel, arg2 = [_simple_arg(s) for s in data[2:5]]
+    except (ValueError, IndexError):
+        return None
+    return (data[5], rel, [arg1, arg2], conf)
+
+
+def parse_openie5_line(line: str):
+    """OpenIE-5 (openieFiveReader.py): multiple args split on ');' and a
+    context prefix folded onto arg1 when it isn't already a prefix."""
+    data = line.rstrip("\n").split("\t")
+    if len(data) < 6 or not all(data[2:5]):
+        return None
+    try:
+        conf = float(data[0])
+        arg1, rel = [_simple_arg(s) for s in data[2:4]]
+        args = [_simple_arg(s) for s in data[4].strip().split(");")]
+    except (ValueError, IndexError):
+        return None
+    text = data[5]
+    if data[1]:
+        try:
+            context = _simple_arg(data[1])
+        except (ValueError, IndexError):
+            context = ""
+        if context and not (arg1 + " " + rel).startswith(context):
+            arg1 = context + " " + arg1
+    return (text, rel, [arg1] + args, conf)
+
+
+def parse_benchmark_gold_line(line: str):
+    """benchmarkGoldReader: sent \t prob \t pred \t arg1 \t arg2..."""
+    rec = parse_tabbed_line(line)
+    if rec is None:
+        return None
+    sent, conf, rel, args = rec
+    return (sent, rel, args, conf)
+
+
+# line-oriented formats → one parser call per line; block formats
+# (clausie, ollie) parse whole files
+LINE_PARSERS = {
+    "stanford": parse_stanford_line,
+    "props": parse_props_line,
+    "openie4": parse_openie4_line,
+    "openie5": parse_openie5_line,
+    "benchmark_gold": parse_benchmark_gold_line,
+}
+BLOCK_PARSERS = {
+    "clausie": parse_clausie_blocks,
+    "ollie": parse_ollie_blocks,
+}
+
+
+def read_extractions(paths, fmt: str):
+    """Registry reader (carb.py:440-478 analogue): any S7 format → a
+    Dataset of (sentence, rel, args, confidence)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    def to_table(records):
+        return pa.table(
+            {
+                "sentence": pa.array([r[0] for r in records], pa.string()),
+                "rel": pa.array([r[1] for r in records], pa.string()),
+                "args": pa.array(
+                    [list(r[2]) for r in records], pa.list_(pa.string())
+                ),
+                "confidence": pa.array([r[3] for r in records], pa.float64()),
+            }
+        )
+
+    if fmt in LINE_PARSERS:
+        parser = LINE_PARSERS[fmt]
+
+        def parse_lines(batch: pa.Table) -> pa.Table:
+            records = []
+            for line in batch.column("text").to_pylist():
+                rec = parser(line)
+                if rec:
+                    records.append(rec)
+            return to_table(records)
+
+        return ray.data.read_text(paths).map_batches(
+            parse_lines, batch_format="pyarrow"
+        )
+    if fmt in BLOCK_PARSERS:
+        block_parser = BLOCK_PARSERS[fmt]
+
+        def parse_files(batch) -> pa.Table:
+            records = []
+            for data in list(batch["bytes"]):
+                records.extend(block_parser(bytes(data).decode("utf-8")))
+            return to_table(records)
+
+        return ray.data.read_binary_files(paths).map_batches(
+            parse_files, batch_format="numpy"
+        )
+    raise ValueError(f"unknown extraction format: {fmt}")
+
+
+# ---------------------------------------------------------------------------
 # Ray Dataset constructors
 
 

@@ -220,3 +220,40 @@ def test_ivf_search_recall(ray_session):
     part = [r["vec_id"] for r in
             ivf_search(bucketed, centroids, q, k=10, nprobe=3).take_all()]
     assert len(set(part) & set(exact)) >= 4
+
+
+def test_s7_readers(tmp_path, ray_session):
+    from openie_with_entities_ray.sources.readers import (
+        parse_clausie_blocks,
+        parse_ollie_blocks,
+        parse_openie4_line,
+        parse_openie5_line,
+        parse_props_line,
+        parse_stanford_line,
+        read_extractions,
+    )
+
+    assert parse_clausie_blocks(
+        "A founded B .\n0\t\"A\"\t\"founded\"\t\"B\"\t0.9\n"
+    ) == [("A founded B .", "founded", ["A", "B"], 0.9)]
+    assert parse_ollie_blocks(
+        "header\n0.8\tA\tfounded\tB\t\t\tA founded B .\n"
+    ) == [("A founded B .", "founded", ["A", "B"], 0.8)]
+    cols = ["x", "y", "A", "founded", "B"] + ["z"] * 6 + ["0.7", "A founded B ."]
+    assert parse_stanford_line("\t".join(cols)) == (
+        "A founded B .", "founded", ["A", "B"], 0.7,
+    )
+    assert parse_props_line("0.6\tA founded B .\tfounded\t-\tA\t-\tB") == (
+        "A founded B .", "founded", ["A", "B"], 0.6,
+    )
+    o4 = "0.5\t\tSimpleArgument(A,List())\tRelation(founded,List())\tSimpleArgument(B,List())\tA founded B ."
+    assert parse_openie4_line(o4) == ("A founded B .", "founded", ["A", "B"], 0.5)
+    o5 = ("0.4\tContext(In 2020,List())\tSimpleArgument(A,List())\t"
+          "Relation(founded,List())\tSimpleArgument(B,List())\tA founded B .")
+    sent, rel, args, conf = parse_openie5_line(o5)
+    assert args[0].startswith("In 2020 ")  # context folded onto arg1
+
+    p = tmp_path / "stanford.tsv"
+    p.write_text("\t".join(cols) + "\n")
+    rows = read_extractions(str(p), "stanford").take_all()
+    assert rows[0]["rel"] == "founded" and rows[0]["confidence"] == 0.7
