@@ -75,6 +75,11 @@ def main():
                 failures.append((name, "0 rows"))
             continue
         want = con.sql(oracles[name]).df()
+        # dtype comparison before string-normalization (driver checks schema)
+        gd = {c: str(got[c].dtype) for c in sorted(got.columns)}
+        wd = {c: str(want[c].dtype) for c in sorted(want.columns)}
+        if gd != wd:
+            print(f"[DTYPE] {name}: ray={gd} sql={wd}")
         gn, wn = normalize(got), normalize(want)
         if list(gn.columns) != list(wn.columns):
             failures.append((name, f"cols {list(gn.columns)} != {list(wn.columns)}"))
