@@ -60,8 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--num_cpus", type=int, default=None)
     p.add_argument("--ent_extractor", type=str, default="dictionary",
-                   help="entity backend (only the deterministic "
-                        "'dictionary' backend exists in this environment)")
+                   choices=["dictionary", "capitalized"],
+                   help="mention-detector backend (the reference's "
+                        "flair|spacy switch; both deterministic here)")
     p.add_argument("--oie_model", type=str, default="")
     p.add_argument("--conj_model", type=str, default="")
     return p
@@ -280,7 +281,8 @@ def run_graph(args) -> None:
     from .pipelines.flagship import materialize_graph
 
     docs = ray.data.read_parquet(args.inp)
-    materialize_graph(docs, args.out, seed=args.seed)
+    materialize_graph(docs, args.out, seed=args.seed,
+                      ent_backend=args.ent_extractor)
     print(f"Graph written to {args.out}/nodes and {args.out}/edges")
 
 

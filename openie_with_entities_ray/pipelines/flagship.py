@@ -81,8 +81,10 @@ def extract_triples(
     return dedup_topk_grouped(raw, num_extractions)
 
 
-def extract_triples_with_entities(docs_ds, **kwargs):
-    return tag_entities(extract_triples(docs_ds, **kwargs))
+def extract_triples_with_entities(docs_ds, ent_backend: str = "dictionary",
+                                  **kwargs):
+    return tag_entities(extract_triples(docs_ds, **kwargs),
+                        backend=ent_backend)
 
 
 def build_graph(triples_ds, *, deduped: bool = True):
@@ -97,12 +99,14 @@ def build_graph(triples_ds, *, deduped: bool = True):
 
 
 def materialize_graph(docs_ds, out_dir: str, *, seed: int = 777,
-                      with_entities: bool = True):
+                      with_entities: bool = True,
+                      ent_backend: str = "dictionary"):
     """Single-pass end-to-end run: triples → edges Parquet (hash-partitioned
     layout via the ``part`` column) + nodes Parquet. Streaming writes; no
     mid-pipeline materialization."""
     triples = (
-        extract_triples_with_entities(docs_ds, seed=seed)
+        extract_triples_with_entities(docs_ds, seed=seed,
+                                      ent_backend=ent_backend)
         if with_entities
         else extract_triples(docs_ds, seed=seed)
     )

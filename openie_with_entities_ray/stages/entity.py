@@ -29,8 +29,10 @@ class EntityTagger:
 
     _CACHE_LIMIT = 200_000
 
-    def __init__(self, alias_dict=None):
-        self.ner = DictionaryNER(alias_dict)
+    def __init__(self, alias_dict=None, backend: str = "dictionary"):
+        from ..state.ner import make_ner
+
+        self.ner = make_ner(backend, alias_dict)
         # entity surfaces are Zipf-distributed: the same argument strings
         # and sentences recur constantly, and every triple of a sentence
         # re-scans that sentence for the c4 check — memoize (bounded)
@@ -116,14 +118,17 @@ class EntityTagger:
         return pa.table(cols)
 
 
-def tag_entities(triples_ds, *, concurrency=None, batch_size: int = 1024):
-    """Attach entity columns with an actor pool (NER state per actor)."""
+def tag_entities(triples_ds, *, concurrency=None, batch_size: int = 1024,
+                 backend: str = "dictionary"):
+    """Attach entity columns with an actor pool (NER state per actor);
+    ``backend`` selects the mention detector (--ent_extractor analogue)."""
     if concurrency is None:
         from ..pipelines.flagship import _default_concurrency
 
         concurrency = _default_concurrency()
     return triples_ds.map_batches(
         EntityTagger,
+        fn_constructor_kwargs=dict(backend=backend),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -101,6 +101,65 @@ class Mention:
         self.canonical_id = canonical_id
 
 
+class CapitalizedRunNER:
+    """Second pluggable backend (the reference's ``--ent_extractor
+    flair|spacy`` switch, params.py:38-39): tags maximal runs of
+    capitalized tokens (skipping sentence-initial lone function words) as
+    MISC mentions. Same contract as DictionaryNER; no dictionary, so
+    canonical ids are content-addressed from the surface."""
+
+    def __init__(self):
+        import hashlib
+
+        self._hashlib = hashlib
+
+    def find_mentions(self, words):
+        mentions = []
+        i = 0
+        n = len(words)
+        while i < n:
+            if words[i][:1].isupper() and (i > 0 or len(words[i]) > 1):
+                j = i
+                while j + 1 < n and words[j + 1][:1].isupper():
+                    j += 1
+                surface = " ".join(words[i : j + 1])
+                mentions.append(Mention(i, j, surface, "MISC", None))
+                i = j + 1
+            else:
+                i += 1
+        return mentions
+
+    def word_features(self, words):
+        ent = [0] * len(words)
+        ent_pos = [0] * len(words)
+        for ordinal, m in enumerate(self.find_mentions(words), start=1):
+            for k in range(m.start, m.end + 1):
+                ent[k] = 1
+                ent_pos[k] = ordinal
+        return ent, ent_pos
+
+    def link(self, mention, context_words):
+        cid = "S" + self._hashlib.sha1(
+            mention.surface.lower().encode("utf-8")
+        ).hexdigest()[:16]
+        return cid, mention.type
+
+    def tag_and_link(self, words):
+        mentions = self.find_mentions(words)
+        for m in mentions:
+            m.canonical_id, m.type = self.link(m, words)
+        return mentions
+
+
+def make_ner(backend: str = "dictionary", alias_dict=None):
+    """Backend dispatch (data.py:327-330 analogue)."""
+    if backend == "dictionary":
+        return DictionaryNER(alias_dict)
+    if backend == "capitalized":
+        return CapitalizedRunNER()
+    raise ValueError(f"unknown ent_extractor backend: {backend}")
+
+
 class DictionaryNER:
     """Longest-match dictionary tagger with the reference NER contract."""
 

@@ -257,3 +257,55 @@ def test_s7_readers(tmp_path, ray_session):
     p.write_text("\t".join(cols) + "\n")
     rows = read_extractions(str(p), "stanford").take_all()
     assert rows[0]["rel"] == "founded" and rows[0]["confidence"] == 0.7
+
+
+def test_entity_backend_pluggable(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.entity import tag_entities
+
+    triples = ray.data.from_arrow(
+        pa.table(
+            {
+                "arg1": ["Unknown Startup"],
+                "rel": ["hired"],
+                "arg2": ["Some Person"],
+                "orig_sentence": ["Unknown Startup hired Some Person ."],
+                "confidence": [0.9],
+            }
+        )
+    )
+    # dictionary backend knows neither surface
+    d = tag_entities(triples, concurrency=(1, 2)).take_all()[0]
+    assert d["subj_ents"] == []
+    # capitalized-run backend tags both
+    c = tag_entities(triples, concurrency=(1, 2), backend="capitalized").take_all()[0]
+    assert len(c["subj_ents"]) == 1 and len(c["obj_ents"]) == 1
+    assert c["subj_types"] == ["MISC"]
+
+
+def test_connected_components_and_degrees(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import (
+        connected_components,
+        node_degrees,
+    )
+
+    # two components: {a,b,c,d chain} and {x,y}
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["b", "c", "d", "y"],
+                "dst": ["a", "b", "c", "x"],
+            }
+        )
+    )
+    cc = connected_components(edges)
+    comp = dict(zip(cc["node_id"], cc["component"]))
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+    deg = {r["node_id"]: r["degree"] for r in node_degrees(edges).take_all()}
+    assert deg == {"a": 1, "b": 2, "c": 2, "d": 1, "x": 1, "y": 1}
