@@ -39,6 +39,16 @@ def _default_concurrency():
     return (max(1, cpus // 4), max(2, (cpus * 3) // 4))
 
 
+def _single_pool_concurrency():
+    """When the pipeline has ONE actor pool it can pre-start half the
+    cluster without starving anything (two-pool paths must stay at the
+    smaller _default_concurrency minimum or they deadlock small CPUs)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (max(1, cpus // 2), max(2, (cpus * 3) // 4))
+
+
 def extract_triples(
     docs_ds,
     *,
@@ -82,8 +92,33 @@ def extract_triples(
 
 
 def extract_triples_with_entities(docs_ds, ent_backend: str = "dictionary",
-                                  **kwargs):
-    return tag_entities(extract_triples(docs_ds, **kwargs),
+                                  fused: bool = True, **kwargs):
+    """Fused default: extraction + entity tagging share one actor pool
+    (stages/entity.py:FusedExtractorWithEntities — saves an object-store
+    round trip of the full triples table). The staged path keeps the two
+    pools separate."""
+    if fused:
+        from .flagship import _default_concurrency  # self-import safe
+
+        from ..stages.entity import FusedExtractorWithEntities
+        from ..stages.sentences import docs_to_sentences
+
+        seed = kwargs.pop("seed", 777)
+        num_extractions = kwargs.pop("num_extractions", 5)
+        no_lt = kwargs.pop("no_lt", False)
+        concurrency = kwargs.pop("concurrency", None) or _single_pool_concurrency()
+        batch_size = kwargs.pop("batch_size", 512)
+        return docs_to_sentences(docs_ds).map_batches(
+            FusedExtractorWithEntities,
+            fn_constructor_kwargs=dict(
+                seed=seed, num_extractions=num_extractions, no_lt=no_lt,
+                backend=ent_backend,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    return tag_entities(extract_triples(docs_ds, fused=False, **kwargs),
                         backend=ent_backend)
 
 

@@ -42,10 +42,22 @@ def add_partition_column(ds, num_partitions: int):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+_CANON_MEMO: dict = {}  # per-worker-process memo: surfaces are Zipf
+
+
 def triples_to_edges(batch: pa.Table) -> pa.Table:
     """EDGES schema: canonical src/dst from normalized arg surfaces (linked
     entity id when the entity stage provided exactly one)."""
     from .canonical import canonical_id, normalize_surface
+
+    def canon(surface: str) -> str:
+        hit = _CANON_MEMO.get(surface)
+        if hit is None:
+            if len(_CANON_MEMO) > 500_000:
+                _CANON_MEMO.clear()
+            hit = canonical_id(normalize_surface(surface))
+            _CANON_MEMO[surface] = hit
+        return hit
 
     a1 = batch.column("arg1").to_pylist()
     a2 = batch.column("arg2").to_pylist()
@@ -63,7 +75,7 @@ def triples_to_edges(batch: pa.Table) -> pa.Table:
     def node_of(surface, ents):
         if ents and len(ents) == 1:
             return ents[0]
-        return canonical_id(normalize_surface(surface))
+        return canon(surface)
 
     cols = {
         "src": pa.array(
