@@ -14,8 +14,6 @@ These run inside ``map_batches`` UDFs; they never touch Ray APIs.
 
 from __future__ import annotations
 
-from typing import Optional
-
 CP_NONE, CP, CP_START, CC, SEP, OTHERS = 0, 1, 2, 3, 4, 5
 
 # /root/reference/data.py:789-791

@@ -19,7 +19,6 @@ from ..stages.canonical import canonicalize_surfaces
 from ..stages.extract import ConjSplitter, FusedExtractor, OIEExtractor
 from ..stages.entity import tag_entities
 from ..stages.graph import (
-    add_partition_column,
     completed_partitions,
     dedup_edges,
     triples_to_edges,

@@ -17,12 +17,7 @@ from __future__ import annotations
 
 from ..functions.conjunctions import decode_coordinations, split_on_coordinations
 from ..functions.text import extract_sentences
-from ..functions.triples import (
-    Triple,
-    decode_sentence_triples,
-    dedup_exact,
-    top_k,
-)
+from ..functions.triples import decode_sentence_triples, top_k
 from ..state.labeler import DeterministicLabeler
 
 

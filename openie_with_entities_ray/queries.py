@@ -519,7 +519,7 @@ def q_sessionize(sf_dir):
     session (streaming-shaped op per the guide: partition by key, sort by
     ts within the group, windowing in pandas)."""
     import ray.data
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]

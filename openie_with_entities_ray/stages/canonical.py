@@ -19,7 +19,6 @@ global counter, no coordination, stable across cluster sizes).
 from __future__ import annotations
 
 import hashlib
-import re
 import string
 from collections import Counter
 

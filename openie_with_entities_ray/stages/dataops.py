@@ -18,13 +18,12 @@ Distributed shapes:
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.dedup import MinHasher, hamming64, simhash64
+from ..functions.dedup import MinHasher, simhash64
 from ..functions.textstats import (
     bpe_ish_token_count,
     detect_language,

@@ -23,9 +23,6 @@ concurrency=...)``): labeler state is built once per actor in ``__init__``
 
 from __future__ import annotations
 
-import json
-from typing import List
-
 import pyarrow as pa
 
 from ..functions.conjunctions import decode_coordinations, split_on_coordinations

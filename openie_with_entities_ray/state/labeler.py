@@ -28,7 +28,7 @@ Confidences are rounded to 2 decimals as the reference does at test time
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 # --- lexicons (deterministic; include the synthetic-corpus vocabulary) ----
 
