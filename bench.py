@@ -48,7 +48,6 @@ def run_bench() -> dict:
 
     from openie_with_entities_ray.pipelines.flagship import (
         build_graph,
-        extract_triples,
         extract_triples_with_entities,
     )
     from openie_with_entities_ray.queries import (
@@ -75,7 +74,7 @@ def run_bench() -> dict:
     # the sf documents table is one tiny parquet file (one read block);
     # replicate deterministically + repartition so the headline measures
     # pipeline throughput, not single-block serialization (BASELINE.md)
-    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "200"))
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "120"))
     # fixed block count at every parallelism level so the scaling
     # comparison sees identical per-task overhead
     n_blocks = 96
@@ -110,7 +109,6 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
-    timed("triples_only", lambda: extract_triples(docs()).count())
     timed("lineitem_agg", lambda: q_lineitem_agg(SF_DIR).count())
     timed("revenue_by_nation", lambda: q_revenue_by_nation(SF_DIR).count())
     timed("events_windows", lambda: q_events_windows(SF_DIR).count())
