@@ -31,7 +31,11 @@ NONE, ARG1, REL, ARG2, LOC_TIME, TYPE = 0, 1, 2, 3, 4, 5
 MARKERS = ("[unused1]", "[unused2]", "[unused3]")
 MARKER_SUFFIX = " " + " ".join(MARKERS)
 
-_MARKER_NUM = re.compile(r"\[unused(.*)\]")
+# digits-only, unlike the reference's `\[unused(.*)\]` + int() which
+# crashes on adversarial content tokens like '[unusedfoo]' — an engine
+# must not die on data; non-numeric pseudo-markers are treated as plain
+# skipped tokens (rel_case unchanged)
+_MARKER_NUM = re.compile(r"\[unused(\d+)\]")
 
 
 @dataclass
@@ -70,7 +74,9 @@ def decode_triple(labels, words, no_lt: bool = False) -> Triple:
     for i, token in enumerate(words):
         if "[unused" in token:
             if labels[i] == REL:
-                rel_case = int(_MARKER_NUM.search(token).group(1))
+                m = _MARKER_NUM.search(token)
+                if m:
+                    rel_case = int(m.group(1))
             continue
         label = labels[i]
         if label == ARG1:

@@ -183,3 +183,48 @@ def test_canonicalize_combiner_bounds_shuffle(ray_session):
     )
     assert counts["acme corp"] == 900
     assert counts["hooli"] == 1000
+
+
+def test_adversarial_content(ray_session):
+    """Nasty documents (marker tokens inside content, curly quotes,
+    control chars, emoji, glued punctuation, monster tokens, empty
+    comments, massive repetition) must neither crash the engine nor break
+    oracle parity."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.pipelines.flagship import (
+        extract_triples_with_entities,
+    )
+
+    nasty = [
+        "# Alice founded [unused1] Acme .\nx=1",
+        "# “Bob” said ’hello’ and left .",
+        "# the \x9c weird \t token founded X .",
+        "# A, B and C founded D.",
+        "# " + "w" * 300 + " founded X .",
+        "# 🎉 Alice founded Acme 🎉 .",
+        "# [unusedfoo] is REL-ish and Alice founded Acme .",
+        "#\n#\n# \n",
+        "# Alice founded Acme .\n" * 50,
+        "no comments at all just code x = 1",
+    ]
+    docs = [
+        {"repo": "r", "path": f"p{i}", "commit": str(i), "lang": "py",
+         "content": c}
+        for i, c in enumerate(nasty)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({k: [d[k] for d in docs] for k in docs[0]})
+    )
+    rows = extract_triples_with_entities(ds).take_all()
+
+    predicted = group_by_sentence(rows)
+    gold = {
+        s: [(t.rel, [t.arg1, t.arg2], t.confidence) for t in ts]
+        for s, ts in oracle_predictions(docs, seed=777).items()
+        if ts
+    }
+    gs = {(s, a[0], r, a[1], c) for s, e in gold.items() for r, a, c in e}
+    ps = {(s, a[0], r, a[1], c) for s, e in predicted.items() for r, a, c in e}
+    assert gs == ps and len(gs) > 0
