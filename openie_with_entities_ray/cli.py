@@ -125,10 +125,13 @@ def _write_conj(splits_rows, out: str) -> None:
         f.write("\n\n".join(blocks) + "\n")
 
 
-def _write_oie_allennlp(triple_rows, out: str, style: str) -> None:
-    """K1 + K2 from grouped triples (model.py:640-654)."""
-    import collections
-
+def _write_oie_allennlp(triple_rows, all_sentences, out: str, style: str) -> None:
+    """K1 + K2 with the reference's exact file shape (model.py:609-654,
+    697-702): predictions keyed corpus-wide by original-sentence TEXT in
+    first-seen order (duplicate sentences merge; triples exact-deduped
+    across occurrences), every sentence gets a block even with zero
+    extractions, and blocks are blank-line separated (each block ends
+    with a newline, blocks joined with '\\n')."""
     from .functions.triples import (
         Triple,
         ext_to_allennlp,
@@ -136,25 +139,29 @@ def _write_oie_allennlp(triple_rows, out: str, style: str) -> None:
         ext_to_string,
     )
 
-    by_sent = collections.defaultdict(list)
+    by_sent: dict = {}
+    for sentence in all_sentences:  # first-seen order, duplicates merge
+        by_sent.setdefault(sentence, [])
     for r in sorted(
         triple_rows, key=lambda r: (r["sent_id"], r["split_id"], r["depth"])
     ):
-        by_sent[(r["sent_id"], r["orig_sentence"])].append(r)
+        t = Triple(r["arg1"], r["rel"], r["arg2"], r["confidence"])
+        bucket = by_sent.setdefault(r["orig_sentence"], [])
+        if all(x.dedup_key != t.dedup_key for x in bucket):
+            bucket.append(t)
     oie_blocks, allennlp_lines = [], []
-    for (sid, sentence), rows in sorted(by_sent.items()):
-        lines = [sentence]
-        for r in rows:
-            t = Triple(r["arg1"], r["rel"], r["arg2"], r["confidence"])
-            lines.append(
+    for sentence, triples in by_sent.items():
+        block = sentence + "\n"
+        for t in triples:
+            block += (
                 ext_to_sentence(t) if style == "sentences" else ext_to_string(t)
-            )
+            ) + "\n"
             allennlp_lines.append(ext_to_allennlp(sentence, t))
-        oie_blocks.append("\n".join(lines))
+        oie_blocks.append(block)
     with open(f"{out}.oie", "w", encoding="utf-8") as f:
         f.write("\n".join(oie_blocks) + "\n")
     with open(f"{out}.allennlp", "w", encoding="utf-8") as f:
-        f.write("\n".join(allennlp_lines) + "\n")
+        f.write("".join(line + "\n" for line in allennlp_lines))
 
 
 def _write_labels(split_rows, out: str, seed: int, no_lt: bool) -> None:
@@ -190,7 +197,9 @@ def run_splitpredict(args) -> None:
     from .stages.group import dedup_topk_grouped
 
     sentences = _read_sentence_file(args.inp)
-    splits = _conj_stage(sentences, args.seed, args.batch_size)
+    # materialized once: consumed by the .conj writer AND the OIE stage
+    # (a lazy Dataset would re-run the conj labeler on the second use)
+    splits = _conj_stage(sentences, args.seed, args.batch_size).materialize()
     split_rows = splits.take_all()
     _write_conj(split_rows, args.out)
 
@@ -202,7 +211,11 @@ def run_splitpredict(args) -> None:
         concurrency=(1, 8),
     )
     triples = dedup_topk_grouped(raw, args.num_extractions).take_all()
-    _write_oie_allennlp(triples, args.out, args.type)
+    sentences_in_order = [
+        r["orig_sentence"]
+        for r in sorted(split_rows, key=lambda r: (r["sent_id"], r["split_id"]))
+    ]
+    _write_oie_allennlp(triples, sentences_in_order, args.out, args.type)
     if "labels" in (args.type or ""):
         _write_labels(split_rows, args.out, args.seed, args.no_lt)
     print(
@@ -243,7 +256,11 @@ def run_predict(args) -> None:
         concurrency=(1, 8),
     )
     triples = dedup_topk_grouped(raw, args.num_extractions).take_all()
-    _write_oie_allennlp(triples, args.out, args.type)
+    sentence_rows = sentences.select_columns(["sent_id", "sentence"]).take_all()
+    ordered = [
+        r["sentence"] for r in sorted(sentence_rows, key=lambda r: r["sent_id"])
+    ]
+    _write_oie_allennlp(triples, ordered, args.out, args.type)
     print(f"Triples written to {args.out}.oie")
 
 

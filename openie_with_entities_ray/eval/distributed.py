@@ -37,6 +37,10 @@ def _tag(ds, side: str):
 
 
 def _group_counts(group: pd.DataFrame) -> pd.DataFrame:
+    # the reference's output data model keys by sentence TEXT corpus-wide
+    # with exact dedup (model.py:609-634): duplicate sentences merge, so
+    # identical tuples from different docs must collapse before matching
+    group = group.drop_duplicates(subset=["side", "rel", "arg1", "arg2"])
     gold = group[group["side"] == "g"]
     pred = group[group["side"] == "p"]
     gold_tuples = [
@@ -129,6 +133,9 @@ def carb_sweep(gold_ds, pred_ds):
     )
 
     def group_arrays(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop_duplicates(
+            subset=["side", "rel", "arg1", "arg2", "confidence"]
+        )
         gold = group[group["side"] == "g"]
         if len(gold) == 0:
             # predictions for a sentence absent from gold do not enter the

@@ -30,9 +30,13 @@ def shingles(text: str, k: int = 3):
 
 
 def _perm_params(num_perm: int, seed: int):
+    # a, b < 2^31 and shingle hashes < 2^32 keep a*x + b < 2^63, so the
+    # uint64 arithmetic never wraps before the mod-p reduction and the
+    # (a*x + b) mod p universal-hash guarantee actually holds
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    bound = 1 << 31
+    a = rng.randint(1, bound, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, bound, size=num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 

@@ -144,6 +144,10 @@ def materialize_graph(docs_ds, out_dir: str, *, seed: int = 777,
         if with_entities
         else extract_triples(docs_ds, seed=seed)
     )
+    # both sinks consume `triples`; materialize once so the extraction
+    # pipeline doesn't execute twice (blocks spill if they outgrow the
+    # object store)
+    triples = triples.materialize()
     edges = triples.map_batches(triples_to_edges, batch_format="pyarrow")
     edges.write_parquet(f"{out_dir}/edges")
     canonicalize_surfaces(triples).write_parquet(f"{out_dir}/nodes")

@@ -111,10 +111,16 @@ def distinct_pairs(pairs_ds, value_col: str, how: str = "max",
     number of Ray groups."""
 
     def add_part(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("id_a").to_pylist())
-        return batch.append_column(
-            "part", pa.array(ids % num_parts, pa.int64())
-        )
+        import zlib
+
+        ids = batch.column("id_a").to_pylist()
+        if ids and isinstance(ids[0], (int, np.integer)):
+            parts = [int(i) % num_parts for i in ids]
+        else:  # string/opaque ids: hash-partition
+            parts = [
+                zlib.crc32(str(i).encode("utf-8")) % num_parts for i in ids
+            ]
+        return batch.append_column("part", pa.array(parts, pa.int64()))
 
     def dedup(group: pd.DataFrame) -> pd.DataFrame:
         out = (

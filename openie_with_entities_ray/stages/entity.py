@@ -51,7 +51,9 @@ class EntityTagger:
         return hit
 
     def _link(self, mention, sentence: str, ctx):
-        key = (mention.surface, sentence)
+        # cache key must track the actual disambiguation context: when the
+        # batch has no orig_sentence the context is per-triple, not ""
+        key = (mention.surface, sentence if sentence else " ".join(ctx))
         hit = self._link_cache.get(key)
         if hit is None:
             if len(self._link_cache) > self._CACHE_LIMIT:

@@ -146,17 +146,25 @@ def completed_partitions(out_dir: str) -> set:
 
 
 def write_partition(ds_part, out_dir: str, part: int, extra_meta=None) -> dict:
-    """Write one partition's rows + manifest atomically (tmp file + rename
-    for the manifest; the parquet dir is only declared done by the
-    manifest, so a crash mid-write is invisible to resume). The manifest
-    carries the north rule's lineage + metrics: row count, wall time,
-    and whatever the caller adds (input shard path/sha)."""
+    """Write one partition's rows + manifest atomically. A partition is
+    only declared done by its manifest (tmp file + rename); any parquet
+    files from a previous crashed attempt are DELETED before rewriting —
+    Ray names output files with fresh UUIDs, so without the cleanup a
+    resume would double-count the partial files. Row counts come from the
+    written files' own metadata (one pipeline execution, not two). The
+    manifest carries the north rule's lineage + metrics: row count, wall
+    time, and whatever the caller adds (input shard path/sha)."""
+    import shutil
     import time
+
+    import pyarrow.dataset as pads
 
     t0 = time.perf_counter()
     dest = os.path.join(out_dir, f"part={part}")
-    rows = ds_part.count()
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)  # crashed earlier attempt: manifest is absent
     ds_part.write_parquet(dest)
+    rows = pads.dataset(dest, format="parquet").count_rows()
     meta = {
         "partition": part,
         "rows": rows,

@@ -46,10 +46,15 @@ def node_degrees(edges_ds, src: str = "src", dst: str = "dst"):
 
 
 def connected_components(
-    edges_ds, src: str = "src", dst: str = "dst", max_iters: int = 25
+    edges_ds, src: str = "src", dst: str = "dst", max_iters: int | None = None
 ):
     """Returns a pandas DataFrame (node_id, component) where component is
-    the lexicographic-min node id of the component. Deterministic."""
+    the lexicographic-min node id of the component. Deterministic.
+
+    Iterates until convergence (min-label propagation advances one hop
+    per round, so rounds ≈ component diameter). ``max_iters`` is a
+    safety cap only: hitting it raises instead of returning a silently
+    partial labeling."""
     import ray
 
     pairs = edges_ds.select_columns([src, dst])
@@ -67,7 +72,14 @@ def connected_components(
     )
     labels = {n: n for n in label_rows}
 
-    for _ in range(max_iters):
+    iteration = 0
+    while True:
+        iteration += 1
+        if max_iters is not None and iteration > max_iters:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "iterations (component diameter exceeds the cap)"
+            )
         labels_ref = ray.put(labels)
 
         def propagate(batch: pa.Table) -> pa.Table:
