@@ -51,7 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, help="output path prefix / directory")
     p.add_argument("--task", type=str, default="oie", choices=["oie", "conj"])
     p.add_argument("--gold", type=str, help="gold TSV for --mode eval")
-    p.add_argument("--num_extractions", type=int, default=5)
+    p.add_argument("--split_fp", type=str, default="",
+                   help="pre-split conj file: skip the conj model and use "
+                        "these splits (run.py:206-227 path)")
+    p.add_argument("--num_extractions", type=int, default=None,
+                   help="cap triples per sentence; the reference's writer "
+                        "emits ALL deduped extractions (the cap applies "
+                        "only in its eval, metric.py:435-438), so the "
+                        "default here is uncapped")
     p.add_argument("--no_lt", action="store_true")
     p.add_argument("--type", type=str, default="",
                    help="'labels' adds a .labels output; 'sentences' "
@@ -192,14 +199,60 @@ def _write_labels(split_rows, out: str, seed: int, no_lt: bool) -> None:
         f.write("\n".join(lines))
 
 
+def _presplit_dataset(split_fp: str):
+    """run.py:206-227: blank-line blocks of (original, splits...) replace
+    the conj model's output; provenance keys synthesized per block."""
+    import pyarrow as pa
+    import ray.data
+
+    from .functions.text import sha256_hex
+    from .sources.readers import parse_conj_blocks
+
+    with open(split_fp, "r", encoding="utf-8") as f:
+        blocks = parse_conj_blocks(f.read())
+    rows = {
+        "repo": [], "path": [], "commit": [], "content_sha256": [],
+        "sent_id": [], "split_id": [], "split_sentence": [],
+        "orig_sentence": [], "conj_words": [], "split_indices": [],
+    }
+    for sent_id, (orig, splits) in enumerate(blocks):
+        for split_id, split_sentence in enumerate(splits):
+            rows["repo"].append("cli")
+            rows["path"].append(split_fp)
+            rows["commit"].append("")
+            rows["content_sha256"].append(sha256_hex(orig))
+            rows["sent_id"].append(sent_id)
+            rows["split_id"].append(split_id)
+            rows["split_sentence"].append(split_sentence)
+            rows["orig_sentence"].append(orig)
+            rows["conj_words"].append([])
+            rows["split_indices"].append([])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                **{k: pa.array(rows[k]) for k in
+                   ("repo", "path", "commit", "content_sha256", "sent_id",
+                    "split_id", "split_sentence", "orig_sentence")},
+                "conj_words": pa.array(rows["conj_words"], pa.list_(pa.string())),
+                "split_indices": pa.array(
+                    rows["split_indices"], pa.list_(pa.int64())
+                ),
+            }
+        )
+    )
+
+
 def run_splitpredict(args) -> None:
     from .stages.extract import OIEExtractor
     from .stages.group import dedup_topk_grouped
 
-    sentences = _read_sentence_file(args.inp)
-    # materialized once: consumed by the .conj writer AND the OIE stage
-    # (a lazy Dataset would re-run the conj labeler on the second use)
-    splits = _conj_stage(sentences, args.seed, args.batch_size).materialize()
+    if args.split_fp:
+        splits = _presplit_dataset(args.split_fp).materialize()
+    else:
+        sentences = _read_sentence_file(args.inp)
+        # materialized once: consumed by the .conj writer AND the OIE
+        # stage (a lazy Dataset would re-run the labeler otherwise)
+        splits = _conj_stage(sentences, args.seed, args.batch_size).materialize()
     split_rows = splits.take_all()
     _write_conj(split_rows, args.out)
 
@@ -306,7 +359,7 @@ def run_graph(args) -> None:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    if not args.inp:
+    if not args.inp and not (args.mode == "splitpredict" and args.split_fp):
         parser.error(f"--mode {args.mode} requires --inp")
     if not args.out and args.mode != "eval":
         parser.error(f"--mode {args.mode} requires --out")

@@ -191,3 +191,85 @@ def test_carb_harness_on_reference_gold_corpus():
     assert p > 0.99 and r > 0.97, (p, r)
     auc, optimal, _ = compare(gold, gold)
     assert optimal[2] > 0.98 and auc > 0.97, (auc, optimal)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference absent")
+def test_conj_counters_differential():
+    """Our A5 counters vs the reference's Counter class over random
+    coordination pairs (all four criteria)."""
+    import numpy as np
+    import types as _types
+    from collections import defaultdict
+    from enum import Enum
+
+    from openie_with_entities_ray.functions.conjunctions import (
+        Coordination as OurCoord,
+    )
+
+    ns = {
+        "defaultdict": defaultdict,
+        "Enum": Enum,
+        "np": np,
+        "warnings": __import__("warnings"),
+    }
+    exec(
+        _extract(f"{REFERENCE_DIR}/metric.py",
+                 {"Record", "Counter", "Coordination"}),
+        ns,
+    )
+    RefCounter, RefCoord = ns["Counter"], ns["Coordination"]
+
+    rng = random.Random(55)
+
+    def rand_coords(make):
+        coords = {}
+        for _ in range(rng.randint(0, 3)):
+            s1 = rng.randint(0, 6)
+            e1 = s1 + rng.randint(0, 2)
+            cc = e1 + 1 + rng.randint(0, 2)
+            s2 = cc + 1 + rng.randint(0, 2)
+            e2 = s2 + rng.randint(0, 2)
+            coords[cc] = make(cc, [(s1, e1), (s2, e2)])
+        if rng.random() < 0.3:
+            coords[20 + rng.randint(0, 3)] = None
+        return coords
+
+    for _ in range(300):
+        seed_pairs = rng.getstate()
+        gold_spec = rand_coords(lambda cc, c: (cc, c))
+        pred_spec = rand_coords(lambda cc, c: (cc, c))
+
+        ours_gold = {
+            k: (None if v is None else OurCoord(v[0], v[1], label=0))
+            for k, v in gold_spec.items()
+        }
+        ours_pred = {
+            k: (None if v is None else OurCoord(v[0], v[1], label=0))
+            for k, v in pred_spec.items()
+        }
+        ref_gold = {
+            k: (None if v is None else RefCoord(v[0], v[1], label=0))
+            for k, v in gold_spec.items()
+        }
+        ref_pred = {
+            k: (None if v is None else RefCoord(v[0], v[1], label=0))
+            for k, v in pred_spec.items()
+        }
+
+        from openie_with_entities_ray.eval.conj_metrics import (
+            CRITERIA,
+            count_sentence,
+            empty_counters,
+        )
+
+        counters = empty_counters()
+        count_sentence(counters, ours_pred, ours_gold)
+
+        for idx, crit in enumerate(CRITERIA):
+            rc = RefCounter(RefCounter.Criteria(idx))
+            rc.append(ref_pred, ref_gold)
+            rec = rc.overall
+            ours = counters[crit]
+            assert (rec.tp, rec.tp_t, rec.fp, rec.fn, rec.tn) == (
+                ours["tp"], ours["tp_t"], ours["fp"], ours["fn"], ours["tn"],
+            ), (crit, gold_spec, pred_spec)
