@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, help="output path prefix / directory")
     p.add_argument("--task", type=str, default="oie", choices=["oie", "conj"])
     p.add_argument("--gold", type=str, help="gold TSV for --mode eval")
+    p.add_argument("--matcher", type=str, default="carb",
+                   choices=["carb", "wire57"],
+                   help="eval protocol: CaRB PR sweep or Wire57 greedy-F1")
     p.add_argument("--split_fp", type=str, default="",
                    help="pre-split conj file: skip the conj model and use "
                         "these splits (run.py:206-227 path)")
@@ -336,6 +339,22 @@ def run_eval(args) -> None:
             rec = parse_allennlp_line(line)
             if rec:
                 pred[rec[0]].append((rec[2], [rec[1], rec[3]], rec[4]))
+    if args.matcher == "wire57":
+        from .eval.wire57 import wire57_scores
+
+        g57 = {
+            s: [(a[0], r, a[1] if len(a) > 1 else "") for r, a, _ in exs]
+            for s, exs in gold.items()
+        }
+        p57 = {
+            s: [(a[0], r, a[1]) for r, a, _ in exs] for s, exs in pred.items()
+        }
+        s = wire57_scores(g57, p57)
+        print(
+            f"Wire57 precision: {s['precision']:.4f}  recall: "
+            f"{s['recall']:.4f}  f1: {s['f1']:.4f}"
+        )
+        return
     auc, optimal, curve = compare(dict(gold), dict(pred))
     print(f"AUC: {auc}\tOptimal (precision, recall, F1): {optimal[:3]}")
     if args.out:

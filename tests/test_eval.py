@@ -273,3 +273,71 @@ def test_conj_counters_differential():
             assert (rec.tp, rec.tp_t, rec.fp, rec.fn, rec.tn) == (
                 ours["tp"], ours["tp_t"], ours["fp"], ours["fn"], ours["tn"],
             ), (crit, gold_spec, pred_spec)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference absent")
+def test_wire57_differential():
+    """Our Wire57 kernels vs the reference's (AST-extracted)."""
+    from openie_with_entities_ray.eval.wire57 import (
+        greedy_sentence_scores,
+        tuple_match,
+        wire57_scores,
+    )
+
+    ns = {}
+    exec(
+        _extract(
+            f"{REFERENCE_DIR}/carb/wire57_evaluation.py",
+            {"tuple_match", "aggregate_scores_greedily", "f1", "avg"},
+        ),
+        ns,
+    )
+
+    def ref_tuple(a1, r, a2, strip=True):
+        sub = [w for w in a1.split() if w != "."] if strip else a1.split()
+        obj = [w for w in a2.split() if w != "."] if strip else a2.split()
+        return {
+            "arg1": {"text": a1, "words": sub},
+            "rel": {"text": r, "words": r.split()},
+            "arg2": {"text": a2, "words": obj},
+        }
+
+    def ref_gold(a1, r, a2):
+        return {
+            "arg1": {"text": a1, "words": a1.split()},
+            "rel": {"text": r, "words": r.split()},
+            "arg2": {"text": a2, "words": a2.split()},
+        }
+
+    rng = random.Random(321)
+    vocab = ["a", "b", "c", "d", ".", "x"]
+    for _ in range(500):
+        def rand3():
+            return tuple(
+                " ".join(rng.choices(vocab, k=rng.randint(0, 3)))
+                for _ in range(3)
+            )
+
+        p, g = rand3(), rand3()
+        ours = tuple_match(p, g)
+        theirs = ns["tuple_match"](ref_tuple(*p), ref_gold(*g))
+        assert (ours or None) == (theirs or None), (p, g)
+
+    # greedy aggregation differential on random sentence sets
+    for _ in range(100):
+        gold = [rand3() for _ in range(rng.randint(1, 4))]
+        pred = [rand3() for _ in range(rng.randint(0, 4))]
+        ours = greedy_sentence_scores(gold, pred)
+        scores = [
+            [ns["tuple_match"](ref_tuple(*p), ref_gold(*g)) for p in pred]
+            for g in gold
+        ]
+        if pred:  # reference indexes scores[0] → crashes on empty pred
+            theirs = ns["aggregate_scores_greedily"](scores)
+            assert ours["precision"] == theirs["precision"]
+            assert ours["recall"] == theirs["recall"]
+
+    s = wire57_scores(
+        {"s": [("a b", "r", "c")]}, {"s": [("a b", "r", "c")]}
+    )
+    assert s == {"precision": 1.0, "recall": 1.0, "f1": 1.0}
