@@ -95,7 +95,7 @@ def test_differential_random_grids():
     ref = load_conj_oracle()
     rng = random.Random(4242)
     mismatches = 0
-    for trial in range(400):
+    for trial in range(800):
         n = rng.randint(4, 28)
         depths = rng.randint(1, 3)
         # biased label distribution so real coordinations appear

@@ -93,7 +93,7 @@ def test_renderers():
 def test_differential_random_labels(no_lt):
     ref = load_triple_oracle(no_lt=no_lt)
     rng = random.Random(777)
-    for trial in range(500):
+    for trial in range(800):
         n = rng.randint(1, 20)
         sentence = " ".join(f"w{i}" for i in range(n))
         words = words_of(sentence)
