@@ -827,6 +827,24 @@ def q_carb_selfcheck(sf_dir):
     )
 
 
+def q_entity_filtered_triples(sf_dir):
+    """J4 baseline filter (scripts/baselines.py:50-88): triples whose
+    subject is exactly an entity and whose object ends with its single
+    contained entity, rewritten to entity-bounded form. Runs on the
+    union with the entity-bearing synthetic corpus (the sf docs carry no
+    dictionary entities)."""
+    from .pipelines.flagship import extract_triples
+    from .sources.source_docs import synthetic_source_docs
+    from .stages.entity import EntityBaselineFilter
+
+    docs = _source_docs(sf_dir).union(synthetic_source_docs(300, seed=42))
+    return extract_triples(docs).map_batches(
+        EntityBaselineFilter,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def q_text_stats(sf_dir):
     from .stages.dataops import add_text_stats
 
@@ -904,6 +922,7 @@ def build_queries():
         "violations": q_violations,
         "per_org_pairs": q_per_org_pairs,
         "carb_selfcheck": q_carb_selfcheck,
+        "entity_filtered_triples": q_entity_filtered_triples,
         "text_stats": q_text_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,

@@ -112,6 +112,30 @@ def parse_tabbed_line(line: str):
     return parts[0], conf, parts[2], parts[3:]
 
 
+def parse_oie_blocks(text: str):
+    """.oie format reader (the inverse of the K1 writer / data.py:571-576):
+    blank-line-separated blocks of sentence + 'conf: (arg1; rel; arg2)'
+    lines → (sentence, rel, [arg1, arg2...], confidence)."""
+    out = []
+    line_re = re.compile(r"^(\d+\.\d+):\s*\((.*)\)\s*$")
+    for block in text.split("\n\n"):
+        lines = [l for l in block.splitlines() if l.strip()]
+        if not lines:
+            continue
+        sentence = lines[0]
+        for line in lines[1:]:
+            m = line_re.match(line)
+            if not m:
+                continue
+            parts = [p.strip() for p in m.group(2).split(";")]
+            if len(parts) < 2:
+                continue
+            arg1, rel = parts[0], parts[1]
+            args = [arg1] + parts[2:]
+            out.append((sentence, rel, args, float(m.group(1))))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # S7: other-system line formats (carb/oie_readers/*.py; registry dispatch
 # carb/carb.py:440-478). Each parser yields (sentence, rel, args,
@@ -242,6 +266,7 @@ LINE_PARSERS = {
 BLOCK_PARSERS = {
     "clausie": parse_clausie_blocks,
     "ollie": parse_ollie_blocks,
+    "oie": parse_oie_blocks,
 }
 
 

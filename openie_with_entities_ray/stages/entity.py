@@ -120,6 +120,55 @@ class EntityTagger:
         return pa.table(cols)
 
 
+class EntityBaselineFilter:
+    """J4 baseline (scripts/baselines.py:50-88, filter_openie_original):
+    keep a triple iff the subject exactly equals a sentence entity
+    (case-insensitive), exactly one entity occurs inside the object, and
+    the object ENDS WITH that entity (optionally + '.'); rewrite the
+    triple to (subj, rel + leftover-object-words, entity)."""
+
+    def __init__(self, alias_dict=None, backend: str = "dictionary"):
+        from ..state.ner import make_ner
+
+        self.ner = make_ner(backend, alias_dict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sents = batch.column("orig_sentence").to_pylist()
+        a1 = batch.column("arg1").to_pylist()
+        rel = batch.column("rel").to_pylist()
+        a2 = batch.column("arg2").to_pylist()
+        conf = batch.column("confidence").to_pylist()
+        o_s, o_a1, o_rel, o_a2, o_conf = [], [], [], [], []
+        for sent, arg1, pred, arg2, c in zip(sents, a1, rel, a2, conf):
+            ents = [m.surface for m in self.ner.find_mentions(sent.split())]
+            ent_exact = any(e.lower() == arg1.lower() for e in ents)
+            obj_ents = {e for e in ents if e.lower() in arg2.lower()}
+            if not (ent_exact and len(obj_ents) == 1):
+                continue
+            ent = next(iter(obj_ents))
+            if arg2.lower().endswith(ent.lower()):
+                new_obj = ent
+            elif arg2.lower().endswith(ent.lower() + "."):
+                new_obj = ent + "."
+            else:
+                continue
+            new_rel = (pred + " " + arg2.replace(new_obj, "")).strip()
+            o_s.append(sent)
+            o_a1.append(arg1)
+            o_rel.append(new_rel)
+            o_a2.append(new_obj)
+            o_conf.append(c)
+        return pa.table(
+            {
+                "sentence": pa.array(o_s, pa.string()),
+                "arg1": pa.array(o_a1, pa.string()),
+                "rel": pa.array(o_rel, pa.string()),
+                "arg2": pa.array(o_a2, pa.string()),
+                "confidence": pa.array(o_conf, pa.float64()),
+            }
+        )
+
+
 class FusedExtractorWithEntities:
     """Extraction + entity tagging in ONE actor pool: composing the two
     stages in-process removes an object-store boundary (~350 MB of triples
