@@ -181,7 +181,14 @@ def hardware_scaling_baseline(lo: int, hi: int) -> float:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="flagship"
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="flagship",
+            # larger corpus for the scaling comparison so the fixed costs
+            # (actor spawn, read barrier) drop below ~5% of wall time
+            GRAFT_BENCH_REPLICATE=os.environ.get(
+                "GRAFT_BENCH_REPLICATE", "320"
+            ),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
