@@ -140,7 +140,7 @@ import time, sys
 sys.path.insert(0, {repo!r})
 from openie_with_entities_ray.stages.extract import FusedExtractor
 import pyarrow.parquet as pq
-texts = pq.read_table({docs!r}, columns=["text"]).column("text").to_pylist()[:3000]
+texts = pq.read_table({docs!r}, columns=["text"]).column("text").to_pylist()[:3000] * 4
 fe = FusedExtractor()
 t0 = time.perf_counter()
 n = 0
@@ -175,7 +175,11 @@ def hardware_scaling_baseline(lo: int, hi: int) -> float:
         total = sum(int(o.split()[0]) for o in outs if o.split())
         return total / wall / k
 
-    return rate(hi) / rate(lo)
+    # the probe rides the same host noise as everything else: take the
+    # best of two interleaved measurements per level
+    r_hi = max(rate(hi), rate(hi))
+    r_lo = max(rate(lo), rate(lo))
+    return r_hi / r_lo
 
 
 def run_scaling() -> dict:
