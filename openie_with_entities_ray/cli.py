@@ -46,7 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
         description="Ray-Data-native OpenIE / KG-construction engine",
     )
     p.add_argument("--mode", required=True,
-                   choices=["predict", "splitpredict", "eval", "graph"])
+                   choices=["predict", "splitpredict", "eval", "graph",
+                            "convert"])
+    p.add_argument("--format", type=str, default="allennlp",
+                   help="input format for --mode convert (allennlp, oie, "
+                        "tabbed, clausie, ollie, stanford, props, openie4, "
+                        "openie5, benchmark_gold)")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="drop extractions below this confidence "
+                        "(--mode convert; utils/readable.py analogue)")
     p.add_argument("--inp", type=str, help="input file (or parquet for graph)")
     p.add_argument("--out", type=str, help="output path prefix / directory")
     p.add_argument("--task", type=str, default="oie", choices=["oie", "conj"])
@@ -364,6 +372,67 @@ def run_eval(args) -> None:
                 f.write(f"{p}\t{r}\t{c}\n")
 
 
+def run_convert(args) -> None:
+    """utils/readable.py analogue: any extraction format → the reference's
+    human-readable blocks (sentence, then 'conf: (arg1; rel; arg2...)'
+    lines, blank-line separated), with an optional confidence threshold."""
+    import collections
+
+    from .sources.readers import (
+        BLOCK_PARSERS,
+        LINE_PARSERS,
+        parse_allennlp_line,
+        parse_tabbed_line,
+    )
+
+    def iter_records():
+        if args.format == "allennlp":
+            with open(args.inp, encoding="utf-8") as f:
+                for line in f:
+                    rec = parse_allennlp_line(line)
+                    if rec:
+                        yield (rec[0], rec[2], [rec[1], rec[3]], rec[4])
+        elif args.format == "tabbed":
+            with open(args.inp, encoding="utf-8") as f:
+                for line in f:
+                    rec = parse_tabbed_line(line)
+                    if rec:
+                        yield (rec[0], rec[2], rec[3], rec[1])
+        elif args.format in LINE_PARSERS:
+            with open(args.inp, encoding="utf-8") as f:
+                for line in f:
+                    rec = LINE_PARSERS[args.format](line)
+                    if rec:
+                        yield rec
+        elif args.format in BLOCK_PARSERS:
+            with open(args.inp, encoding="utf-8") as f:
+                yield from BLOCK_PARSERS[args.format](f.read())
+        else:
+            raise SystemExit(f"unknown --format {args.format}")
+
+    by_sent = collections.defaultdict(list)
+    for sent, rel, arg_list, conf in iter_records():
+        if args.threshold is not None and conf < args.threshold:
+            continue
+        by_sent[sent].append((conf, rel, arg_list))
+    blocks = []
+    for sent, exs in by_sent.items():
+        lines = [sent]
+        for conf, rel, arg_list in exs:
+            body = "; ".join([arg_list[0] if arg_list else "", rel]
+                             + list(arg_list[1:]))
+            lines.append(f"{conf:.02f}: ({body})")
+        blocks.append("\n".join(lines))
+    out = f"{args.out}.readable" if args.out else None
+    text = "\n\n".join(blocks) + "\n"
+    if out:
+        with open(out, "w", encoding="utf-8") as f:
+            f.write(text)
+        print(f"Readable output written to {out}")
+    else:
+        print(text, end="")
+
+
 def run_graph(args) -> None:
     import ray.data
 
@@ -380,7 +449,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if not args.inp and not (args.mode == "splitpredict" and args.split_fp):
         parser.error(f"--mode {args.mode} requires --inp")
-    if not args.out and args.mode != "eval":
+    if not args.out and args.mode not in ("eval", "convert"):
         parser.error(f"--mode {args.mode} requires --out")
     if args.mode == "eval" and not args.gold:
         parser.error("--mode eval requires --gold")
@@ -406,6 +475,8 @@ def main(argv=None) -> int:
             run_predict(args)
         elif args.mode == "eval":
             run_eval(args)
+        elif args.mode == "convert":
+            run_convert(args)
         elif args.mode == "graph":
             run_graph(args)
     finally:
