@@ -93,29 +93,13 @@ def run_bench() -> dict:
 
     timed("flagship", flagship)
 
-    if os.environ.get("GRAFT_BENCH_ONLY") == "flagship":
-        result = {
-            "metric": "flagship_e2e",
-            "value": timings["flagship"],
-            "unit": "sec",
-            "queries": timings,
-            "sf": SF_DIR,
-            "num_cpus": NUM_CPUS,
-            "rows": rows,
-            "throughput_rows_per_s": round(
-                rows["flagship"] / timings["flagship"], 1
-            ),
-        }
-        ray.shutdown()
-        return result
+    if os.environ.get("GRAFT_BENCH_ONLY") != "flagship":
+        timed("lineitem_agg", lambda: q_lineitem_agg(SF_DIR).count())
+        timed("revenue_by_nation", lambda: q_revenue_by_nation(SF_DIR).count())
+        timed("events_windows", lambda: q_events_windows(SF_DIR).count())
+        timed("minhash_pairs", lambda: q_minhash_pairs(SF_DIR).count())
+        timed("ann_topk", lambda: q_ann_topk(SF_DIR).count())
 
-    timed("lineitem_agg", lambda: q_lineitem_agg(SF_DIR).count())
-    timed("revenue_by_nation", lambda: q_revenue_by_nation(SF_DIR).count())
-    timed("events_windows", lambda: q_events_windows(SF_DIR).count())
-    timed("minhash_pairs", lambda: q_minhash_pairs(SF_DIR).count())
-    timed("ann_topk", lambda: q_ann_topk(SF_DIR).count())
-
-    total = round(sum(timings.values()), 3)
     result = {
         "metric": "flagship_e2e",
         "value": timings["flagship"],
@@ -124,7 +108,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "rows": rows,
-        "total_sec": total,
+        "total_sec": round(sum(timings.values()), 3),
         "throughput_rows_per_s": (
             round(rows["flagship"] / timings["flagship"], 1)
             if timings["flagship"]
@@ -166,13 +150,19 @@ def hardware_scaling_baseline(lo: int, hi: int) -> float:
         procs = [
             subprocess.Popen(
                 [sys.executable, "-c", work],
-                stdout=subprocess.PIPE, text=True,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
             for _ in range(k)
         ]
-        outs = [p.communicate()[0] for p in procs]
+        results = [p.communicate() for p in procs]
         wall = time.perf_counter() - t0
-        total = sum(int(o.split()[0]) for o in outs if o.split())
+        for p, (out, err) in zip(procs, results):
+            if p.returncode != 0 or not out.split():
+                raise RuntimeError(
+                    f"hardware probe worker failed (rc={p.returncode}): "
+                    f"{err.strip()[-500:]}"
+                )
+        total = sum(int(out.split()[0]) for out, _ in results)
         return total / wall / k
 
     # the probe rides the same host noise as everything else: take the

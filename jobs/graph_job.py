@@ -6,10 +6,12 @@ path):
     ray job submit --address http://<head>:8265 \
         --working-dir . \
         -- python jobs/graph_job.py \
-           --input 's3://bucket/source_docs/*.parquet' \
-           --out s3://bucket/kg --shards-per-job 0
+           --input '/mnt/data/source_docs/*.parquet' --out /mnt/out/kg
 
-or run standalone on one node (auto-inits a local session). Input shards
+or run standalone on one node (auto-inits a local session). ``--input``
+is a local/NFS glob; object-store URIs need a filesystem listing step
+(pyarrow.fs) that this sandbox cannot exercise — the job rejects them
+with a clear error rather than silently matching nothing. Input shards
 (the source table's files) are the unit of resume: finished shards are
 skipped via their manifests, so re-submitting the same job after a
 failure completes only the remaining work and yields byte-identical
@@ -50,6 +52,12 @@ def main(argv=None) -> int:
     sys.path.insert(0, ".")
     from openie_with_entities_ray.pipelines.flagship import resumable_materialize
 
+    if "://" in args.input:
+        print(json.dumps({
+            "error": "object-store URIs need a pyarrow.fs listing step; "
+                     "pass a local/NFS glob"
+        }))
+        return 1
     shards = sorted(glob.glob(args.input))
     if not shards:
         print(json.dumps({"error": f"no shards match {args.input}"}))

@@ -348,15 +348,25 @@ def run_eval(args) -> None:
             if rec:
                 pred[rec[0]].append((rec[2], [rec[1], rec[3]], rec[4]))
     if args.matcher == "wire57":
+        from .eval.benchmark import normalize_key
         from .eval.wire57 import wire57_scores
 
-        g57 = {
-            s: [(a[0], r, a[1] if len(a) > 1 else "") for r, a, _ in exs]
-            for s, exs in gold.items()
-        }
-        p57 = {
-            s: [(a[0], r, a[1]) for r, a, _ in exs] for s, exs in pred.items()
-        }
+        # sentence keys normalized exactly like the carb path (spacing /
+        # PTB-escape differences must not zero the scores); args beyond
+        # arg2 join into the object (binarization), empty arg lists
+        # (every arg carried 'C: ') become empty strings
+        def to57(exs):
+            return [
+                (a[0] if a else "", r, " ".join(a[1:]))
+                for r, a, _ in exs
+            ]
+
+        g57: dict = {}
+        for s, exs in gold.items():
+            g57.setdefault(normalize_key(s), []).extend(to57(exs))
+        p57: dict = {}
+        for s, exs in pred.items():
+            p57.setdefault(normalize_key(s), []).extend(to57(exs))
         s = wire57_scores(g57, p57)
         print(
             f"Wire57 precision: {s['precision']:.4f}  recall: "

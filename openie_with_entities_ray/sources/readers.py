@@ -35,9 +35,9 @@ CONJ_LABEL_IDS = {
     "CP_START": 2, "CP": 1, "CC": 3, "SEP": 4, "OTHERS": 5, "NONE": 0,
 }  # data.py:410-412
 
-_ALLENNLP_RE = re.compile(
-    r"<arg1>\s*(.*?)\s*</arg1>\s*<rel>\s*(.*?)\s*</rel>\s*<arg2>\s*(.*?)\s*</arg2>"
-)
+_ARG1_RE = re.compile(r"<arg1>\s*(.*?)\s*</arg1>")
+_REL_RE = re.compile(r"<rel>\s*(.*?)\s*</rel>")
+_ARG2_RE = re.compile(r"<arg2>\s*(.*?)\s*</arg2>")
 
 
 def parse_labels_blocks(text: str, label_ids=None):
@@ -77,7 +77,7 @@ def parse_conj_blocks(text: str):
 
 def parse_gold_tsv_line(line: str):
     """S4: (sentence, rel, [args]) or None; 'C: '-prefixed args skipped."""
-    parts = line.rstrip("\n").split("\t")
+    parts = line.strip().split("\t")
     if len(parts) < 3:
         return None
     sent, rel = parts[0], parts[1]
@@ -86,23 +86,33 @@ def parse_gold_tsv_line(line: str):
 
 
 def parse_allennlp_line(line: str):
-    """S5: (sentence, arg1, rel, arg2, confidence) or None."""
-    parts = line.rstrip("\n").split("\t")
+    """S5: (sentence, arg1, rel, arg2, confidence) or None. Missing tags
+    default to '' — the reference reader tolerates partial tag sets
+    (allennlpReader.py:52-60 try/except per part)."""
+    parts = line.strip().split("\t")
     if len(parts) < 3:
         return None
-    m = _ALLENNLP_RE.search(parts[1])
-    if not m:
+    m1 = _ARG1_RE.search(parts[1])
+    mr = _REL_RE.search(parts[1])
+    m2 = _ARG2_RE.search(parts[1])
+    if not (m1 or mr or m2):
         return None
     try:
         conf = float(parts[2])
     except ValueError:
         return None
-    return parts[0], m.group(1), m.group(2), m.group(3), conf
+    return (
+        parts[0],
+        m1.group(1) if m1 else "",
+        mr.group(1) if mr else "",
+        m2.group(1) if m2 else "",
+        conf,
+    )
 
 
 def parse_tabbed_line(line: str):
     """S6: (sentence, confidence, rel, [args]) or None."""
-    parts = line.rstrip("\n").split("\t")
+    parts = line.strip().split("\t")
     if len(parts) < 4:
         return None
     try:
@@ -181,7 +191,7 @@ def parse_ollie_blocks(text: str):
 def parse_stanford_line(line: str):
     """Stanford (stanfordReader.py:8-17): args at cols 2-4, confidence at
     11, sentence at 12."""
-    data = line.rstrip("\n").split("\t")
+    data = line.strip().split("\t")
     if len(data) < 13:
         return None
     try:
@@ -194,7 +204,7 @@ def parse_stanford_line(line: str):
 def parse_props_line(line: str):
     """PropS (propsReader.py:8-16): (confidence, sentence, rel) then args
     at every second column from 4."""
-    data = line.rstrip("\n").split("\t")
+    data = line.strip().split("\t")
     if len(data) < 3 or not line.strip():
         return None
     try:
@@ -211,7 +221,7 @@ def _simple_arg(s: str):
 
 
 def parse_openie4_line(line: str):
-    data = line.rstrip("\n").split("\t")
+    data = line.strip().split("\t")
     if len(data) < 6 or not all(data[2:5]):
         return None
     try:
@@ -225,7 +235,7 @@ def parse_openie4_line(line: str):
 def parse_openie5_line(line: str):
     """OpenIE-5 (openieFiveReader.py): multiple args split on ');' and a
     context prefix folded onto arg1 when it isn't already a prefix."""
-    data = line.rstrip("\n").split("\t")
+    data = line.strip().split("\t")
     if len(data) < 6 or not all(data[2:5]):
         return None
     try:

@@ -57,7 +57,10 @@ def connected_components(
     partial labeling."""
     import ray
 
-    pairs = edges_ds.select_columns([src, dst])
+    # materialized: consumed once for init labels plus once per
+    # propagation round — lazy would re-run the whole upstream pipeline
+    # every iteration
+    pairs = edges_ds.select_columns([src, dst]).materialize()
 
     # initial labels: every endpoint labels itself
     def init_labels(batch: pa.Table) -> pa.Table:
