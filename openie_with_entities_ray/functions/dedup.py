@@ -15,17 +15,26 @@ import numpy as np
 _MERSENNE = (1 << 61) - 1
 
 
+def _shingle_hash(s: str) -> int:
+    """32-bit shingle hash from md5: little-endian uint64 of the LAST 8
+    digest bytes, masked to 32 bits — bit-identical to DuckDB's
+    ``md5_number_lower(s) & 0xFFFFFFFF`` so SQL oracles reproduce it.
+    Staying under 2^32 keeps a*x+b < 2^63 in the universal hash."""
+    return (
+        int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+        & 0xFFFFFFFF
+    )
+
+
 def shingles(text: str, k: int = 3):
-    """Word k-gram shingle set as stable uint64 hashes."""
+    """Word k-gram shingle set as stable (md5-derived) uint64 hashes."""
     words = text.split()
     if len(words) < k:
         items = [" ".join(words)] if words else []
     else:
         items = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     return np.unique(
-        np.array(
-            [zlib.crc32(s.encode("utf-8")) for s in items], dtype=np.uint64
-        )
+        np.array([_shingle_hash(s) for s in items], dtype=np.uint64)
     )
 
 
@@ -59,13 +68,16 @@ class MinHasher:
         return vals.min(axis=1)
 
     def band_hashes(self, signature: np.ndarray, num_bands: int = 16):
-        """LSH: split the signature into bands, hash each band."""
+        """LSH: split the signature into bands, key each band.
+
+        The band key is the dash-joined decimal signature values (not an
+        opaque byte hash) so a SQL oracle can rebuild the identical key
+        with ``string_agg(value, '-' ORDER BY perm)``."""
         rows = self.num_perm // num_bands
         out = []
         for band in range(num_bands):
             chunk = signature[band * rows : (band + 1) * rows]
-            h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            out.append((band, h))
+            out.append((band, "-".join(str(int(v)) for v in chunk)))
         return out
 
 

@@ -86,15 +86,25 @@ def md5_fingerprint(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()
 
 
+_FP_MASK = (1 << 63) - 1  # int64-safe on both Arrow and DuckDB BIGINT
+
+
+def _md5_number_lower(s: str) -> int:
+    """Little-endian uint64 of the LAST 8 md5 bytes — bit-identical to
+    DuckDB's ``md5_number_lower(s)`` so SQL oracles can reproduce every
+    md5-derived kernel value exactly."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
 def rolling_fingerprint(text: str, window: int = 8) -> int:
-    """Deterministic rolling-hash document fingerprint: min crc32 over
-    word-window shingles (a 1-perm MinHash; robust to local edits)."""
+    """Deterministic rolling-hash document fingerprint: min 63-bit
+    md5-number over word-window shingles (a 1-perm MinHash; robust to
+    local edits). md5-based so a SQL oracle (DuckDB ``md5_number_lower``)
+    reproduces it bit-for-bit."""
     words = text.split()
     if len(words) <= window:
-        return zlib.crc32(" ".join(words).encode("utf-8"))
-    best = 0xFFFFFFFF
-    for i in range(len(words) - window + 1):
-        h = zlib.crc32(" ".join(words[i : i + window]).encode("utf-8"))
-        if h < best:
-            best = h
-    return best
+        return _md5_number_lower(" ".join(words)) & _FP_MASK
+    return min(
+        _md5_number_lower(" ".join(words[i : i + window])) & _FP_MASK
+        for i in range(len(words) - window + 1)
+    )

@@ -851,6 +851,67 @@ def q_text_stats(sf_dir):
     return add_text_stats(_docs(sf_dir)).drop_columns(["text"])
 
 
+# Every stat is deterministic integer/string math; the rolling fingerprint
+# is md5-number-based (functions/textstats.py) precisely so DuckDB's
+# md5_number_lower reproduces it bit-for-bit. The CJK-codepoint branch of
+# detect_language is not expressed (the documents corpus is ASCII — a CJK
+# doc would make the check fail loudly, not silently pass).
+SQL_TEXT_STATS = """
+WITH base AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(text), ' +') AS words
+  FROM documents
+), hits AS (
+  SELECT *,
+         len(words)::BIGINT AS n_words,
+         list_distinct(list_transform(words[1:200], w -> lower(w))) AS w200
+  FROM base
+), scored AS (
+  SELECT *,
+         len(list_filter(w200, w -> w IN
+           ('der','die','das','und','ist','nicht','ein','mit','zu','den')))
+           AS h_de,
+         len(list_filter(w200, w -> w IN
+           ('the','and','of','to','is','in','a','that','it','for'))) AS h_en,
+         len(list_filter(w200, w -> w IN
+           ('el','la','los','y','es','un','una','de','que','por'))) AS h_es,
+         len(list_filter(w200, w -> w IN
+           ('le','la','les','et','est','un','une','des','que','pour')))
+           AS h_fr
+  FROM hits
+)
+SELECT doc_id, lang,
+       n_words,
+       CASE WHEN n_words = 0 THEN 0 ELSE
+         (1000 * len(list_filter(words, x -> lower(x) IN
+            ('the','a','an','and','of','to','in','is','on','for'))))
+           // n_words END::BIGINT AS stopword_permille,
+       CASE WHEN n_words = 0 THEN 0 ELSE
+         (100 * len(regexp_replace(text, '\\s', '', 'g'))) // n_words
+       END::BIGINT AS mean_word_len_centi,
+       CASE WHEN n_words = 0 OR len(text) = 0 THEN 0 ELSE
+         (1000 * len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')))
+           // len(text) END::BIGINT AS punct_permille,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))::BIGINT
+         AS n_tokens_bpe,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) < 2 THEN 'und'
+            WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            ELSE 'fr' END AS lang_detected,
+       md5(text) AS fingerprint_md5,
+       CASE WHEN n_words <= 8 THEN
+         ((md5_number_lower(array_to_string(words, ' '))
+           & 9223372036854775807::UBIGINT))::BIGINT
+       ELSE
+         list_min(list_transform(range(1, n_words - 6), i ->
+           ((md5_number_lower(array_to_string(words[i:i+7], ' '))
+             & 9223372036854775807::UBIGINT))::BIGINT))
+       END AS fingerprint_rolling
+FROM scored
+"""
+
+
 def q_minhash_pairs(sf_dir):
     from .stages.dataops import minhash_candidate_pairs
 
@@ -861,6 +922,94 @@ def q_simhash_pairs(sf_dir):
     from .stages.dataops import simhash_pairs
 
     return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _sql_minhash_pairs(num_perm: int = 128, num_bands: int = 16,
+                       seed: int = 7, threshold: float = 0.5) -> str:
+    """MinHash-LSH in SQL: the shingle hash is md5-derived (DuckDB
+    ``md5_number_lower & 0xFFFFFFFF``), the (a,b) universal-hash params are
+    embedded as literals (seeded numpy isn't SQL-expressible, 128 constants
+    are), band keys are the dash-joined signature values, and the verify is
+    per-perm signature agreement — the exact distributed algorithm."""
+    from .functions.dedup import _perm_params
+
+    a, b = _perm_params(num_perm, seed)
+    vals = ",".join(f"({j},{int(a[j])},{int(b[j])})" for j in range(num_perm))
+    rows = num_perm // num_bands
+    return f"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
+  FROM documents WHERE len(regexp_split_to_array(trim(text), ' +')) >= 1
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         ELSE list_transform(range(1, len(words) - 1),
+                             i -> array_to_string(words[i:i+2], ' ')) END,
+    s -> ((md5_number_lower(s) & 4294967295::UBIGINT))::BIGINT))) AS x
+  FROM docs
+), perms(j, a, b) AS (VALUES {vals}),
+sig AS (
+  SELECT sh.doc_id, p.j,
+         MIN(((p.a::HUGEINT * sh.x + p.b) % 2305843009213693951)::BIGINT)
+           AS sv
+  FROM sh CROSS JOIN perms p
+  GROUP BY sh.doc_id, p.j
+), bands AS (
+  SELECT doc_id, j // {rows} AS band,
+         string_agg(sv::VARCHAR, '-' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), eq AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) AS n_eq
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       ((1000 * n_eq) // {num_perm})::BIGINT AS est_permille
+FROM eq WHERE (n_eq / {num_perm}.0) >= {threshold}
+"""
+
+
+# The SimHash kernel hashes each distinct word with md5 (first 8 digest
+# bytes, little-endian == DuckDB md5_number_upper), so the whole
+# signature → 4x16-bit bands → in-bucket Hamming<=3 verify is exactly
+# reproducible in SQL.
+SQL_SIMHASH_PAIRS = """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
+  FROM documents
+), wordsets AS (
+  SELECT doc_id, unnest(list_distinct(words)) AS w FROM docs
+), bits AS (
+  SELECT doc_id, bb.b AS bitpos,
+         SUM(CASE WHEN ((md5_number_upper(w) >> bb.b) & 1::UBIGINT)
+                       = 1::UBIGINT
+                  THEN 1 ELSE -1 END) AS acc
+  FROM wordsets, (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY doc_id, bb.b
+), sigs AS (
+  SELECT doc_id,
+         COALESCE(bit_or(CASE WHEN acc > 0
+                  THEN (1::UBIGINT << CAST(bitpos AS INT)) END),
+                  0::UBIGINT) AS sig
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, sig, bb.b AS band,
+         ((sig >> CAST(16 * bb.b AS INT)) & 65535::UBIGINT) AS band_key
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b) bb
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def q_embedding_dups(sf_dir):
@@ -946,4 +1095,7 @@ def build_oracle_sql():
         "sessionize": SQL_SESSIONIZE,
         "mktsegment_stats": SQL_MKTSEGMENT_STATS,
         "customers_per_region": SQL_CUSTOMERS_PER_REGION,
+        "text_stats": SQL_TEXT_STATS,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
+        "minhash_pairs": _sql_minhash_pairs(),
     }

@@ -12,8 +12,9 @@ all-to-all ``groupby`` moves O(distinct-per-batch) rows, not O(rows);
 the hot key's traffic is already combined per-block, which is the salted
 two-phase aggregation in its Ray Data form.
 
-Canonical id = sha1 of the normalized surface (content-addressed: no
-global counter, no coordination, stable across cluster sizes).
+Canonical id = sha256 of the normalized surface (content-addressed: no
+global counter, no coordination, stable across cluster sizes; sha256 so
+the DuckDB oracle can recompute it — DuckDB has no sha1).
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ def normalize_surface(text: str) -> str:
 
 
 def canonical_id(norm_surface: str) -> str:
-    return "C" + hashlib.sha1(norm_surface.encode("utf-8")).hexdigest()[:16]
+    return "C" + hashlib.sha256(norm_surface.encode("utf-8")).hexdigest()[:16]
 
 
 def _partial_counts(batch: pa.Table) -> pa.Table:
@@ -51,7 +52,13 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
             if not norm:
                 continue
             counts[norm] += 1
-            example.setdefault(norm, v)
+            # per-batch example = lexicographic MIN raw surface, so the
+            # global Min aggregate is the true corpus-wide min regardless
+            # of how rows landed in batches (deterministic at any
+            # parallelism, and SQL-reproducible as min(arg))
+            prev = example.get(norm)
+            if prev is None or v < prev:
+                example[norm] = v
     norms = list(counts)
     return pa.table(
         {

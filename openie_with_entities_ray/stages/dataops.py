@@ -100,15 +100,31 @@ def exact_dedup_groups(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def _cluster_parts(min_parts: int = 64) -> int:
+    """Coarse-partition count scaled to the cluster (~4x cores, floor 64)
+    so shuffle parallelism grows with the cluster and per-group size
+    shrinks with it — never a fixed handful of corpus-sized groups."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized()
+        else 8
+    )
+    return max(min_parts, 4 * cpus)
+
+
 def distinct_pairs(pairs_ds, value_col: str, how: str = "max",
-                   num_parts: int = 64):
+                   num_parts: int | None = None):
     """Distinct (id_a, id_b) with min/max over ``value_col``.
 
     High-cardinality Ray aggregates pay ~1ms of Python per group, so a
     166k-group ``groupby(pair).aggregate()`` takes minutes. Instead:
     coarse hash partition (``id_a % num_parts`` → few, large groups) and a
     vectorized pandas groupby inside each group — same result, constant
-    number of Ray groups."""
+    number of Ray groups. ``num_parts`` defaults to ~4x cluster cores."""
+    if num_parts is None:
+        num_parts = _cluster_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         import zlib
@@ -182,11 +198,21 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     seed: int = 7,
 ):
-    """LSH buckets → verified near-dup pairs (id_a < id_b, est_jaccard).
+    """LSH buckets → verified near-dup pairs (id_a < id_b, est_permille).
 
     Verification uses signature agreement (an unbiased Jaccard estimator),
-    so bucket groups never re-ship document text.
+    so bucket groups never re-ship document text; the estimate goes out as
+    integer permille so the DuckDB oracle's value matches exactly.
+
+    Scale shape: the shuffle key is ``hash(band, band_hash) % P`` with P
+    scaled to the cluster — same-bucket rows still co-locate, but group
+    count tracks the cluster, not the corpus (a ``groupby(band)`` with
+    num_bands groups would materialize 1/num_bands of ALL signatures into
+    a single task at 100 TB). Buckets inside a part are resolved with a
+    vectorized pandas groupby.
     """
+    import zlib
+
     sigs = docs_ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs=dict(
@@ -197,16 +223,26 @@ def minhash_candidate_pairs(
         concurrency=(1, 8),
     )
 
-    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # one Ray group per band (few, large groups — tiny per-bucket
-        # groups would drown in per-group overhead); buckets resolved with
-        # a vectorized pandas groupby inside
+    num_parts = _cluster_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bands = batch.column("band").to_pylist()
+        hashes = batch.column("band_hash").to_pylist()
+        parts = [
+            zlib.crc32(f"{b}|{h}".encode("utf-8")) % num_parts
+            for b, h in zip(bands, hashes)
+        ]
+        return batch.append_column("part", pa.array(parts, pa.int64()))
+
+    def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
         a_ids, b_ids, est = [], [], []
         # drop singleton buckets before the Python group loop (most buckets
         # hold one doc; iterating them costs more than the real work)
-        counts = group["band_hash"].value_counts()
-        group = group[group["band_hash"].map(counts) >= 2]
-        for _, bucket in group.groupby("band_hash", sort=False):
+        counts = group.groupby(["band", "band_hash"])["doc_id"].transform(
+            "size"
+        )
+        group = group[counts >= 2]
+        for _, bucket in group.groupby(["band", "band_hash"], sort=False):
             rows = bucket.drop_duplicates(subset=["doc_id"]).sort_values(
                 "doc_id"
             )
@@ -215,20 +251,27 @@ def minhash_candidate_pairs(
                 [np.frombuffer(s, dtype=np.uint64) for s in rows["signature"]]
             )
             for i in range(len(ids)):
-                eq = (sigs_mat[i + 1 :] == sigs_mat[i]).mean(axis=1)
-                for off in np.nonzero(eq >= threshold)[0]:
+                eq = (sigs_mat[i + 1 :] == sigs_mat[i]).sum(axis=1)
+                keep = np.nonzero(eq / num_perm >= threshold)[0]
+                for off in keep:
                     a_ids.append(ids[i])
                     b_ids.append(ids[i + 1 + off])
-                    est.append(float(eq[off]))
+                    est.append((1000 * int(eq[off])) // num_perm)
         return pd.DataFrame(
-            {"id_a": a_ids, "id_b": b_ids, "est_jaccard": est}
+            {
+                "id_a": a_ids,
+                "id_b": b_ids,
+                "est_permille": pd.Series(est, dtype="int64"),
+            }
         )
 
-    pairs = sigs.groupby("band").map_groups(
-        band_pairs, batch_format="pandas"
+    pairs = (
+        sigs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
     )
     # same pair can surface from several bands → distinct
-    return distinct_pairs(pairs, "est_jaccard", how="max")
+    return distinct_pairs(pairs, "est_permille", how="max")
 
 
 # ---------------------------------------------------------------------------
@@ -244,25 +287,34 @@ def simhash_pairs(
 ):
     """64-bit SimHash; candidate buckets via 4x16-bit bands (any pair within
     Hamming distance 3 shares at least one exact band), then exact Hamming
-    verify in-bucket."""
+    verify in-bucket.
+
+    Scale shape: shuffle key = ``hash(band, band_key) % P`` with P scaled
+    to the cluster (see :func:`minhash_candidate_pairs`) — never a 4-group
+    ``groupby(band)`` that would funnel a quarter of the corpus's
+    signatures into one task."""
+    num_parts = _cluster_parts()
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_id, out_band, out_key, out_sig = [], [], [], []
+        out_id, out_band, out_key, out_sig, out_part = [], [], [], [], []
         for i, t in zip(ids, texts):
             h = simhash64(t)
             for band in range(4):
+                key = (h >> (band * 16)) & 0xFFFF
                 out_id.append(i)
                 out_band.append(band)
-                out_key.append((h >> (band * 16)) & 0xFFFF)
+                out_key.append(key)
                 out_sig.append(h)
+                out_part.append((key * 4 + band) % num_parts)
         return pa.table(
             {
                 "doc_id": pa.array(out_id),
                 "band": pa.array(out_band, pa.int32()),
                 "band_key": pa.array(out_key, pa.int64()),
                 "simhash": pa.array(out_sig, pa.uint64()),
+                "part": pa.array(out_part, pa.int64()),
             }
         )
 
@@ -271,9 +323,11 @@ def simhash_pairs(
         # (clustered corpora produce buckets of hundreds of docs — a Python
         # pair loop goes quadratic in interpreter time)
         frames = []
-        counts = group["band_key"].value_counts()
-        group = group[group["band_key"].map(counts) >= 2]
-        for _, bucket in group.groupby("band_key", sort=False):
+        counts = group.groupby(["band", "band_key"])["doc_id"].transform(
+            "size"
+        )
+        group = group[counts >= 2]
+        for _, bucket in group.groupby(["band", "band_key"], sort=False):
             rows = bucket.drop_duplicates(subset=["doc_id"]).sort_values(
                 "doc_id"
             )
@@ -306,7 +360,7 @@ def simhash_pairs(
 
     pairs = (
         docs_ds.map_batches(sig_batch, batch_format="pyarrow")
-        .groupby("band")
+        .groupby("part")
         .map_groups(band_pairs, batch_format="pandas")
     )
     return distinct_pairs(pairs, "hamming", how="min")
