@@ -1013,6 +1013,41 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 
 
 def q_embedding_dups(sf_dir):
+    """EXACT cosine near-dup baseline (broadcast matrix, distributed
+    O(N^2) tiles) — the reproducible set the LSH scale path
+    (``embedding_dups_lsh``) is measured against."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from .stages.dataops import embedding_dup_pairs_exact
+
+    ref = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ref_ids = np.array(ref.column("vec_id").to_pylist())
+    ref_mat = np.array(ref.column("embedding").to_pylist(), dtype=np.float64)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_dup_pairs_exact(emb, ref_ids, ref_mat, threshold=0.3)
+
+
+SQL_EMBEDDING_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) * 100)
+            AS BIGINT) AS cosine_centi
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.3
+"""
+
+
+def q_embedding_dups_lsh(sf_dir):
+    """Approximate (LSH-bucketed) variant — the 100 TB scale path; its
+    recall against the exact baseline is gated by pytest, its plumbing by
+    the driver's rows-only check."""
     import ray.data
 
     from .stages.dataops import embedding_near_dup_pairs
@@ -1076,6 +1111,7 @@ def build_queries():
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
     }
 
 
@@ -1098,4 +1134,5 @@ def build_oracle_sql():
         "text_stats": SQL_TEXT_STATS,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "minhash_pairs": _sql_minhash_pairs(),
+        "embedding_dups": SQL_EMBEDDING_DUPS,
     }

@@ -509,35 +509,119 @@ def ivf_search(
     return ann_topk(pruned, query, k, vec_col=vec_col, id_col=id_col)
 
 
+def embedding_dup_pairs_exact(
+    emb_ds,
+    ref_ids: np.ndarray,
+    ref_mat: np.ndarray,
+    *,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """EXACT all-pairs cosine near-dup (the baseline an approximate method
+    is measured against): the (id, vector) reference matrix is broadcast
+    once via ``ray.put`` and every batch computes its own rows against it —
+    the O(N^2) work distributes across tasks as O(batch x N) matmuls.
+
+    Emits ``cosine_centi`` as floor(cos*100) so the DuckDB
+    ``list_cosine_similarity`` oracle matches bit-for-bit (both sides
+    compute dot/(|a||b|) in float64). Exact-but-quadratic by design:
+    use :func:`embedding_near_dup_pairs` (LSH) as the 100-TB scale path —
+    this one caps at a broadcastable reference matrix."""
+    import math
+
+    import ray
+
+    norms = np.linalg.norm(ref_mat, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((np.asarray(ref_ids), ref_mat, norms))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_b, mat_b, norms_b = ray.get(ref)
+        ids_a = np.array(batch.column(id_col).to_pylist())
+        mat_a = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        norms_a = np.linalg.norm(mat_a, axis=1)
+        norms_a[norms_a == 0] = 1.0
+        sims = (mat_a @ mat_b.T) / np.outer(norms_a, norms_b)
+        ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a[ii], pa.int64()),
+                "id_b": pa.array(ids_b[jj], pa.int64()),
+                "cosine_centi": pa.array(
+                    [int(math.floor(v * 100)) for v in sims[ii, jj]],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     emb_ds,
     *,
     threshold: float = 0.3,
     dim: int = 64,
     id_col: str = "vec_id",
-    num_planes: int = 4,
-    num_tables: int = 6,
+    num_planes: int = 8,
+    num_tables: int = 12,
 ):
-    """Embedding-cosine near-dup: multi-table LSH bucketing (actor pool) →
-    in-bucket pairwise cosine ≥ threshold → distinct pairs across tables.
-    Approximate by design; (num_planes, num_tables) set the recall."""
+    """Embedding-cosine near-dup, the approximate SCALE path: multi-table
+    hyperplane LSH bucketing (actor pool) → in-bucket pairwise cosine ≥
+    threshold → distinct pairs across tables. (num_planes, num_tables)
+    set the recall/cost point; num_planes should grow with corpus size
+    (buckets per table = 2^planes).
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = rows[id_col].to_list()
-        mat = np.array(rows["embedding"].to_list(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        mat = mat / norms[:, None]
-        sims = mat @ mat.T
-        a_ids, b_ids, cos = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a_ids.append(ids[i])
-                    b_ids.append(ids[j])
-                    cos.append(float(sims[i, j]))
-        return pd.DataFrame({"id_a": a_ids, "id_b": b_ids, "cosine": cos})
+    Scale shape: shuffle key = ``hash(table, bucket) % P`` with P scaled
+    to the cluster (see :func:`minhash_candidate_pairs`); the in-bucket
+    verify is one vectorized upper-triangle matmul, not a Python pair
+    loop."""
+    num_parts = _cluster_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        tables = batch.column("table").to_pylist()
+        buckets = batch.column("bucket").to_pylist()
+        parts = [
+            (int(b) * 97 + int(t)) % num_parts
+            for t, b in zip(tables, buckets)
+        ]
+        return batch.append_column("part", pa.array(parts, pa.int64()))
+
+    def bucket_pairs(part_group: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        counts = part_group.groupby(["table", "bucket"])[id_col].transform(
+            "size"
+        )
+        part_group = part_group[counts >= 2]
+        for _, group in part_group.groupby(["table", "bucket"], sort=False):
+            rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            ids = np.asarray(rows[id_col].to_list())
+            mat = np.array(rows["embedding"].to_list(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(ii):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ii],
+                            "id_b": ids[jj],
+                            "cosine": sims[ii, jj].astype(np.float64),
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
 
     bucketed = emb_ds.map_batches(
         LSHBucketer,
@@ -547,7 +631,9 @@ def embedding_near_dup_pairs(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        bucketed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
     return distinct_pairs(pairs, "cosine", how="max")

@@ -93,6 +93,53 @@ def test_ann_topk_matches_bruteforce(ray_session):
     assert got == expect
 
 
+def test_embedding_dup_exact_and_lsh_recall(ray_session):
+    """The exact broadcast baseline must equal numpy all-pairs; the LSH
+    scale path must recover (nearly) all true near-dup pairs at a high
+    threshold on a corpus with planted duplicates."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        embedding_dup_pairs_exact,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(50, 64)
+    dups = base[:20] + 0.05 * rng.randn(20, 64)  # cosine ~0.999
+    mat = np.vstack([base, dups])
+    ids = np.arange(len(mat))
+    tbl = pa.table(
+        {"vec_id": ids.tolist(), "embedding": [list(v) for v in mat]}
+    )
+
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+    ii, jj = np.nonzero(np.triu(sims >= 0.8, k=1))
+    expect = {
+        (int(ids[i]), int(ids[j])): int(math.floor(sims[i, j] * 100))
+        for i, j in zip(ii, jj)
+    }
+    assert len(expect) >= 20
+
+    exact = embedding_dup_pairs_exact(
+        ray.data.from_arrow(tbl), ids, mat, threshold=0.8
+    ).take_all()
+    got = {(r["id_a"], r["id_b"]): r["cosine_centi"] for r in exact}
+    assert got == expect
+
+    lsh = embedding_near_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.8
+    ).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in lsh}
+    recall = len(found & set(expect)) / len(expect)
+    assert recall >= 0.9
+    assert found <= set(expect)  # verify step admits no false positives
+
+
 def test_multimodal_stub_plumbing(ray_session):
     import ray.data
 
