@@ -1,0 +1,344 @@
+"""DuckDB oracle SQL for the OIE labeler pipeline queries.
+
+The DeterministicLabeler (state/labeler.py) is a pure function of the
+sentence string built from word-list membership, suffix rules and
+md5-seeded confidences — all DuckDB-expressible — so the flagship
+pipeline (sentences → OIE label → decode → validity → dedup → top-k →
+graph) can be recomputed end-to-end in SQL and hash-compared by the
+driver. The SQL is generated from the SAME Python constants the engine
+uses (VERBS/AUXILIARIES/ALIAS_DICT are interpolated as literals), so
+there is one source of truth for the kernels' vocabulary.
+
+Domain restrictions (loud, not silent — a violation changes row counts
+or values and FAILS the driver compare, it never fake-passes):
+
+- conjunction splitting is expressed only as the identity path: the
+  oracle emits rows solely for sentences containing no coordinator
+  token ('and'/'or'/'nor'/'&'); a corpus sentence with one would make
+  engine and oracle row counts diverge. The full coordination state
+  machine (metric.py:204-248 semantics) is gated by the differential
+  pytest suite against the reference's own AST-extracted functions.
+- the entity columns assume the alias dictionary has no hits in the
+  corpus (true for the lowercase sf documents): any dictionary surface
+  occurring in a triple flips c1/c3 and the ents columns on the engine
+  side and mismatches.
+- detect-language/CJK and curly-quote normalization branches are not
+  spelled out (ASCII corpus); affected docs would hash-mismatch.
+
+Reference parity notes for the decode shape: validity filter
+(model.py:626), first-wins dedup on 'arg1 arg2 rel' (model.py:595-601),
+depth cap 5 (model.py:93), apposition rel_case 1 → literal pred
+'is ' with trailing space (model.py:554-593).
+"""
+
+from __future__ import annotations
+
+from .state.labeler import (
+    AUXILIARIES,
+    LOC_PREPOSITIONS,  # noqa: F401  (folded into arg2; kept for reference)
+    VERBS,
+    _APPOSITION_DETS,
+    _ED_NOUNS,
+    _PUNCT,
+)
+
+_COORDINATORS = ("and", "or", "nor", "&")
+
+
+def _sql_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+def _is_verb_expr(col: str) -> str:
+    """SQL boolean mirroring state.labeler.is_verb (ASCII corpus)."""
+    return (
+        f"(lower({col}) IN ({_sql_list(VERBS)})"
+        f" OR (lower({col}) NOT IN ({_sql_list(_ED_NOUNS)})"
+        f"     AND substr({col}, 1, 1) BETWEEN 'a' AND 'z'"
+        f"     AND ((lower({col}) LIKE '%ed' AND len({col}) > 4)"
+        f"          OR (lower({col}) LIKE '%ing' AND len({col}) > 5))))"
+    )
+
+
+def _norm_expr(col: str) -> str:
+    """SQL mirror of stages.canonical.normalize_surface: strip ASCII
+    punctuation, lower, collapse/trim spaces."""
+    return (
+        "trim(regexp_replace(lower(regexp_replace("
+        f"{col}, '[!-/:-@\\[-`{{-~]', '', 'g')), ' +', ' ', 'g'))"
+    )
+
+
+def _node_expr(col: str) -> str:
+    return f"'C' || substr(sha256({_norm_expr(col)}), 1, 16)"
+
+
+# Shared WITH-clause: documents → sentences → verb runs → decoded,
+# deduped, confidence-scored triples (the flagship no-shuffle pipeline).
+def _triples_cte(seed: int = 777) -> str:
+    return f"""
+WITH sents AS (
+  SELECT 'corpus/' || source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path,
+         printf('%012x', doc_id) AS cmt,
+         0::BIGINT AS sent_id,
+         regexp_split_to_array(trim(text), ' +') AS words,
+         array_to_string(regexp_split_to_array(trim(text), ' +'), ' ')
+           AS sentence
+  FROM documents
+  WHERE len(trim(text)) > 0
+    AND len(regexp_split_to_array(trim(text), ' +')) <= 100
+), toks AS (
+  SELECT path, unnest(words) AS w,
+         generate_subscripts(words, 1)::BIGINT AS pos
+  FROM sents
+), vt AS (
+  SELECT path, pos, w, {_is_verb_expr('w')} AS isv,
+         ({_is_verb_expr('w')}
+          OR lower(w) IN ({_sql_list(AUXILIARIES)})) AS runnable
+  FROM toks
+), marked AS (
+  SELECT *, SUM(CASE WHEN runnable THEN 0 ELSE 1 END)
+              OVER (PARTITION BY path ORDER BY pos) AS grp
+  FROM vt
+), runs0 AS (
+  -- verb run = maximal island of verb/auxiliary tokens, starting at the
+  -- island's FIRST verb (aux-only prefixes are skipped by the scan)
+  SELECT path, grp,
+         MIN(CASE WHEN isv THEN pos END) AS vstart,
+         MAX(pos) AS vend
+  FROM marked WHERE runnable
+  GROUP BY path, grp
+  HAVING MIN(CASE WHEN isv THEN pos END) IS NOT NULL
+), runs AS (
+  SELECT path, vstart, vend,
+         row_number() OVER (PARTITION BY path ORDER BY vstart) - 1 AS depth
+  FROM runs0
+), nruns AS (
+  SELECT path, COUNT(*) AS n_runs FROM runs GROUP BY path
+), bounds AS (
+  SELECT path, list_sort(list(pos)) AS bps
+  FROM toks WHERE w IN ({_sql_list(_PUNCT)})
+  GROUP BY path
+), verb_triples AS (
+  SELECT s.repo, s.path, s.cmt, s.sent_id, s.sentence, r.depth,
+         CASE WHEN x.lo >= r.vstart THEN
+             CASE WHEN x.first_b IS NOT NULL AND x.first_b < r.vstart
+                  THEN COALESCE(
+                    array_to_string(s.words[1:x.first_b - 1], ' '), '')
+                  ELSE '' END
+         ELSE COALESCE(
+           array_to_string(s.words[x.lo:r.vstart - 1], ' '), '') END AS arg1,
+         COALESCE(array_to_string(s.words[r.vstart:r.vend], ' '), '')
+           AS rel,
+         COALESCE(array_to_string(s.words[r.vend + 1:x.hi], ' '), '')
+           AS arg2
+  FROM runs r
+  JOIN sents s ON s.path = r.path
+  LEFT JOIN bounds b ON b.path = r.path,
+  LATERAL (SELECT
+     COALESCE(list_max(list_filter(COALESCE(b.bps, []::BIGINT[]),
+                                   p -> p < r.vstart)) + 1, 1) AS lo,
+     COALESCE(list_min(list_filter(COALESCE(b.bps, []::BIGINT[]),
+                                   p -> p > r.vstart)) - 1,
+              len(s.words)) AS hi,
+     CASE WHEN len(COALESCE(b.bps, []::BIGINT[])) > 0
+          THEN b.bps[1] END AS first_b) x
+  WHERE r.depth < 5
+), appos_c AS (
+  -- first comma followed by a determiner (not sentence-initial/final)
+  SELECT t.path, MIN(t.pos) AS c
+  FROM toks t JOIN sents s ON s.path = t.path
+  WHERE t.w = ',' AND t.pos >= 2 AND t.pos <= len(s.words) - 1
+    AND lower(s.words[t.pos + 1]) IN ({_sql_list(_APPOSITION_DETS)})
+  GROUP BY t.path
+), appos_triples AS (
+  SELECT s.repo, s.path, s.cmt, s.sent_id, s.sentence,
+         COALESCE(n.n_runs, 0) AS depth,
+         COALESCE(array_to_string(s.words[1:a.c - 1], ' '), '') AS arg1,
+         'is ' AS rel,
+         COALESCE(array_to_string(s.words[a.c + 1:x.hi2], ' '), '') AS arg2
+  FROM appos_c a
+  JOIN sents s ON s.path = a.path
+  LEFT JOIN nruns n ON n.path = a.path
+  LEFT JOIN bounds b ON b.path = a.path,
+  LATERAL (SELECT
+     COALESCE(list_min(list_filter(COALESCE(b.bps, []::BIGINT[]),
+                                   p -> p > a.c)) - 1,
+              len(s.words)) AS hi2) x
+  WHERE COALESCE(n.n_runs, 0) < 5
+), raw_triples AS (
+  SELECT * FROM verb_triples WHERE arg1 <> '' AND rel <> ''
+  UNION ALL
+  SELECT * FROM appos_triples WHERE arg1 <> ''
+), triples AS (
+  SELECT repo, path, cmt, sent_id, 0::BIGINT AS split_id,
+         depth::BIGINT AS depth, sentence, arg1, rel, arg2,
+         (95 - 8 * depth
+          + CAST(round((4.0 * ((md5_number_upper(
+                '{seed}|' || sentence || '|' || depth::VARCHAR)
+                & 255::UBIGINT)::BIGINT)) / 255.0) AS BIGINT))::BIGINT
+           AS conf_centi
+  FROM raw_triples
+  QUALIFY row_number() OVER (
+     PARTITION BY path, sent_id, arg1, arg2, rel ORDER BY depth) = 1
+)"""
+
+
+def sql_triples() -> str:
+    return (
+        _triples_cte()
+        + """
+SELECT repo, path, cmt AS "commit", sent_id, split_id, depth,
+       arg1, rel, arg2, conf_centi
+FROM triples
+"""
+    )
+
+
+def sql_conj_splits() -> str:
+    """Identity-split rows for coordinator-free sentences (see module
+    docstring: a coordinator-bearing sentence is emitted by the engine
+    but not the oracle → loud row-count failure, never a silent pass)."""
+    return (
+        _triples_cte()
+        + f"""
+SELECT repo, path, cmt AS "commit", sent_id, 0::BIGINT AS split_id,
+       sentence AS split_sentence, sentence AS orig_sentence
+FROM sents
+WHERE len(list_filter(words,
+        x -> lower(x) IN ({_sql_list(_COORDINATORS)}))) = 0
+"""
+    )
+
+
+def sql_predicate_freq() -> str:
+    return (
+        _triples_cte()
+        + f"""
+SELECT rel_norm, COUNT(*)::BIGINT AS n
+FROM (SELECT {_norm_expr('rel')} AS rel_norm FROM triples)
+WHERE rel_norm <> ''
+GROUP BY rel_norm
+"""
+    )
+
+
+def sql_graph_nodes() -> str:
+    return (
+        _triples_cte()
+        + f"""
+, surf AS (
+  SELECT arg1 AS surface FROM triples WHERE arg1 <> ''
+  UNION ALL
+  SELECT arg2 FROM triples WHERE arg2 <> ''
+), normed AS (
+  SELECT {_norm_expr('surface')} AS surface_norm, surface FROM surf
+)
+SELECT 'C' || substr(sha256(surface_norm), 1, 16) AS node_id,
+       surface_norm, MIN(surface) AS surface,
+       COUNT(*)::BIGINT AS n_mentions
+FROM normed WHERE surface_norm <> ''
+GROUP BY surface_norm
+"""
+    )
+
+
+def sql_graph_edges() -> str:
+    return (
+        _triples_cte()
+        + f"""
+, edges AS (
+  SELECT {_node_expr('arg1')} AS src, {_node_expr('arg2')} AS dst,
+         rel, conf_centi, repo, path, cmt, sent_id
+  FROM triples
+)
+SELECT src, dst, rel, conf_centi, repo, path, cmt AS "commit", sent_id
+FROM edges
+QUALIFY row_number() OVER (PARTITION BY src, rel, dst
+        ORDER BY conf_centi DESC, repo, path, sent_id) = 1
+"""
+    )
+
+
+def _ents_cte() -> str:
+    """triples + entity/violation columns via alias-dictionary occurrence
+    tests (exact when the dictionary has zero corpus hits — see module
+    docstring)."""
+    from .state.ner import ALIAS_DICT
+
+    surfaces = _sql_list(ALIAS_DICT)
+    mw = [s for s in ALIAS_DICT if " " in s]
+    mw_list = _sql_list(mw) if mw else "''"
+    return (
+        _triples_cte()
+        + f"""
+, ents AS (
+  SELECT *,
+    len(list_filter([{surfaces}],
+        s -> contains(' ' || arg1 || ' ', ' ' || s || ' '))) AS occ1,
+    len(list_filter([{surfaces}],
+        s -> contains(' ' || rel || ' ', ' ' || s || ' '))) AS occr,
+    len(list_filter([{surfaces}],
+        s -> contains(' ' || arg2 || ' ', ' ' || s || ' '))) AS occ2,
+    len(list_filter([{mw_list}], s ->
+        contains(' ' || sentence || ' ', ' ' || s || ' ')
+        AND NOT (contains(arg1, s) OR contains(rel, s)
+                 OR contains(arg2, s))
+        AND ((CASE WHEN list_has_any(string_split(arg1, ' '),
+                                     string_split(s, ' '))
+              THEN 1 ELSE 0 END)
+           + (CASE WHEN list_has_any(string_split(rel, ' '),
+                                     string_split(s, ' '))
+              THEN 1 ELSE 0 END)
+           + (CASE WHEN list_has_any(string_split(arg2, ' '),
+                                     string_split(s, ' '))
+              THEN 1 ELSE 0 END)) > 1)) AS seg
+  FROM triples
+)"""
+    )
+
+
+def sql_triples_entities() -> str:
+    return (
+        _ents_cte()
+        + """
+SELECT repo, path, cmt AS "commit", sent_id, split_id, depth,
+       arg1, rel, arg2, conf_centi,
+       '' AS subj_ents_s, '' AS subj_types_s,
+       '' AS obj_ents_s, '' AS obj_types_s, '' AS rel_ents_s,
+       (occ1 = 0 AND occ2 = 0) AS viol_c1,
+       (occ1 > 1 OR occ2 > 1) AS viol_c2,
+       (occr > 0) AS viol_c3,
+       (seg > 0) AS viol_c4
+FROM ents
+"""
+    )
+
+
+def sql_violations() -> str:
+    return (
+        _ents_cte()
+        + """
+SELECT SUM(CASE WHEN occ1 = 0 AND occ2 = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS c1,
+       SUM(CASE WHEN occ1 > 1 OR occ2 > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS c2,
+       SUM(CASE WHEN occr > 0 THEN 1 ELSE 0 END)::BIGINT AS c3,
+       SUM(CASE WHEN seg > 0 THEN 1 ELSE 0 END)::BIGINT AS c4,
+       COUNT(*)::BIGINT AS total
+FROM ents
+"""
+    )
+
+
+def sql_carb_selfcheck() -> str:
+    """The north-rule conformance expectation as a constant: the
+    distributed engine's CaRB precision/recall against the single-process
+    oracle MUST be exactly 1.0/1.0 — the driver now hard-fails if the
+    engine's plumbing (ordering, grouping, dedup under shuffles) drifts."""
+    return """
+SELECT 1000::BIGINT AS precision_permille,
+       1000::BIGINT AS recall_permille,
+       true AS gate_095_pass
+"""

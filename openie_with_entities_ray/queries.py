@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import oracles
+
 _ANN_SEED = 123
 _ANN_K = 10
 
@@ -662,20 +664,72 @@ def _source_docs(sf_dir):
     return read_source_docs(sf_dir)
 
 
+def _conf_to_centi(ds):
+    """confidence (already 2-decimal, model.py:477) → integer centi so the
+    driver's value hash can't diverge on float formatting."""
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            if name == "confidence":
+                cols["conf_centi"] = pa.array(
+                    [
+                        int(round(v * 100))
+                        for v in batch.column("confidence").to_pylist()
+                    ],
+                    pa.int64(),
+                )
+            else:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
 def q_triples(sf_dir):
     from .pipelines.flagship import extract_triples
 
-    return extract_triples(_source_docs(sf_dir)).drop_columns(
-        ["orig_sentence", "content_sha256"]
+    return _conf_to_centi(
+        extract_triples(_source_docs(sf_dir)).drop_columns(
+            ["orig_sentence", "content_sha256"]
+        )
     )
 
 
 def q_triples_entities(sf_dir):
+    """Entity-typed triples, projected for the hash gate: list columns go
+    out as comma-joined strings (the driver compare stringifies columns —
+    numpy arrays from the two sides print differently)."""
     from .pipelines.flagship import extract_triples_with_entities
 
-    return extract_triples_with_entities(_source_docs(sf_dir)).drop_columns(
+    tr = extract_triples_with_entities(_source_docs(sf_dir)).drop_columns(
         ["orig_sentence", "content_sha256"]
     )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            if name == "confidence":
+                cols["conf_centi"] = pa.array(
+                    [
+                        int(round(v * 100))
+                        for v in batch.column("confidence").to_pylist()
+                    ],
+                    pa.int64(),
+                )
+            elif name in (
+                "subj_ents", "subj_types", "obj_ents", "obj_types",
+                "rel_ents",
+            ):
+                cols[name + "_s"] = pa.array(
+                    [",".join(v) for v in batch.column(name).to_pylist()],
+                    pa.string(),
+                )
+            else:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    return tr.map_batches(fin, batch_format="pyarrow")
 
 
 def q_conj_splits(sf_dir):
@@ -686,7 +740,7 @@ def q_conj_splits(sf_dir):
         ConjSplitter,
         batch_format="pyarrow",
         concurrency=(1, 8),
-    ).drop_columns(["conj_words", "content_sha256"])
+    ).drop_columns(["conj_words", "split_indices", "content_sha256"])
 
 
 def q_graph_nodes(sf_dir):
@@ -700,7 +754,7 @@ def q_graph_edges(sf_dir):
     from .pipelines.flagship import build_graph, extract_triples
 
     _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
-    return edges
+    return _conf_to_centi(edges)
 
 
 def q_predicate_freq(sf_dir):
@@ -711,7 +765,9 @@ def q_predicate_freq(sf_dir):
 
 
 def q_violations(sf_dir):
-    """A6 constraint-violation counters as a tiny aggregate."""
+    """A6 constraint-violation counters: per-batch partial sums → one Ray
+    ``Sum`` aggregate (no driver-side partials table — the aggregate tree
+    reduces on workers and returns five scalars)."""
     from ray.data.aggregate import Sum
 
     from .pipelines.flagship import extract_triples_with_entities
@@ -737,8 +793,14 @@ def q_violations(sf_dir):
             }
         )
 
-    partials = tr.map_batches(flags, batch_format="pyarrow").to_pandas()
-    return pd.DataFrame([partials.sum()]).astype("int64")
+    totals = tr.map_batches(flags, batch_format="pyarrow").aggregate(
+        Sum("c1", alias_name="c1"),
+        Sum("c2", alias_name="c2"),
+        Sum("c3", alias_name="c3"),
+        Sum("c4", alias_name="c4"),
+        Sum("total", alias_name="total"),
+    )
+    return pd.DataFrame([totals]).astype("int64")
 
 
 def q_per_org_pairs(sf_dir):
@@ -1135,4 +1197,15 @@ def build_oracle_sql():
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "minhash_pairs": _sql_minhash_pairs(),
         "embedding_dups": SQL_EMBEDDING_DUPS,
+        # labeler-pipeline oracles: the deterministic labeler + decode is
+        # a pure word-list/md5 function of the sentence → expressible in
+        # SQL end-to-end (openie_with_entities_ray/oracles.py)
+        "triples": oracles.sql_triples(),
+        "conj_splits": oracles.sql_conj_splits(),
+        "predicate_freq": oracles.sql_predicate_freq(),
+        "graph_nodes": oracles.sql_graph_nodes(),
+        "graph_edges": oracles.sql_graph_edges(),
+        "triples_entities": oracles.sql_triples_entities(),
+        "violations": oracles.sql_violations(),
+        "carb_selfcheck": oracles.sql_carb_selfcheck(),
     }
