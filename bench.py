@@ -91,7 +91,20 @@ def run_bench() -> dict:
         n_e = edges.count()
         return n_e
 
-    timed("flagship", flagship)
+    # this sandbox is a VM with up to 2x host-weather variance between
+    # identical runs (BASELINE.md); the driver sees ONE bench run per
+    # round, so the headline number itself must be weather-robust:
+    # best-of-N inside the default mode (N=2), same protocol as the
+    # committed baseline
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
+    flagship_runs = []
+    n_e = 0
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        n_e = flagship()
+        flagship_runs.append(round(time.perf_counter() - t0, 3))
+    timings["flagship"] = min(flagship_runs)
+    rows["flagship"] = n_e
 
     if os.environ.get("GRAFT_BENCH_ONLY") != "flagship":
         timed("lineitem_agg", lambda: q_lineitem_agg(SF_DIR).count())
@@ -108,6 +121,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "rows": rows,
+        "flagship_runs": flagship_runs,
         "total_sec": round(sum(timings.values()), 3),
         "throughput_rows_per_s": (
             round(rows["flagship"] / timings["flagship"], 1)
@@ -178,6 +192,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ONLY="flagship",
+            GRAFT_BENCH_RUNS="1",  # best-of happens at this level instead
             # larger corpus for the scaling comparison so the fixed costs
             # (actor spawn, read barrier) drop below ~5% of wall time
             GRAFT_BENCH_REPLICATE=os.environ.get(
