@@ -60,8 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--task", type=str, default="oie", choices=["oie", "conj"])
     p.add_argument("--gold", type=str, help="gold TSV for --mode eval")
     p.add_argument("--matcher", type=str, default="carb",
-                   choices=["carb", "wire57"],
-                   help="eval protocol: CaRB PR sweep or Wire57 greedy-F1")
+                   choices=["carb", "wire57", "simple", "exact", "pred",
+                            "lexical", "bow", "strict", "binary"],
+                   help="eval protocol: CaRB PR sweep (with any matcher "
+                        "from the reference registry, carb/carb.py:480-505) "
+                        "or Wire57 greedy-F1")
     p.add_argument("--split_fp", type=str, default="",
                    help="pre-split conj file: skip the conj model and use "
                         "these splits (run.py:206-227 path)")
@@ -373,7 +376,11 @@ def run_eval(args) -> None:
             f"{s['recall']:.4f}  f1: {s['f1']:.4f}"
         )
         return
-    auc, optimal, curve = compare(dict(gold), dict(pred))
+    from .eval.matcher import MATCHERS
+
+    auc, optimal, curve = compare(
+        dict(gold), dict(pred), matching_func=MATCHERS[args.matcher]
+    )
     print(f"AUC: {auc}\tOptimal (precision, recall, F1): {optimal[:3]}")
     if args.out:
         with open(args.out, "w", encoding="utf-8") as f:

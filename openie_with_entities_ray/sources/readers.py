@@ -255,6 +255,62 @@ def parse_openie5_line(line: str):
     return (text, rel, [arg1] + args, conf)
 
 
+def parse_reverb_line(line: str):
+    """ReVerb (reVerbReader.py:11-21): args at cols 2-4, confidence at
+    col 11, and a 1-BASED SENTENCE INDEX at col 1 — the sentence text
+    lives in a separate raw-sentences companion file
+    (reVerbReader.py:26-28). Returns (index, rel, args, confidence)."""
+    data = line.strip().split("\t")
+    if len(data) < 12:
+        return None
+    try:
+        conf = float(data[11])
+        idx = int(data[1])
+    except ValueError:
+        return None
+    return (idx, data[3], [data[2], data[4]], conf)
+
+
+def read_reverb(paths, raw_sents_path: str):
+    """ReVerb extractions ⨝ raw-sentences companion file.
+
+    The sentence list is small side data: read once on the driver and
+    shipped in the task closure (one object-store copy). Out-of-range
+    indices are skipped — the reference would crash on them
+    (reVerbReader.py:19), but an engine must not die on data."""
+    import pyarrow as pa
+
+    import ray.data
+
+    with open(raw_sents_path) as f:
+        sents = [s.strip() for s in f.readlines()]
+
+    def parse_lines(batch: pa.Table) -> pa.Table:
+        records = []
+        for line in batch.column("text").to_pylist():
+            rec = parse_reverb_line(line)
+            if rec:
+                idx, rel, args, conf = rec
+                if 1 <= idx <= len(sents):
+                    records.append((sents[idx - 1], rel, args, conf))
+        return pa.table(
+            {
+                "sentence": pa.array([r[0] for r in records], pa.string()),
+                "rel": pa.array([r[1] for r in records], pa.string()),
+                "args": pa.array(
+                    [list(r[2]) for r in records], pa.list_(pa.string())
+                ),
+                "confidence": pa.array(
+                    [r[3] for r in records], pa.float64()
+                ),
+            }
+        )
+
+    return ray.data.read_text(paths).map_batches(
+        parse_lines, batch_format="pyarrow"
+    )
+
+
 def parse_benchmark_gold_line(line: str):
     """benchmarkGoldReader: sent \t prob \t pred \t arg1 \t arg2..."""
     rec = parse_tabbed_line(line)
@@ -280,12 +336,19 @@ BLOCK_PARSERS = {
 }
 
 
-def read_extractions(paths, fmt: str):
+def read_extractions(paths, fmt: str, raw_sents: str | None = None):
     """Registry reader (carb.py:440-478 analogue): any S7 format → a
-    Dataset of (sentence, rel, args, confidence)."""
+    Dataset of (sentence, rel, args, confidence). ``fmt='reverb'``
+    additionally needs the raw-sentences companion file
+    (carb.py:452-453 dispatch)."""
     import pyarrow as pa
 
     import ray.data
+
+    if fmt == "reverb":
+        if raw_sents is None:
+            raise ValueError("fmt='reverb' needs raw_sents=<sentences file>")
+        return read_reverb(paths, raw_sents)
 
     def to_table(records):
         return pa.table(

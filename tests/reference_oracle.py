@@ -126,3 +126,56 @@ def load_triple_oracle(no_lt: bool = False):
 
     _cache[key] = call
     return call
+
+
+def load_matcher_oracle(stopwords):
+    """AST-extract the reference Matcher's static methods (carb/matcher.py)
+    into a shim class. ``stopwords`` is injected (the reference builds its
+    list from nltk at import time, which is unavailable here)."""
+    key = "matcher"
+    if key in _cache:
+        return _cache[key]
+    from copy import copy
+
+    path = os.path.join(REFERENCE_DIR, "carb", "matcher.py")
+    g: dict = {"copy": copy}
+    methods = {}
+    for name in (
+        "bowMatch", "predMatch", "argMatch", "lexicalMatch",
+        "tuple_match", "linient_tuple_match", "simple_tuple_match",
+        "binary_tuple_match", "binary_linient_tuple_match",
+        "removeStopwords",
+    ):
+        exec(_extract_method(path, "Matcher", name), g)
+        methods[name] = g[name]
+
+    cls = type(
+        "Matcher",
+        (),
+        {
+            **{k: staticmethod(v) for k, v in methods.items()},
+            "LEXICAL_THRESHOLD": 0.5,
+            "BLEU_THRESHOLD": 0.4,
+            "F1_THRESHOLD": 0.25,
+            "PRECISION_THRESHOLD": 0.8,
+            "stopwords": list(stopwords),
+        },
+    )
+    g["Matcher"] = cls  # late-bind the intra-class references
+
+    class RefExt:
+        """Just enough of carb.oie_readers.extraction.Extraction for the
+        matchers: plain-string pred/args, bow(), elementToStr()."""
+
+        def __init__(self, pred, args):
+            self.pred = pred
+            self.args = list(args)
+
+        def elementToStr(self, elem):
+            return str(elem)
+
+        def bow(self):
+            return " ".join([self.pred] + [str(a) for a in self.args])
+
+    _cache[key] = (cls, RefExt)
+    return _cache[key]

@@ -211,6 +211,36 @@ def test_text_format_readers(tmp_path, ray_session):
     assert {r["orig_sentence"] for r in rows} == {"A and B left .", "C slept ."}
 
 
+def test_reverb_reader(tmp_path, ray_session):
+    """ReVerb format (reVerbReader.py:11-28): extraction file indexes into
+    a companion raw-sentences file (1-based)."""
+    from openie_with_entities_ray.sources.readers import (
+        parse_reverb_line,
+        read_extractions,
+    )
+
+    raw = tmp_path / "all.txt"
+    raw.write_text("A founded B .\nC bought D .\n")
+    ext = tmp_path / "out.reverb"
+    cols = ["f0"] + ["1", "A", "founded", "B"] + ["x"] * 6 + ["0.91"]
+    cols2 = ["f0"] + ["2", "C", "bought", "D"] + ["x"] * 6 + ["0.55"]
+    cols3 = ["f0"] + ["9", "E", "won", "F"] + ["x"] * 6 + ["0.5"]  # OOB
+    ext.write_text(
+        "\t".join(cols) + "\n" + "\t".join(cols2) + "\n"
+        + "\t".join(cols3) + "\n"
+    )
+
+    assert parse_reverb_line("\t".join(cols)) == (
+        1, "founded", ["A", "B"], 0.91
+    )
+    rows = read_extractions(str(ext), "reverb", raw_sents=str(raw)).take_all()
+    assert len(rows) == 2  # out-of-range index skipped, not crashed
+    assert rows[0]["sentence"] == "A founded B ."
+    assert rows[1]["args"] == ["C", "D"]
+    with pytest.raises(ValueError):
+        read_extractions(str(ext), "reverb")
+
+
 def test_renderers(ray_session):
     import pyarrow as pa
     import ray.data
