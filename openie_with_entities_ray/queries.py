@@ -44,8 +44,67 @@ def ann_query_vector(dim: int = 64) -> np.ndarray:
 # documents table operators (SQL-oracled)
 
 
+_MSFIX_WORDS = [
+    "alpha", "beta", "gamma", "delta", "rows", "scan", "merge", "fast",
+    "table", "query",
+]
+
+
+def multisentence_fixture_docs(n: int = 16):
+    """Deterministic multi-sentence prose docs unioned into doc_sentences
+    so the sentence SPLITTER (sent_id > 0), the length filter and the
+    curly-quote normalizer are exercised by the driver's hard gate (the
+    sf documents are all single-sentence). Negative doc_ids cannot
+    collide with the corpus; the same rows are embedded as VALUES
+    literals in the SQL oracle."""
+    import hashlib
+
+    docs = []
+    for i in range(n):
+        h = int.from_bytes(
+            hashlib.md5(f"msfix:{i}".encode()).digest()[:8], "little"
+        )
+        sents = []
+        for k in range(2 + h % 4):
+            hk = int.from_bytes(
+                hashlib.md5(f"msfix:{i}:{k}".encode()).digest()[:8], "little"
+            )
+            words = [
+                _MSFIX_WORDS[(hk >> (4 * j)) % 10]
+                for j in range(3 + hk % 5)
+            ]
+            sents.append(" ".join(words) + " .")
+        if i == 0:
+            sents.append("it’s fast .")  # quote normalization (O1)
+        if i == 1:
+            sents.append(" ".join(["pad"] * 120) + " .")  # >100w: dropped
+        docs.append(
+            {
+                "doc_id": -(i + 1),
+                "text": " " + "  ".join(sents) + " ",
+                "lang": "en",
+            }
+        )
+    return docs
+
+
+def _docs_with_fixture(sf_dir):
+    import ray.data
+
+    fix = multisentence_fixture_docs()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in fix], pa.int64()),
+            "text": pa.array([d["text"] for d in fix], pa.string()),
+            "lang": pa.array([d["lang"] for d in fix], pa.string()),
+        }
+    )
+    return _docs(sf_dir).union(ray.data.from_arrow(tbl))
+
+
 def q_doc_sentences(sf_dir):
-    """S1/O1: documents → normalized sentence rows (prose path)."""
+    """S1/O1: documents (∪ multi-sentence fixture) → normalized sentence
+    rows (prose path)."""
     from .functions.text import extract_sentences
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -66,15 +125,56 @@ def q_doc_sentences(sf_dir):
             }
         )
 
-    return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    return _docs_with_fixture(sf_dir).map_batches(
+        explode, batch_format="pyarrow"
+    )
 
 
-SQL_DOC_SENTENCES = """
+def _sql_doc_sentences() -> str:
+    """Sentence splitter + normalizer in SQL: docs without a terminal
+    punctuation mark are one sentence (the sf corpus); otherwise split on
+    sentence enders keeping the ender (RE2 has no lookbehind, so the
+    split is expressed as an extract-all of '[^.!?]+[.!?]' — the fixture
+    generator guarantees every sentence is punctuation-terminated).
+    sent_id enumerates KEPT sentences (post length-filter), as the
+    engine's enumerate() does."""
+    rows = ",\n    ".join(
+        "({id}, '{t}')".format(
+            id=d["doc_id"], t=d["text"].replace("'", "''")
+        )
+        for d in multisentence_fixture_docs()
+    )
+    return f"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {rows}) fix(doc_id, text)
+), chunks AS (
+  SELECT doc_id,
+         CASE WHEN NOT regexp_matches(text, '[.!?]')
+              THEN [trim(text)]
+              ELSE regexp_extract_all(trim(text), '[^.!?]+[.!?]') END
+           AS rawsents
+  FROM alldocs
+), exploded AS (
+  SELECT doc_id, unnest(rawsents) AS raw,
+         generate_subscripts(rawsents, 1) AS ord
+  FROM chunks
+), normed AS (
+  SELECT doc_id, ord,
+         array_to_string(regexp_split_to_array(trim(
+           replace(replace(replace(raw, '’', chr(39)),
+                   '”', repeat(chr(39), 2)), '“', repeat(chr(39), 2))
+         ), '\\s+'), ' ') AS sentence
+  FROM exploded
+)
 SELECT doc_id,
-       0::BIGINT AS sent_id,
-       regexp_replace(trim(text), ' +', ' ', 'g') AS sentence
-FROM documents
-WHERE len(regexp_split_to_array(trim(text), ' +')) <= 100
+       (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::BIGINT
+         AS sent_id,
+       sentence
+FROM normed
+WHERE sentence <> ''
+  AND len(regexp_split_to_array(sentence, ' ')) <= 100
 """
 
 
@@ -1179,7 +1279,7 @@ def build_queries():
 
 def build_oracle_sql():
     return {
-        "doc_sentences": SQL_DOC_SENTENCES,
+        "doc_sentences": _sql_doc_sentences(),
         "token_counts": SQL_TOKEN_COUNTS,
         "lang_counts": SQL_LANG_COUNTS,
         "doc_hashes": SQL_DOC_HASHES,

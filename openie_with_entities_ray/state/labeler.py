@@ -273,7 +273,9 @@ class TorchGridLabeler:
     /root/reference/model.py:58-267):
 
     - wordpiece-tokenize per word with BOS=101/EOS=102 and UNK=[100] for
-      empty encodings (data.py:294-303); track word_starts;
+      empty encodings (data.py:294-303); track word_starts — IMPLEMENTED
+      as a pure, torch-free kernel in functions/wordpiece.py
+      (``encode_words``), so this slot is now only the forward pass;
     - split the last ``iterative_layers=2`` encoder layers; per depth run
       them over the previous hidden state plus the label embedding of the
       previous depth's argmax, gather vectors at word_starts, apply merge
