@@ -73,9 +73,94 @@ def _node_expr(col: str) -> str:
     return f"'C' || substr(sha256({_norm_expr(col)}), 1, 16)"
 
 
+# ---------------------------------------------------------------------------
+# entity-bearing fixture corpus: deterministic source_docs rows whose
+# single sentences carry alias-dictionary entities but NO coordinators,
+# commas or ambiguous surfaces — i.e. inside both the OIE-SQL domain and
+# the mention-maximality SQL domain. Used (engine ∪ + SQL VALUES) by the
+# per_org_pairs / entity_filtered_triples hard-gate queries.
+
+_FIX_PER = ["Alice", "Bob", "Carol", "Dave", "Erin", "Frank", "Grace"]
+_FIX_ORG1 = ["Initech", "Globex", "Hooli", "Vandelay"]
+_FIX_ORGMW = ["Acme Corp", "Umbrella Systems", "Stark Industries",
+              "Wayne Enterprises"]
+_FIX_LOC = ["London", "Tokyo", "Berlin", "Austin", "New York"]
+_FIX_VERB = ["joined", "founded", "acquired", "launched"]
+_FIX_ROLE = ["architect", "director", "engineer"]
+
+
+def entity_fixture_docs(n: int = 48):
+    """source_docs-shaped rows, pure function of the row index."""
+    import hashlib
+
+    def pick(seq, h, salt):
+        return seq[(h >> salt) % len(seq)]
+
+    docs = []
+    for i in range(n):
+        h = int.from_bytes(
+            hashlib.md5(f"entfix:{i}".encode()).digest()[:8], "little"
+        )
+        per = pick(_FIX_PER, h, 0)
+        per2 = pick(_FIX_PER, h, 3)
+        org = pick(_FIX_ORG1, h, 6)
+        orgmw = pick(_FIX_ORGMW, h, 9)
+        loc = pick(_FIX_LOC, h, 12)
+        verb = pick(_FIX_VERB, h, 15)
+        role = pick(_FIX_ROLE, h, 18)
+        kind = i % 6
+        if kind == 0:      # PER verb ORG → per_org positive
+            sent = f"{per} {verb} {org} ."
+        elif kind == 1:    # ORG employs PER → subject-type negative
+            sent = f"{org} employs {per} ."
+        elif kind == 2:    # two object mentions → count negative
+            sent = f"{per} {verb} {org} in {loc} ."
+        elif kind == 3:    # no subject entity
+            sent = f"the {role} {verb} {org} ."
+        elif kind == 4:    # multiword ORG object
+            sent = f"{per} {verb} {orgmw} ."
+        else:              # no verb in VERBS → zero triples
+            sent = f"{per} met {per2} ."
+        docs.append(
+            {
+                "repo": "fixtures/entities",
+                "path": f"fix/ent_{i}.txt",
+                "commit": format(10**9 + i, "012x"),
+                "lang": "en",
+                "content": sent,
+            }
+        )
+    return docs
+
+
+def _fixture_sents_sql(docs) -> str:
+    """The fixture docs as a UNION ALL branch of the sents CTE."""
+    vals = ",\n    ".join(
+        "('{r}', '{p}', '{c}', '{t}')".format(
+            r=d["repo"], p=d["path"], c=d["commit"],
+            t=d["content"].replace("'", "''"),
+        )
+        for d in docs
+    )
+    return f"""
+  UNION ALL
+  SELECT repo, path, cmt, 0::BIGINT AS sent_id,
+         regexp_split_to_array(trim(txt), ' +') AS words,
+         array_to_string(regexp_split_to_array(trim(txt), ' +'), ' ')
+           AS sentence
+  FROM (VALUES {vals}) fx(repo, path, cmt, txt)
+  WHERE len(trim(txt)) > 0
+    AND len(regexp_split_to_array(trim(txt), ' +')) <= 100"""
+
+
 # Shared WITH-clause: documents → sentences → verb runs → decoded,
 # deduped, confidence-scored triples (the flagship no-shuffle pipeline).
-def _triples_cte(seed: int = 777) -> str:
+def _triples_cte(seed: int = 777, with_entity_fixture: bool = False) -> str:
+    extra = (
+        _fixture_sents_sql(entity_fixture_docs())
+        if with_entity_fixture
+        else ""
+    )
     return f"""
 WITH sents AS (
   SELECT 'corpus/' || source AS repo,
@@ -87,7 +172,7 @@ WITH sents AS (
            AS sentence
   FROM documents
   WHERE len(trim(text)) > 0
-    AND len(regexp_split_to_array(trim(text), ' +')) <= 100
+    AND len(regexp_split_to_array(trim(text), ' +')) <= 100{extra}
 ), toks AS (
   SELECT path, unnest(words) AS w,
          generate_subscripts(words, 1)::BIGINT AS pos
@@ -328,6 +413,121 @@ SELECT SUM(CASE WHEN occ1 = 0 AND occ2 = 0 THEN 1 ELSE 0 END)::BIGINT
        SUM(CASE WHEN seg > 0 THEN 1 ELSE 0 END)::BIGINT AS c4,
        COUNT(*)::BIGINT AS total
 FROM ents
+"""
+    )
+
+
+def _surf_values() -> str:
+    """(surface, linked type) literals from the alias dictionary.
+    Ambiguous surfaces (>1 candidate — linking needs the cosine scorer)
+    are typed 'AMBIG': they never satisfy a PER/ORG predicate, so an
+    engine that links one produces a row the oracle lacks → loud fail."""
+    from .state.ner import ALIAS_DICT
+
+    rows = []
+    for s in sorted(ALIAS_DICT):
+        cands = ALIAS_DICT[s]
+        typ = cands[0][1] if len(cands) == 1 else "AMBIG"
+        rows.append("('{s}', '{t}')".format(s=s.replace("'", "''"), t=typ))
+    return ",\n    ".join(rows)
+
+
+# mention model in SQL: a dictionary surface "occurs" in a text when it
+# appears as a token subsequence (texts are single-spaced); a mention is
+# a MAXIMAL occurrence (not an infix of another occurring surface) —
+# equal to the greedy longest-match tagger on corpora where no surface
+# occurs both standalone and inside a longer match (the fixture is
+# constructed that way; the sf corpus has zero occurrences).
+def _mention_cte(name: str, text_expr: str) -> str:
+    return f"""
+, {name}0 AS (
+  SELECT tr.path, tr.sent_id, tr.depth, f.s, f.typ
+  FROM triples tr JOIN surf f
+    ON contains(' ' || {text_expr} || ' ', ' ' || f.s || ' ')
+), {name} AS (
+  SELECT o.* FROM {name}0 o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {name}0 l
+    WHERE l.path = o.path AND l.sent_id = o.sent_id
+      AND l.depth = o.depth AND l.s <> o.s
+      AND contains(' ' || l.s || ' ', ' ' || o.s || ' '))
+)"""
+
+
+def sql_per_org_pairs() -> str:
+    """A8 (pubmed_analysis.py:60-84): subject = exactly one PER mention,
+    object = exactly one ORG mention, over documents ∪ entity fixture."""
+    return (
+        _triples_cte(with_entity_fixture=True)
+        + f"""
+, surf(s, typ) AS (VALUES {_surf_values()})"""
+        + _mention_cte("m1", "tr.arg1")
+        + _mention_cte("m2", "tr.arg2")
+        + """
+, subj AS (
+  SELECT path, sent_id, depth, COUNT(*) AS n, MIN(typ) AS typ
+  FROM m1 GROUP BY 1, 2, 3
+), obj AS (
+  SELECT path, sent_id, depth, COUNT(*) AS n, MIN(typ) AS typ
+  FROM m2 GROUP BY 1, 2, 3
+)
+SELECT tr.path, tr.sent_id, tr.arg1, tr.rel, tr.arg2
+FROM triples tr
+JOIN subj ON subj.path = tr.path AND subj.sent_id = tr.sent_id
+         AND subj.depth = tr.depth AND subj.n = 1 AND subj.typ = 'PER'
+JOIN obj ON obj.path = tr.path AND obj.sent_id = tr.sent_id
+        AND obj.depth = tr.depth AND obj.n = 1 AND obj.typ = 'ORG'
+"""
+    )
+
+
+def sql_entity_filtered_triples() -> str:
+    """J4 baseline (scripts/baselines.py:50-88): subject exactly equals a
+    sentence entity (case-insensitive), exactly one entity inside the
+    object, object ends with it → rewrite to entity-bounded form."""
+    return (
+        _triples_cte(with_entity_fixture=True)
+        + f"""
+, surf(s, typ) AS (VALUES {_surf_values()})
+, sment0 AS (
+  SELECT DISTINCT tr.path, tr.sent_id, f.s
+  FROM triples tr JOIN surf f
+    ON contains(' ' || tr.sentence || ' ', ' ' || f.s || ' ')
+), sment AS (
+  SELECT o.* FROM sment0 o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sment0 l
+    WHERE l.path = o.path AND l.sent_id = o.sent_id AND l.s <> o.s
+      AND contains(' ' || l.s || ' ', ' ' || o.s || ' '))
+), subj_ok AS (
+  SELECT DISTINCT tr.path, tr.sent_id, tr.depth
+  FROM triples tr JOIN sment m
+    ON m.path = tr.path AND m.sent_id = tr.sent_id
+   AND lower(m.s) = lower(tr.arg1)
+), objm AS (
+  SELECT tr.path, tr.sent_id, tr.depth, m.s
+  FROM triples tr JOIN sment m
+    ON m.path = tr.path AND m.sent_id = tr.sent_id
+   AND contains(lower(tr.arg2), lower(m.s))
+), objc AS (
+  SELECT path, sent_id, depth, COUNT(DISTINCT s) AS n, MIN(s) AS ent
+  FROM objm GROUP BY 1, 2, 3
+)
+SELECT tr.sentence AS sentence, tr.arg1,
+       trim(tr.rel || ' ' || replace(tr.arg2, x.new_obj, '')) AS rel,
+       x.new_obj AS arg2,
+       tr.conf_centi
+FROM triples tr
+JOIN subj_ok sk ON sk.path = tr.path AND sk.sent_id = tr.sent_id
+               AND sk.depth = tr.depth
+JOIN objc oc ON oc.path = tr.path AND oc.sent_id = tr.sent_id
+            AND oc.depth = tr.depth AND oc.n = 1,
+LATERAL (SELECT
+    CASE WHEN ends_with(lower(tr.arg2), lower(oc.ent)) THEN oc.ent
+         WHEN ends_with(lower(tr.arg2), lower(oc.ent) || '.')
+              THEN oc.ent || '.'
+         END AS new_obj) x
+WHERE x.new_obj IS NOT NULL
 """
     )
 

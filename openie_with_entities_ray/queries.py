@@ -903,18 +903,35 @@ def q_violations(sf_dir):
     return pd.DataFrame([totals]).astype("int64")
 
 
+def _entity_fixture_ds():
+    import ray.data
+
+    from .oracles import entity_fixture_docs
+
+    fix = entity_fixture_docs()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                k: pa.array([d[k] for d in fix], pa.string())
+                for k in ("repo", "path", "commit", "lang", "content")
+            }
+        )
+    )
+
+
 def q_per_org_pairs(sf_dir):
     """A8 (pubmed_analysis.py:60-84): triples whose subject is exactly one
     PER entity and object exactly one ORG entity.
 
     The sf documents corpus contains no alias-dictionary entities, so the
-    input is the union of the sf docs and the deterministic synthetic
-    entity-bearing corpus (FIXTURES.md F1) — the union operator is itself
-    part of the surface under test (J5 shape)."""
+    input is the union of the sf docs and the deterministic entity-bearing
+    fixture corpus (oracles.entity_fixture_docs — coordinator-free, so the
+    whole path sits inside the SQL-oracle domain and this query is
+    value-hash gated; the union operator is itself part of the surface
+    under test, J5 shape)."""
     from .pipelines.flagship import extract_triples_with_entities
-    from .sources.source_docs import synthetic_source_docs
 
-    docs = _source_docs(sf_dir).union(synthetic_source_docs(300, seed=42))
+    docs = _source_docs(sf_dir).union(_entity_fixture_ds())
     tr = extract_triples_with_entities(docs)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -993,17 +1010,19 @@ def q_entity_filtered_triples(sf_dir):
     """J4 baseline filter (scripts/baselines.py:50-88): triples whose
     subject is exactly an entity and whose object ends with its single
     contained entity, rewritten to entity-bounded form. Runs on the
-    union with the entity-bearing synthetic corpus (the sf docs carry no
-    dictionary entities)."""
+    union with the entity-bearing fixture corpus (the sf docs carry no
+    dictionary entities); confidence goes out as integer centi for the
+    value-hash gate."""
     from .pipelines.flagship import extract_triples
-    from .sources.source_docs import synthetic_source_docs
     from .stages.entity import EntityBaselineFilter
 
-    docs = _source_docs(sf_dir).union(synthetic_source_docs(300, seed=42))
-    return extract_triples(docs).map_batches(
-        EntityBaselineFilter,
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    docs = _source_docs(sf_dir).union(_entity_fixture_ds())
+    return _conf_to_centi(
+        extract_triples(docs).map_batches(
+            EntityBaselineFilter,
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
     )
 
 
@@ -1308,4 +1327,6 @@ def build_oracle_sql():
         "triples_entities": oracles.sql_triples_entities(),
         "violations": oracles.sql_violations(),
         "carb_selfcheck": oracles.sql_carb_selfcheck(),
+        "per_org_pairs": oracles.sql_per_org_pairs(),
+        "entity_filtered_triples": oracles.sql_entity_filtered_triples(),
     }
