@@ -135,22 +135,33 @@ def build_graph(triples_ds, *, deduped: bool = True):
 def materialize_graph(docs_ds, out_dir: str, *, seed: int = 777,
                       with_entities: bool = True,
                       ent_backend: str = "dictionary"):
-    """Single-pass end-to-end run: triples → edges Parquet (hash-partitioned
-    layout via the ``part`` column) + nodes Parquet. Streaming writes; no
-    mid-pipeline materialization."""
+    """End-to-end run: triples → Parquet once, then edges + nodes as two
+    cheap scans OF THAT PARQUET. Both sinks need the full triples table;
+    at 100 TB the scale-safe fan-out is durable storage (one streaming
+    write, column-pruned re-reads), not ``materialize()`` pinning the
+    whole table in the object store and spilling it. The triples Parquet
+    doubles as the pipeline's checkpoint output."""
+    import ray.data
+
     triples = (
         extract_triples_with_entities(docs_ds, seed=seed,
                                       ent_backend=ent_backend)
         if with_entities
         else extract_triples(docs_ds, seed=seed)
     )
-    # both sinks consume `triples`; materialize once so the extraction
-    # pipeline doesn't execute twice (blocks spill if they outgrow the
-    # object store)
-    triples = triples.materialize()
-    edges = triples.map_batches(triples_to_edges, batch_format="pyarrow")
-    edges.write_parquet(f"{out_dir}/edges")
-    canonicalize_surfaces(triples).write_parquet(f"{out_dir}/nodes")
+    triples.write_parquet(f"{out_dir}/triples")
+
+    edge_cols = [
+        "arg1", "arg2", "rel", "confidence", "repo", "path", "commit",
+        "sent_id",
+    ] + (["subj_ents", "obj_ents"] if with_entities else [])
+    tri = ray.data.read_parquet(f"{out_dir}/triples", columns=edge_cols)
+    tri.map_batches(
+        triples_to_edges, batch_format="pyarrow"
+    ).write_parquet(f"{out_dir}/edges")
+    canonicalize_surfaces(
+        ray.data.read_parquet(f"{out_dir}/triples", columns=["arg1", "arg2"])
+    ).write_parquet(f"{out_dir}/nodes")
 
 
 def resumable_materialize(
