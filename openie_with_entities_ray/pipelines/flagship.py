@@ -15,6 +15,8 @@ Everything is lazy/streaming; nothing materializes the corpus.
 
 from __future__ import annotations
 
+import os
+
 from ..stages.canonical import canonicalize_surfaces
 from ..stages.extract import ConjSplitter, FusedExtractor, OIEExtractor
 from ..stages.entity import tag_entities
@@ -140,8 +142,20 @@ def materialize_graph(docs_ds, out_dir: str, *, seed: int = 777,
     at 100 TB the scale-safe fan-out is durable storage (one streaming
     write, column-pruned re-reads), not ``materialize()`` pinning the
     whole table in the object store and spilling it. The triples Parquet
-    doubles as the pipeline's checkpoint output."""
+    doubles as the pipeline's checkpoint output.
+
+    Stale outputs from a previous (possibly crashed) run are DELETED
+    first: Ray's write_parquet appends fresh-UUID files, so without the
+    cleanup a re-run would read both generations of triples and silently
+    double-count (same rationale as stages/graph.py:write_partition)."""
+    import shutil
+
     import ray.data
+
+    for sub in ("triples", "edges", "nodes"):
+        path = os.path.join(out_dir, sub)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
 
     triples = (
         extract_triples_with_entities(docs_ds, seed=seed,

@@ -78,6 +78,11 @@ def multisentence_fixture_docs(n: int = 16):
             sents.append("it’s fast .")  # quote normalization (O1)
         if i == 1:
             sents.append(" ".join(["pad"] * 120) + " .")  # >100w: dropped
+        if i == 2:
+            # decimal stays whole + unterminated tail survives the split
+            sents.append("version 3.5 of it works")
+        if i == 3:
+            sents.append("glued punct works.")  # O1 punctuation spacing
         docs.append(
             {
                 "doc_id": -(i + 1),
@@ -131,13 +136,16 @@ def q_doc_sentences(sf_dir):
 
 
 def _sql_doc_sentences() -> str:
-    """Sentence splitter + normalizer in SQL: docs without a terminal
-    punctuation mark are one sentence (the sf corpus); otherwise split on
-    sentence enders keeping the ender (RE2 has no lookbehind, so the
-    split is expressed as an extract-all of '[^.!?]+[.!?]' — the fixture
-    generator guarantees every sentence is punctuation-terminated).
-    sent_id enumerates KEPT sentences (post length-filter), as the
-    engine's enumerate() does."""
+    """Sentence splitter + normalizer in SQL with the ENGINE's exact
+    split semantics, '(?<=[.!?])\\s+': RE2 has no lookbehind, so the
+    split point is materialized by rewriting 'ender + whitespace' to
+    'ender + \\x01' and splitting on \\x01 — unterminated tails survive
+    and decimals like '3.5' stay whole, matching
+    functions/text.py:split_prose_sentences on any input. The glued-
+    punctuation spacing rule (O1, a lookaround in Python) is emulated
+    with a consuming group '(\\w)([.,;:!?])(\\s|$)'. sent_id enumerates
+    KEPT sentences (post length-filter), as the engine's enumerate()
+    does."""
     rows = ",\n    ".join(
         "({id}, '{t}')".format(
             id=d["doc_id"], t=d["text"].replace("'", "''")
@@ -151,10 +159,9 @@ WITH alldocs AS (
   SELECT * FROM (VALUES {rows}) fix(doc_id, text)
 ), chunks AS (
   SELECT doc_id,
-         CASE WHEN NOT regexp_matches(text, '[.!?]')
-              THEN [trim(text)]
-              ELSE regexp_extract_all(trim(text), '[^.!?]+[.!?]') END
-           AS rawsents
+         string_split(
+           regexp_replace(trim(text), '([.!?])\\s+', '\\1' || chr(1), 'g'),
+           chr(1)) AS rawsents
   FROM alldocs
 ), exploded AS (
   SELECT doc_id, unnest(rawsents) AS raw,
@@ -163,8 +170,10 @@ WITH alldocs AS (
 ), normed AS (
   SELECT doc_id, ord,
          array_to_string(regexp_split_to_array(trim(
-           replace(replace(replace(raw, '’', chr(39)),
-                   '”', repeat(chr(39), 2)), '“', repeat(chr(39), 2))
+           regexp_replace(
+             replace(replace(replace(raw, '’', chr(39)),
+                     '”', repeat(chr(39), 2)), '“', repeat(chr(39), 2)),
+             '(\\w)([.,;:!?])(\\s|$)', '\\1 \\2\\3', 'g')
          ), '\\s+'), ' ') AS sentence
   FROM exploded
 )
@@ -806,18 +815,10 @@ def q_triples_entities(sf_dir):
         ["orig_sentence", "content_sha256"]
     )
 
-    def fin(batch: pa.Table) -> pa.Table:
+    def join_lists(batch: pa.Table) -> pa.Table:
         cols = {}
         for name in batch.column_names:
-            if name == "confidence":
-                cols["conf_centi"] = pa.array(
-                    [
-                        int(round(v * 100))
-                        for v in batch.column("confidence").to_pylist()
-                    ],
-                    pa.int64(),
-                )
-            elif name in (
+            if name in (
                 "subj_ents", "subj_types", "obj_ents", "obj_types",
                 "rel_ents",
             ):
@@ -829,7 +830,7 @@ def q_triples_entities(sf_dir):
                 cols[name] = batch.column(name)
         return pa.table(cols)
 
-    return tr.map_batches(fin, batch_format="pyarrow")
+    return _conf_to_centi(tr.map_batches(join_lists, batch_format="pyarrow"))
 
 
 def q_conj_splits(sf_dir):
@@ -1217,7 +1218,8 @@ def q_embedding_dups(sf_dir):
 SQL_EMBEDDING_DUPS = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]) * 100)
+                                         b.embedding::DOUBLE[]) * 100
+                  + 0.5)
             AS BIGINT) AS cosine_centi
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
@@ -1245,7 +1247,7 @@ def q_embedding_dups_lsh(sf_dir):
                 "id_b": batch.column("id_b"),
                 "cosine_centi": pa.array(
                     [
-                        int(math.floor(v * 100))
+                        int(math.floor(v * 100 + 0.5))
                         for v in batch.column("cosine").to_pylist()
                     ],
                     pa.int64(),

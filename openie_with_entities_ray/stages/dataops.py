@@ -257,10 +257,14 @@ def minhash_candidate_pairs(
                     a_ids.append(ids[i])
                     b_ids.append(ids[i + 1 + off])
                     est.append((1000 * int(eq[off])) // num_perm)
+        # typed columns even when empty — an untyped empty block breaks
+        # downstream schema unification (Ray warns 'RefBundle with a
+        # different schema')
+        id_dtype = group["doc_id"].dtype
         return pd.DataFrame(
             {
-                "id_a": a_ids,
-                "id_b": b_ids,
+                "id_a": pd.Series(a_ids, dtype=id_dtype),
+                "id_b": pd.Series(b_ids, dtype=id_dtype),
                 "est_permille": pd.Series(est, dtype="int64"),
             }
         )
@@ -523,11 +527,15 @@ def embedding_dup_pairs_exact(
     once via ``ray.put`` and every batch computes its own rows against it —
     the O(N^2) work distributes across tasks as O(batch x N) matmuls.
 
-    Emits ``cosine_centi`` as floor(cos*100) so the DuckDB
-    ``list_cosine_similarity`` oracle matches bit-for-bit (both sides
-    compute dot/(|a||b|) in float64). Exact-but-quadratic by design:
-    use :func:`embedding_near_dup_pairs` (LSH) as the 100-TB scale path —
-    this one caps at a broadcastable reference matrix."""
+    Emits ``cosine_centi`` as FLOOR(cos*100 + 0.5) — the repo's standard
+    integer-cents rule. Plain floor(cos*100) is NOT bit-reproducible
+    against DuckDB: for exact-duplicate vectors numpy yields cos=1.0
+    while list_cosine_similarity can yield 0.9999999999999998 (measured
+    on 79/200 duplicated vectors), flipping 100 vs 99 at the floor
+    boundary; the +0.5 rounding keeps both sides at 100. Exact-but-
+    quadratic by design: use :func:`embedding_near_dup_pairs` (LSH) as
+    the 100-TB scale path — this one caps at a broadcastable reference
+    matrix."""
     import math
 
     import ray
@@ -549,7 +557,7 @@ def embedding_dup_pairs_exact(
                 "id_a": pa.array(ids_a[ii], pa.int64()),
                 "id_b": pa.array(ids_b[jj], pa.int64()),
                 "cosine_centi": pa.array(
-                    [int(math.floor(v * 100)) for v in sims[ii, jj]],
+                    [int(math.floor(v * 100 + 0.5)) for v in sims[ii, jj]],
                     pa.int64(),
                 ),
             }

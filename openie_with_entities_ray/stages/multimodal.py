@@ -206,6 +206,8 @@ class FrameSampler:
         ):
             if self.backend == "stdlib":
                 decoded = codecs.read_frame_container(payload)
+                if not decoded:  # empty container: no frames, not a crash
+                    continue
                 picks = np.linspace(
                     0, len(decoded) - 1, self.num_frames
                 ).astype(int)

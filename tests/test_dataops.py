@@ -120,7 +120,7 @@ def test_embedding_dup_exact_and_lsh_recall(ray_session):
     sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
     ii, jj = np.nonzero(np.triu(sims >= 0.8, k=1))
     expect = {
-        (int(ids[i]), int(ids[j])): int(math.floor(sims[i, j] * 100))
+        (int(ids[i]), int(ids[j])): int(math.floor(sims[i, j] * 100 + 0.5))
         for i, j in zip(ii, jj)
     }
     assert len(expect) >= 20
