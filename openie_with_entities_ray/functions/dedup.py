@@ -8,8 +8,6 @@ produces identical signatures.
 from __future__ import annotations
 
 import hashlib
-import zlib
-
 import numpy as np
 
 _MERSENNE = (1 << 61) - 1

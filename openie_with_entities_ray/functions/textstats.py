@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 STOPWORDS_EN = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 

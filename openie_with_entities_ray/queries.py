@@ -26,12 +26,31 @@ _ANN_SEED = 123
 _ANN_K = 10
 
 
-def _docs(sf_dir):
+def _docs(sf_dir, num_blocks: int | None = None):
+    """documents read; ``num_blocks`` repartitions after the read — the
+    sf documents table is ONE parquet row group = ONE Ray block, so
+    without it every downstream stage runs as a single task regardless
+    of cluster size (at production scale file count provides natural
+    block parallelism and the repartition is unnecessary)."""
     import ray.data
 
-    return ray.data.read_parquet(
+    ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
+    return ds
+
+
+def _read_blocks() -> int:
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized()
+        else 8
+    )
+    return max(8, cpus)
 
 
 def ann_query_vector(dim: int = 64) -> np.ndarray:
@@ -524,42 +543,41 @@ GROUP BY n.n_name
 
 
 def q_top_customers(sf_dir):
-    """sort + limit: top 10 customers by total order value."""
+    """sort + limit: top 10 customers by total order value.
+
+    Per-customer groups are high-cardinality (O(customers)), so the
+    merge phase is the coarse-partition shape (groupby part →
+    vectorized pandas groupby inside) rather than a per-key Ray
+    aggregate at ~1 ms/group."""
     import ray.data
-    from ray.data.aggregate import Sum
+
+    from .stages.dataops import _cluster_parts
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
+    num_parts = _cluster_parts()
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("o_custkey", as_index=False).agg(
+        g = batch.groupby("o_custkey", as_index=False).agg(
             total=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
+        g["part"] = g["o_custkey"] % num_parts
+        return g
 
-    agg = (
-        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("total", alias_name="total"),
-            Sum("n_orders", alias_name="n_orders"),
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("o_custkey", as_index=False).agg(
+            total=("total", "sum"), n_orders=("n_orders", "sum")
         )
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_custkey": batch.column("o_custkey"),
-                "total_cents": pa.array(
-                    [_cents(v) for v in batch.column("total").to_pylist()],
-                    pa.int64(),
-                ),
-                "n_orders": batch.column("n_orders"),
-            }
+        out["total_cents"] = pd.Series(
+            [_cents(v) for v in out.pop("total")], dtype="int64"
         )
+        return out[["o_custkey", "total_cents", "n_orders"]]
 
     return (
-        agg.map_batches(finalize, batch_format="pyarrow")
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
         .sort(["total_cents", "o_custkey"], descending=[True, False])
         .limit(10)
     )
@@ -575,45 +593,52 @@ ORDER BY total_cents DESC, o_custkey LIMIT 10
 
 
 def q_events_windows(sf_dir):
-    """Streaming-shaped tumbling window: 1h windows per event_type."""
+    """Streaming-shaped tumbling window: 1h windows per event_type.
+
+    The final aggregate has thousands of (event_type, window_h) groups
+    and Ray pays ~1 ms of Python per aggregate group, so the second
+    phase is the coarse-partition shape: groupby a cluster-scaled part
+    key, vectorized pandas groupby inside (same trick as
+    ``distinct_pairs``) — the shuffle moves only per-batch partial rows
+    either way."""
+    import zlib
+
     import ray.data
-    from ray.data.aggregate import Sum
+
+    from .stages.dataops import _cluster_parts
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
+    num_parts = _cluster_parts()
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         # parquet timestamps arrive as datetime64[us]; normalize to ns
         ts_ns = batch["ts"].astype("datetime64[ns]").astype("int64")
         batch["window_h"] = ts_ns // (3600 * 10**9)
-        return batch.groupby(["event_type", "window_h"], as_index=False).agg(
+        g = batch.groupby(["event_type", "window_h"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
+        g["part"] = [
+            (zlib.crc32(t.encode()) + int(w)) % num_parts
+            for t, w in zip(g["event_type"], g["window_h"])
+        ]
+        return g
 
-    agg = (
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["event_type", "window_h"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+        out["sum_value_cents"] = [
+            _cents(v) for v in out.pop("sum_value")
+        ]
+        return out
+
+    return (
         ev.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["event_type", "window_h"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
     )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "window_h": batch.column("window_h"),
-                "n_events": batch.column("n_events"),
-                "sum_value_cents": pa.array(
-                    [_cents(v) for v in batch.column("sum_value").to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 SQL_EVENTS_WINDOWS = """
@@ -1097,13 +1122,77 @@ FROM scored
 def q_minhash_pairs(sf_dir):
     from .stages.dataops import minhash_candidate_pairs
 
-    return minhash_candidate_pairs(_docs(sf_dir), threshold=0.5)
+    return minhash_candidate_pairs(
+        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5
+    )
 
 
 def q_simhash_pairs(sf_dir):
     from .stages.dataops import simhash_pairs
 
-    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+    return simhash_pairs(
+        _docs(sf_dir, num_blocks=_read_blocks()), max_hamming=3
+    )
+
+
+def _minhash_cands_cte(num_perm: int = 128, num_bands: int = 16,
+                       seed: int = 7) -> str:
+    """Shared MinHash-LSH candidate CTEs (docs → shingles → signatures →
+    bands → candidate pairs); finals append a verify step."""
+    from .functions.dedup import _perm_params
+
+    a, b = _perm_params(num_perm, seed)
+    vals = ",".join(f"({j},{int(a[j])},{int(b[j])})" for j in range(num_perm))
+    rows = num_perm // num_bands
+    return f"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
+  FROM documents WHERE len(regexp_split_to_array(trim(text), ' +')) >= 1
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         ELSE list_transform(range(1, len(words) - 1),
+                             i -> array_to_string(words[i:i+2], ' ')) END,
+    s -> ((md5_number_lower(s) & 4294967295::UBIGINT))::BIGINT))) AS x
+  FROM docs
+), perms(j, a, b) AS (VALUES {vals}),
+sig AS (
+  SELECT sh.doc_id, p.j,
+         MIN(((p.a::HUGEINT * sh.x + p.b) % 2305843009213693951)::BIGINT)
+           AS sv
+  FROM sh CROSS JOIN perms p
+  GROUP BY sh.doc_id, p.j
+), bands AS (
+  SELECT doc_id, j // {rows} AS band,
+         string_agg(sv::VARCHAR, '-' ORDER BY j) AS band_key
+  FROM sig GROUP BY doc_id, j // {rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def _sql_jaccard_pairs(threshold: float = 0.5) -> str:
+    """LSH candidates verified by EXACT n-gram Jaccard over the md5
+    shingle sets — integer permille output."""
+    return (
+        _minhash_cands_cte()
+        + f"""
+, shl AS (SELECT doc_id, list(x) AS sset FROM sh GROUP BY doc_id)
+SELECT c.id_a, c.id_b,
+       ((1000 * len(list_intersect(a.sset, b.sset))) //
+        (len(a.sset) + len(b.sset)
+         - len(list_intersect(a.sset, b.sset))))::BIGINT
+         AS jaccard_permille
+FROM cand c
+JOIN shl a ON a.doc_id = c.id_a
+JOIN shl b ON b.doc_id = c.id_b
+WHERE (len(list_intersect(a.sset, b.sset))::DOUBLE
+       / (len(a.sset) + len(b.sset)
+          - len(list_intersect(a.sset, b.sset)))) >= {threshold}
+"""
+    )
 
 
 def _sql_minhash_pairs(num_perm: int = 128, num_bands: int = 16,
@@ -1258,6 +1347,62 @@ def q_embedding_dups_lsh(sf_dir):
     return ds.map_batches(to_cents, batch_format="pyarrow")
 
 
+def q_jaccard_pairs(sf_dir):
+    """LSH candidate generation + exact n-gram Jaccard verify (the
+    candidate→verify dedup shape; text broadcast for the verify at sf
+    scale, id-join at production scale — see dataops docstring)."""
+    import pyarrow.parquet as pq
+
+    from .stages.dataops import jaccard_verified_pairs
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    doc_texts = dict(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    return jaccard_verified_pairs(
+        _docs(sf_dir, num_blocks=_read_blocks()), doc_texts, threshold=0.5
+    )
+
+
+def q_top_terms(sf_dir):
+    from .stages.dataops import top_terms
+
+    return top_terms(_docs(sf_dir, num_blocks=_read_blocks()), k=20)
+
+
+SQL_TOP_TERMS = """
+SELECT word, count(*)::BIGINT AS df
+FROM (SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), ' +')))
+               AS word
+      FROM documents)
+GROUP BY word ORDER BY df DESC, word LIMIT 20
+"""
+
+
+def q_length_quantiles(sf_dir):
+    from .stages.dataops import length_quantiles
+
+    return length_quantiles(_docs(sf_dir))
+
+
+SQL_LENGTH_QUANTILES = """
+WITH l AS (
+  SELECT len(regexp_split_to_array(trim(text), ' +'))::BIGINT AS n
+  FROM documents
+)
+SELECT 50::BIGINT AS q_percent,
+       (percentile_disc(0.5) WITHIN GROUP (ORDER BY n))::BIGINT AS n_words
+FROM l
+UNION ALL
+SELECT 90, (percentile_disc(0.9) WITHIN GROUP (ORDER BY n))::BIGINT FROM l
+UNION ALL
+SELECT 99, (percentile_disc(0.99) WITHIN GROUP (ORDER BY n))::BIGINT FROM l
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1295,6 +1440,9 @@ def build_queries():
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
+        "jaccard_pairs": q_jaccard_pairs,
+        "top_terms": q_top_terms,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -1331,4 +1479,7 @@ def build_oracle_sql():
         "carb_selfcheck": oracles.sql_carb_selfcheck(),
         "per_org_pairs": oracles.sql_per_org_pairs(),
         "entity_filtered_triples": oracles.sql_entity_filtered_triples(),
+        "jaccard_pairs": _sql_jaccard_pairs(),
+        "top_terms": SQL_TOP_TERMS,
+        "length_quantiles": SQL_LENGTH_QUANTILES,
     }

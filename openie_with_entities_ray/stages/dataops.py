@@ -278,6 +278,201 @@ def minhash_candidate_pairs(
     return distinct_pairs(pairs, "est_permille", how="max")
 
 
+def jaccard_verified_pairs(
+    docs_ds,
+    doc_texts: dict,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+):
+    """MinHash-LSH candidates verified by EXACT n-gram Jaccard (the
+    classic candidate→verify dedup pipeline: approximate recall from the
+    bands, exact precision from the verify).
+
+    ``doc_texts`` ({id: text}) is the small-side broadcast for the verify
+    step (one ``ray.put``, read per task) — at 100 TB the verify joins
+    candidates back to the documents table by id instead of broadcasting;
+    the candidate generation is unchanged. Emits ``jaccard_permille`` =
+    (1000*|A∩B|)//|A∪B| over word-3-gram shingle sets."""
+    import zlib
+
+    import ray
+
+    sigs = docs_ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, seed=seed, text_col=text_col, id_col=id_col,
+            num_bands=num_bands,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    num_parts = _cluster_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bands = batch.column("band").to_pylist()
+        hashes = batch.column("band_hash").to_pylist()
+        parts = [
+            zlib.crc32(f"{b}|{h}".encode("utf-8")) % num_parts
+            for b, h in zip(bands, hashes)
+        ]
+        return batch.append_column("part", pa.array(parts, pa.int64()))
+
+    def part_candidates(group: pd.DataFrame) -> pd.DataFrame:
+        a_ids, b_ids = [], []
+        counts = group.groupby(["band", "band_hash"])[id_col].transform(
+            "size"
+        )
+        group = group[counts >= 2]
+        for _, bucket in group.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(set(bucket[id_col].to_list()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_ids.append(ids[i])
+                    b_ids.append(ids[j])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a_ids, dtype="int64"),
+                "id_b": pd.Series(b_ids, dtype="int64"),
+                "one": pd.Series([1] * len(a_ids), dtype="int64"),
+            }
+        )
+
+    cands = (
+        sigs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_candidates, batch_format="pandas")
+    )
+    distinct = distinct_pairs(cands, "one", how="max")
+
+    texts_ref = ray.put(doc_texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from ..functions.dedup import shingles
+
+        texts = ray.get(texts_ref)
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        o_a, o_b, o_j = [], [], []
+        for ia, ib in zip(a, b):
+            sa = shingles(texts[ia])
+            sb = shingles(texts[ib])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                o_a.append(ia)
+                o_b.append(ib)
+                o_j.append((1000 * inter) // union)
+        return pa.table(
+            {
+                "id_a": pa.array(o_a, pa.int64()),
+                "id_b": pa.array(o_b, pa.int64()),
+                "jaccard_permille": pa.array(o_j, pa.int64()),
+            }
+        )
+
+    return distinct.map_batches(verify, batch_format="pyarrow")
+
+
+def top_terms(docs_ds, *, k: int = 20, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Corpus vocabulary stats: per-word DOCUMENT frequency, top-k by
+    (df desc, word asc). Per-batch partial df (distinct words per doc) →
+    coarse-partition merge → tiny global sort+limit."""
+    import zlib
+
+    num_parts = _cluster_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            counts.update(set(t.split()))
+        words = sorted(counts)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "df": pa.array([counts[w] for w in words], pa.int64()),
+                "part": pa.array(
+                    [zlib.crc32(w.encode()) % num_parts for w in words],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("word", as_index=False).agg(df=("df", "sum"))
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["df", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def length_quantiles(docs_ds, *, quantiles=(0.5, 0.9, 0.99),
+                     text_col: str = "text"):
+    """EXACT word-length quantiles via distributed counting: per-batch
+    value-counts of n_words (bounded domain) → one small groupby → the
+    quantile walk over the merged histogram. percentile_disc semantics
+    (smallest value whose cumulative count reaches ceil(q*N)), matching
+    DuckDB. No sort of the corpus — the histogram is O(distinct lengths).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter(
+            len(t.split()) for t in batch.column(text_col).to_pylist()
+        )
+        return pa.table(
+            {
+                "n_words": pa.array(sorted(counts), pa.int64()),
+                "n": pa.array(
+                    [counts[v] for v in sorted(counts)], pa.int64()
+                ),
+            }
+        )
+
+    hist = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_words")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("n_words")
+        .take_all()  # O(distinct lengths) rows — a true small result
+    )
+    total = sum(r["n"] for r in hist)
+    out_q, out_v = [], []
+    for q in quantiles:
+        target = max(1, math.ceil(q * total))
+        cum = 0
+        val = hist[-1]["n_words"] if hist else 0
+        for r in hist:
+            cum += r["n"]
+            if cum >= target:
+                val = r["n_words"]
+                break
+        out_q.append(int(round(q * 100)))
+        out_v.append(int(val))
+    return pa.table(
+        {
+            "q_percent": pa.array(out_q, pa.int64()),
+            "n_words": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 
