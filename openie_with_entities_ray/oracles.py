@@ -33,6 +33,7 @@ depth cap 5 (model.py:93), apposition rel_case 1 → literal pred
 
 from __future__ import annotations
 
+from .functions.conjunctions import UNBREAKABLE_WORDS
 from .state.labeler import (
     AUXILIARIES,
     LOC_PREPOSITIONS,  # noqa: F401  (folded into arg2; kept for reference)
@@ -415,6 +416,192 @@ SELECT SUM(CASE WHEN occ1 = 0 AND occ2 = 0 THEN 1 ELSE 0 END)::BIGINT
 FROM ents
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# coordination fixture: single-coordination sentences that exercise the
+# REAL conj label → decode → split path (label_conj walk semantics,
+# 'nor'/'&' drop, unbreakable-word veto, multi-token and comma-separated
+# conjuncts) while staying inside the one-coordination SQL domain.
+
+_CNOUN = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "sigma",
+          "kappa"]
+_COBJ = ["rows", "cols", "nodes", "edges", "blocks"]
+_CVERB = ["joined", "founded", "launched", "acquired"]
+
+
+def coordination_fixture_docs(n: int = 36):
+    """source_docs-shaped rows, one sentence each, pure fn of index."""
+    import hashlib
+
+    def pick(seq, h, salt):
+        return seq[(h >> salt) % len(seq)]
+
+    docs = []
+    for i in range(n):
+        h = int.from_bytes(
+            hashlib.md5(f"coordfix:{i}".encode()).digest()[:8], "little"
+        )
+        a = pick(_CNOUN, h, 0)
+        b = pick(_CNOUN, h, 3)
+        c = pick(_CNOUN, h, 6)
+        obj = pick(_COBJ, h, 9)
+        obj2 = pick(_COBJ, h, 12)
+        verb = pick(_CVERB, h, 15)
+        kind = i % 7
+        if kind == 0:    # comma list + and → 3-way split
+            sent = f"{a} , {b} and {c} {verb} {obj} ."
+        elif kind == 1:  # plain pair
+            sent = f"{a} and {b} {verb} {obj} ."
+        elif kind == 2:  # unbreakable veto → identity
+            sent = f"the sum of {a} and {b} increased ."
+        elif kind == 3:  # object coordination
+            sent = f"{a} {verb} {obj} and {obj2} ."
+        elif kind == 4:  # 'or'
+            sent = f"{a} or {b} {verb} {obj} ."
+        elif kind == 5:  # 'nor' → labeled but dropped → identity
+            sent = f"{a} nor {b} {verb} {obj} ."
+        else:            # multi-token conjuncts
+            sent = f"{a} {b} and {c} {a} {verb} {obj} ."
+        docs.append(
+            {
+                "repo": "fixtures/coordination",
+                "path": f"fix/coord_{i}.txt",
+                "commit": format(2 * 10**9 + i, "012x"),
+                "lang": "en",
+                "content": sent,
+            }
+        )
+    return docs
+
+
+def sql_conj_splits_coord() -> str:
+    """ConjSplitter output over documents ∪ coordination fixture, with
+    the REAL split semantics in SQL for the single-coordination domain:
+
+    - cc = the one coordinator token at 0-based position in [1, n-3]
+      (sentences with >=2 in-range coordinators are EXCLUDED from the
+      oracle → engine rows would be unmatched → loud failure);
+    - right conjunct: maximal run after cc of non-stopper tokens
+      (stopper = punctuation / coordinator / function word / verb),
+      capped at 4 tokens and at word n-2 (0-based), per the label_conj
+      walk (state/labeler.py:label_conj);
+    - left conjuncts: the non-stopper region before cc (commas allowed)
+      split on commas;
+    - an invalid coordination (no right/left conjunct), a 'nor'/'&'
+      coordinator (data.py:628-631) or an unbreakable word before the
+      first conjunct (data.py:786-807) → identity row;
+    - a valid coordination → one row per conjunct: prefix + conjunct +
+      suffix (the reference's coords_to_sentences expansion for one
+      coordination)."""
+    from .state.labeler import _FUNCTION_WORDS
+
+    coords = _sql_list(_COORDINATORS)
+    stop_words = _sql_list(set(_FUNCTION_WORDS) | set(_COORDINATORS))
+    unbreak = _sql_list(UNBREAKABLE_WORDS)
+    fixture = _fixture_sents_sql(coordination_fixture_docs())
+    return f"""
+WITH sents AS (
+  SELECT 'corpus/' || source AS repo,
+         'docs/doc_' || doc_id || '.txt' AS path,
+         printf('%012x', doc_id) AS cmt,
+         0::BIGINT AS sent_id,
+         regexp_split_to_array(trim(text), ' +') AS words,
+         array_to_string(regexp_split_to_array(trim(text), ' +'), ' ')
+           AS sentence
+  FROM documents
+  WHERE len(trim(text)) > 0
+    AND len(regexp_split_to_array(trim(text), ' +')) <= 100{fixture}
+), toks AS (
+  SELECT path, unnest(words) AS w,
+         generate_subscripts(words, 1)::BIGINT AS pos
+  FROM sents
+), ccs AS (
+  SELECT t.path, t.pos AS cc, COUNT(*) OVER (PARTITION BY t.path) AS n_cc
+  FROM toks t JOIN sents s ON s.path = t.path
+  WHERE lower(t.w) IN ({coords})
+    AND t.pos BETWEEN 2 AND len(s.words) - 2
+), stoppers AS (
+  SELECT path, pos, (w = ',') AS is_comma
+  FROM toks
+  WHERE w IN ({_sql_list(_PUNCT)})
+     OR lower(w) IN ({stop_words})
+     OR {_is_verb_expr('w')}
+), coordn AS (
+  SELECT c.path, c.cc, s.words, s.sentence, len(s.words) AS n,
+         LEAST(
+           COALESCE((SELECT MIN(st.pos) - 1 FROM stoppers st
+                     WHERE st.path = c.path AND st.pos > c.cc),
+                    len(s.words)),
+           len(s.words) - 1, c.cc + 4) AS rend,
+         COALESCE((SELECT MAX(st.pos) FROM stoppers st
+                   WHERE st.path = c.path AND st.pos < c.cc
+                     AND NOT st.is_comma), 0) + 1 AS lstart
+  FROM ccs c JOIN sents s ON s.path = c.path
+  WHERE c.n_cc = 1
+), valid AS (
+  SELECT co.*,
+         (SELECT list_sort(list(t.pos)) FROM toks t
+          WHERE t.path = co.path AND t.pos BETWEEN co.lstart AND co.cc - 1
+            AND t.w = ',') AS commas
+  FROM coordn co
+  WHERE co.rend >= co.cc + 1 AND co.lstart <= co.cc - 1
+), spans AS (
+  -- left conjuncts = comma-split runs of [lstart, cc-1]; right conjunct
+  -- appended last. bounds = [lstart-1] + commas + [cc] → span k =
+  -- (bounds[k]+1, bounds[k+1]-1), kept when nonempty.
+  SELECT v.*, sp.k, sp.s, sp.e
+  FROM valid v,
+  LATERAL (
+    SELECT k, b[k] + 1 AS s, b[k + 1] - 1 AS e
+    FROM (SELECT list_concat(
+            list_concat([v.lstart - 1], COALESCE(v.commas, []::BIGINT[])),
+            [v.cc]) AS b),
+         unnest(range(1, len(b))) AS rk(k)
+    WHERE b[k] + 1 <= b[k + 1] - 1
+    UNION ALL
+    SELECT 1000 AS k, v.cc + 1 AS s, v.rend AS e
+  ) sp
+), nspans AS (
+  SELECT path, COUNT(*) AS n_conj, MIN(s) AS first_s
+  FROM spans GROUP BY path
+), splittable AS (
+  -- >=2 conjuncts, not 'nor'/'&', no unbreakable word before the first
+  SELECT sp.*, row_number() OVER (
+           PARTITION BY sp.path ORDER BY sp.s) - 1 AS split_id
+  FROM spans sp
+  JOIN nspans ns ON ns.path = sp.path
+  WHERE ns.n_conj >= 2
+    AND sp.words[sp.cc] NOT IN ('nor', '&')
+    AND NOT EXISTS (
+      SELECT 1 FROM toks t
+      WHERE t.path = sp.path AND t.pos < ns.first_s
+        AND lower(t.w) IN ({unbreak}))
+), split_rows AS (
+  SELECT s.repo, s.path, s.cmt, s.sent_id, sp.split_id,
+         trim(COALESCE(array_to_string(s.words[1:ns.first_s - 1], ' '), '')
+           || ' ' || array_to_string(s.words[sp.s:sp.e], ' ') || ' '
+           || COALESCE(array_to_string(
+                s.words[(SELECT MAX(e) FROM spans x
+                         WHERE x.path = sp.path) + 1:len(s.words)], ' '),
+                '')) AS split_sentence,
+         s.sentence AS orig_sentence
+  FROM splittable sp
+  JOIN sents s ON s.path = sp.path
+  JOIN nspans ns ON ns.path = sp.path
+)
+SELECT repo, path, cmt AS "commit", sent_id, split_id,
+       regexp_replace(split_sentence, ' +', ' ', 'g') AS split_sentence,
+       orig_sentence
+FROM split_rows
+UNION ALL
+SELECT repo, path, cmt AS "commit", sent_id, 0::BIGINT AS split_id,
+       sentence AS split_sentence, sentence AS orig_sentence
+FROM sents s
+WHERE NOT EXISTS (SELECT 1 FROM split_rows sr WHERE sr.path = s.path)
+  AND NOT EXISTS (SELECT 1 FROM ccs c
+                  WHERE c.path = s.path AND c.n_cc >= 2)
+"""
 
 
 def _surf_values() -> str:

@@ -869,6 +869,35 @@ def q_conj_splits(sf_dir):
     ).drop_columns(["conj_words", "split_indices", "content_sha256"])
 
 
+def q_conj_splits_coord(sf_dir):
+    """ConjSplitter over documents ∪ the coordination fixture — the REAL
+    conj label → decode → split path (multi-conjunct splits, 'nor' drop,
+    unbreakable veto) under the hard value-hash gate, not just the
+    differential pytest suite."""
+    import ray.data
+
+    from .oracles import coordination_fixture_docs
+    from .stages.extract import ConjSplitter
+    from .stages.sentences import docs_to_sentences
+
+    fix = coordination_fixture_docs()
+    fix_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                k: pa.array([d[k] for d in fix], pa.string())
+                for k in ("repo", "path", "commit", "lang", "content")
+            }
+        )
+    )
+    return docs_to_sentences(
+        _source_docs(sf_dir).union(fix_ds)
+    ).map_batches(
+        ConjSplitter,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).drop_columns(["conj_words", "split_indices", "content_sha256"])
+
+
 def q_graph_nodes(sf_dir):
     from .pipelines.flagship import extract_triples
     from .stages.canonical import canonicalize_surfaces
@@ -1428,6 +1457,7 @@ def build_queries():
         "triples": q_triples,
         "triples_entities": q_triples_entities,
         "conj_splits": q_conj_splits,
+        "conj_splits_coord": q_conj_splits_coord,
         "graph_nodes": q_graph_nodes,
         "graph_edges": q_graph_edges,
         "predicate_freq": q_predicate_freq,
@@ -1471,6 +1501,7 @@ def build_oracle_sql():
         # SQL end-to-end (openie_with_entities_ray/oracles.py)
         "triples": oracles.sql_triples(),
         "conj_splits": oracles.sql_conj_splits(),
+        "conj_splits_coord": oracles.sql_conj_splits_coord(),
         "predicate_freq": oracles.sql_predicate_freq(),
         "graph_nodes": oracles.sql_graph_nodes(),
         "graph_edges": oracles.sql_graph_edges(),
