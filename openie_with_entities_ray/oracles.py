@@ -475,9 +475,10 @@ def coordination_fixture_docs(n: int = 36):
     return docs
 
 
-def sql_conj_splits_coord() -> str:
-    """ConjSplitter output over documents ∪ coordination fixture, with
-    the REAL split semantics in SQL for the single-coordination domain:
+def _usents_cte() -> str:
+    """Shared WITH-text ending in ``usents`` — the conj-SPLIT sentences
+    (documents ∪ coordination fixture) with the REAL split semantics in
+    SQL for the single-coordination domain:
 
     - cc = the one coordinator token at 0-based position in [1, n-3]
       (sentences with >=2 in-range coordinators are EXCLUDED from the
@@ -579,29 +580,173 @@ WITH sents AS (
         AND lower(t.w) IN ({unbreak}))
 ), split_rows AS (
   SELECT s.repo, s.path, s.cmt, s.sent_id, sp.split_id,
-         trim(COALESCE(array_to_string(s.words[1:ns.first_s - 1], ' '), '')
-           || ' ' || array_to_string(s.words[sp.s:sp.e], ' ') || ' '
-           || COALESCE(array_to_string(
-                s.words[(SELECT MAX(e) FROM spans x
-                         WHERE x.path = sp.path) + 1:len(s.words)], ' '),
-                '')) AS split_sentence,
+         regexp_replace(
+           trim(COALESCE(
+                  array_to_string(s.words[1:ns.first_s - 1], ' '), '')
+             || ' ' || array_to_string(s.words[sp.s:sp.e], ' ') || ' '
+             || COALESCE(array_to_string(
+                  s.words[(SELECT MAX(e) FROM spans x
+                           WHERE x.path = sp.path) + 1:len(s.words)], ' '),
+                  '')),
+           ' +', ' ', 'g') AS split_sentence,
          s.sentence AS orig_sentence
   FROM splittable sp
   JOIN sents s ON s.path = sp.path
   JOIN nspans ns ON ns.path = sp.path
-)
+), usents AS (
+  SELECT repo, path, cmt, sent_id, split_id, split_sentence,
+         orig_sentence
+  FROM split_rows
+  UNION ALL
+  SELECT repo, path, cmt, sent_id, 0::BIGINT, sentence, sentence
+  FROM sents s
+  WHERE NOT EXISTS (SELECT 1 FROM split_rows sr WHERE sr.path = s.path)
+    AND NOT EXISTS (SELECT 1 FROM ccs c
+                    WHERE c.path = s.path AND c.n_cc >= 2)
+)"""
+
+
+def sql_conj_splits_coord() -> str:
+    return (
+        _usents_cte()
+        + """
 SELECT repo, path, cmt AS "commit", sent_id, split_id,
-       regexp_replace(split_sentence, ' +', ' ', 'g') AS split_sentence,
-       orig_sentence
-FROM split_rows
-UNION ALL
-SELECT repo, path, cmt AS "commit", sent_id, 0::BIGINT AS split_id,
-       sentence AS split_sentence, sentence AS orig_sentence
-FROM sents s
-WHERE NOT EXISTS (SELECT 1 FROM split_rows sr WHERE sr.path = s.path)
-  AND NOT EXISTS (SELECT 1 FROM ccs c
-                  WHERE c.path = s.path AND c.n_cc >= 2)
+       split_sentence, orig_sentence
+FROM usents
 """
+    )
+
+
+def sql_triples_coord(seed: int = 777) -> str:
+    """The FULL splitpredict composition under the hard gate: conj-split
+    each sentence (usents), OIE-label + decode each SPLIT sentence,
+    first-wins dedup across a sentence's splits in (split_id, depth)
+    order, then top-5 by confidence (stable: split_id, depth tie-break) —
+    run.py:161-243 / model.py:595-634 semantics as one SQL query."""
+    return (
+        _usents_cte()
+        + f"""
+, utoks AS (
+  SELECT path, split_id,
+         unnest(string_split(split_sentence, ' ')) AS w,
+         generate_subscripts(string_split(split_sentence, ' '), 1)::BIGINT
+           AS pos
+  FROM usents
+), uvt AS (
+  SELECT path, split_id, pos, w, {_is_verb_expr('w')} AS isv,
+         ({_is_verb_expr('w')}
+          OR lower(w) IN ({_sql_list(AUXILIARIES)})) AS runnable
+  FROM utoks
+), umarked AS (
+  SELECT *, SUM(CASE WHEN runnable THEN 0 ELSE 1 END)
+              OVER (PARTITION BY path, split_id ORDER BY pos) AS grp
+  FROM uvt
+), uruns0 AS (
+  SELECT path, split_id, grp,
+         MIN(CASE WHEN isv THEN pos END) AS vstart,
+         MAX(pos) AS vend
+  FROM umarked WHERE runnable
+  GROUP BY path, split_id, grp
+  HAVING MIN(CASE WHEN isv THEN pos END) IS NOT NULL
+), uruns AS (
+  SELECT path, split_id, vstart, vend,
+         row_number() OVER (PARTITION BY path, split_id
+                            ORDER BY vstart) - 1 AS depth
+  FROM uruns0
+), unruns AS (
+  SELECT path, split_id, COUNT(*) AS n_runs
+  FROM uruns GROUP BY path, split_id
+), ubounds AS (
+  SELECT path, split_id, list_sort(list(pos)) AS bps
+  FROM utoks WHERE w IN ({_sql_list(_PUNCT)})
+  GROUP BY path, split_id
+), uverb AS (
+  SELECT u.repo, u.path, u.cmt, u.sent_id, u.split_id, u.split_sentence,
+         string_split(u.split_sentence, ' ') AS swords, r.depth,
+         CASE WHEN x.lo >= r.vstart THEN
+             CASE WHEN x.first_b IS NOT NULL AND x.first_b < r.vstart
+                  THEN COALESCE(array_to_string(
+                    string_split(u.split_sentence, ' ')[1:x.first_b - 1],
+                    ' '), '')
+                  ELSE '' END
+         ELSE COALESCE(array_to_string(
+           string_split(u.split_sentence, ' ')[x.lo:r.vstart - 1], ' '),
+           '') END AS arg1,
+         COALESCE(array_to_string(
+           string_split(u.split_sentence, ' ')[r.vstart:r.vend], ' '), '')
+           AS rel,
+         COALESCE(array_to_string(
+           string_split(u.split_sentence, ' ')[r.vend + 1:x.hi], ' '), '')
+           AS arg2
+  FROM uruns r
+  JOIN usents u ON u.path = r.path AND u.split_id = r.split_id
+  LEFT JOIN ubounds b ON b.path = r.path AND b.split_id = r.split_id,
+  LATERAL (SELECT
+     COALESCE(list_max(list_filter(COALESCE(b.bps, []::BIGINT[]),
+                                   p -> p < r.vstart)) + 1, 1) AS lo,
+     COALESCE(list_min(list_filter(COALESCE(b.bps, []::BIGINT[]),
+                                   p -> p > r.vstart)) - 1,
+              len(string_split(u.split_sentence, ' '))) AS hi,
+     CASE WHEN len(COALESCE(b.bps, []::BIGINT[])) > 0
+          THEN b.bps[1] END AS first_b) x
+  WHERE r.depth < 5
+), uappos_c AS (
+  SELECT t.path, t.split_id, MIN(t.pos) AS c
+  FROM utoks t JOIN usents u
+    ON u.path = t.path AND u.split_id = t.split_id
+  WHERE t.w = ',' AND t.pos >= 2
+    AND t.pos <= len(string_split(u.split_sentence, ' ')) - 1
+    AND lower(string_split(u.split_sentence, ' ')[t.pos + 1])
+        IN ({_sql_list(_APPOSITION_DETS)})
+  GROUP BY t.path, t.split_id
+), uappos AS (
+  SELECT u.repo, u.path, u.cmt, u.sent_id, u.split_id, u.split_sentence,
+         string_split(u.split_sentence, ' ') AS swords,
+         COALESCE(n.n_runs, 0) AS depth,
+         COALESCE(array_to_string(
+           string_split(u.split_sentence, ' ')[1:a.c - 1], ' '), '')
+           AS arg1,
+         'is ' AS rel,
+         COALESCE(array_to_string(
+           string_split(u.split_sentence, ' ')[a.c + 1:x.hi2], ' '), '')
+           AS arg2
+  FROM uappos_c a
+  JOIN usents u ON u.path = a.path AND u.split_id = a.split_id
+  LEFT JOIN unruns n ON n.path = a.path AND n.split_id = a.split_id
+  LEFT JOIN ubounds b ON b.path = a.path AND b.split_id = a.split_id,
+  LATERAL (SELECT
+     COALESCE(list_min(list_filter(COALESCE(b.bps, []::BIGINT[]),
+                                   p -> p > a.c)) - 1,
+              len(string_split(u.split_sentence, ' '))) AS hi2) x
+  WHERE COALESCE(n.n_runs, 0) < 5
+), uraw AS (
+  SELECT repo, path, cmt, sent_id, split_id, split_sentence, depth,
+         arg1, rel, arg2
+  FROM uverb WHERE arg1 <> '' AND rel <> ''
+  UNION ALL
+  SELECT repo, path, cmt, sent_id, split_id, split_sentence, depth,
+         arg1, rel, arg2
+  FROM uappos WHERE arg1 <> ''
+), udeduped AS (
+  SELECT repo, path, cmt, sent_id, split_id::BIGINT AS split_id,
+         depth::BIGINT AS depth, arg1, rel, arg2,
+         (95 - 8 * depth
+          + CAST(round((4.0 * ((md5_number_upper(
+                '{seed}|' || split_sentence || '|' || depth::VARCHAR)
+                & 255::UBIGINT)::BIGINT)) / 255.0) AS BIGINT))::BIGINT
+           AS conf_centi
+  FROM uraw
+  QUALIFY row_number() OVER (
+     PARTITION BY path, sent_id, arg1, arg2, rel
+     ORDER BY split_id, depth) = 1
+)
+SELECT repo, path, cmt AS "commit", sent_id, split_id, depth,
+       arg1, rel, arg2, conf_centi
+FROM udeduped
+QUALIFY row_number() OVER (PARTITION BY path, sent_id
+        ORDER BY conf_centi DESC, split_id, depth) <= 5
+"""
+    )
 
 
 def _surf_values() -> str:

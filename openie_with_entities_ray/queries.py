@@ -869,6 +869,31 @@ def q_conj_splits(sf_dir):
     ).drop_columns(["conj_words", "split_indices", "content_sha256"])
 
 
+def q_triples_coord(sf_dir):
+    """The FULL splitpredict flagship over documents ∪ the coordination
+    fixture: conj-split → per-split OIE → cross-split first-wins dedup →
+    top-5 by confidence — every stage of the fused extractor under the
+    hard value-hash gate (oracles.sql_triples_coord)."""
+    from .pipelines.flagship import extract_triples
+    from .oracles import coordination_fixture_docs
+    import ray.data
+
+    fix = coordination_fixture_docs()
+    fix_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                k: pa.array([d[k] for d in fix], pa.string())
+                for k in ("repo", "path", "commit", "lang", "content")
+            }
+        )
+    )
+    return _conf_to_centi(
+        extract_triples(_source_docs(sf_dir).union(fix_ds)).drop_columns(
+            ["orig_sentence", "content_sha256"]
+        )
+    )
+
+
 def q_conj_splits_coord(sf_dir):
     """ConjSplitter over documents ∪ the coordination fixture — the REAL
     conj label → decode → split path (multi-conjunct splits, 'nor' drop,
@@ -1458,6 +1483,7 @@ def build_queries():
         "triples_entities": q_triples_entities,
         "conj_splits": q_conj_splits,
         "conj_splits_coord": q_conj_splits_coord,
+        "triples_coord": q_triples_coord,
         "graph_nodes": q_graph_nodes,
         "graph_edges": q_graph_edges,
         "predicate_freq": q_predicate_freq,
@@ -1502,6 +1528,7 @@ def build_oracle_sql():
         "triples": oracles.sql_triples(),
         "conj_splits": oracles.sql_conj_splits(),
         "conj_splits_coord": oracles.sql_conj_splits_coord(),
+        "triples_coord": oracles.sql_triples_coord(),
         "predicate_freq": oracles.sql_predicate_freq(),
         "graph_nodes": oracles.sql_graph_nodes(),
         "graph_edges": oracles.sql_graph_edges(),
