@@ -43,14 +43,9 @@ def _docs(sf_dir, num_blocks: int | None = None):
 
 
 def _read_blocks() -> int:
-    import ray
+    from .stages.dataops import cluster_cpus
 
-    cpus = (
-        int(ray.cluster_resources().get("CPU", 8))
-        if ray.is_initialized()
-        else 8
-    )
-    return max(8, cpus)
+    return max(8, cluster_cpus())
 
 
 def ann_query_vector(dim: int = 64) -> np.ndarray:
@@ -875,22 +870,11 @@ def q_triples_coord(sf_dir):
     top-5 by confidence — every stage of the fused extractor under the
     hard value-hash gate (oracles.sql_triples_coord)."""
     from .pipelines.flagship import extract_triples
-    from .oracles import coordination_fixture_docs
-    import ray.data
 
-    fix = coordination_fixture_docs()
-    fix_ds = ray.data.from_arrow(
-        pa.table(
-            {
-                k: pa.array([d[k] for d in fix], pa.string())
-                for k in ("repo", "path", "commit", "lang", "content")
-            }
-        )
-    )
     return _conf_to_centi(
-        extract_triples(_source_docs(sf_dir).union(fix_ds)).drop_columns(
-            ["orig_sentence", "content_sha256"]
-        )
+        extract_triples(
+            _source_docs(sf_dir).union(_coord_fixture_ds())
+        ).drop_columns(["orig_sentence", "content_sha256"])
     )
 
 
@@ -899,23 +883,11 @@ def q_conj_splits_coord(sf_dir):
     conj label → decode → split path (multi-conjunct splits, 'nor' drop,
     unbreakable veto) under the hard value-hash gate, not just the
     differential pytest suite."""
-    import ray.data
-
-    from .oracles import coordination_fixture_docs
     from .stages.extract import ConjSplitter
     from .stages.sentences import docs_to_sentences
 
-    fix = coordination_fixture_docs()
-    fix_ds = ray.data.from_arrow(
-        pa.table(
-            {
-                k: pa.array([d[k] for d in fix], pa.string())
-                for k in ("repo", "path", "commit", "lang", "content")
-            }
-        )
-    )
     return docs_to_sentences(
-        _source_docs(sf_dir).union(fix_ds)
+        _source_docs(sf_dir).union(_coord_fixture_ds())
     ).map_batches(
         ConjSplitter,
         batch_format="pyarrow",
@@ -983,20 +955,31 @@ def q_violations(sf_dir):
     return pd.DataFrame([totals]).astype("int64")
 
 
-def _entity_fixture_ds():
+def _fixture_source_ds(docs):
+    """source_docs-shaped fixture rows → Dataset (shared by the entity
+    and coordination fixture loaders)."""
     import ray.data
 
-    from .oracles import entity_fixture_docs
-
-    fix = entity_fixture_docs()
     return ray.data.from_arrow(
         pa.table(
             {
-                k: pa.array([d[k] for d in fix], pa.string())
+                k: pa.array([d[k] for d in docs], pa.string())
                 for k in ("repo", "path", "commit", "lang", "content")
             }
         )
     )
+
+
+def _entity_fixture_ds():
+    from .oracles import entity_fixture_docs
+
+    return _fixture_source_ds(entity_fixture_docs())
+
+
+def _coord_fixture_ds():
+    from .oracles import coordination_fixture_docs
+
+    return _fixture_source_ds(coordination_fixture_docs())
 
 
 def q_per_org_pairs(sf_dir):
@@ -1201,7 +1184,7 @@ def _minhash_cands_cte(num_perm: int = 128, num_bands: int = 16,
     return f"""
 WITH docs AS (
   SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
-  FROM documents WHERE len(regexp_split_to_array(trim(text), ' +')) >= 1
+  FROM documents
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
@@ -1229,11 +1212,14 @@ sig AS (
 
 def _sql_jaccard_pairs(threshold: float = 0.5) -> str:
     """LSH candidates verified by EXACT n-gram Jaccard over the md5
-    shingle sets — integer permille output."""
+    shingle sets — integer permille output. A pair of WORDLESS docs is
+    excluded (the engine's shingle sets are empty → union==0 → skipped,
+    while the SQL shingle of '' would spuriously match)."""
     return (
         _minhash_cands_cte()
         + f"""
 , shl AS (SELECT doc_id, list(x) AS sset FROM sh GROUP BY doc_id)
+, dlen AS (SELECT doc_id, len(array_to_string(words, '')) AS nch FROM docs)
 SELECT c.id_a, c.id_b,
        ((1000 * len(list_intersect(a.sset, b.sset))) //
         (len(a.sset) + len(b.sset)
@@ -1242,52 +1228,27 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN shl a ON a.doc_id = c.id_a
 JOIN shl b ON b.doc_id = c.id_b
-WHERE (len(list_intersect(a.sset, b.sset))::DOUBLE
+JOIN dlen la ON la.doc_id = c.id_a
+JOIN dlen lb ON lb.doc_id = c.id_b
+WHERE NOT (la.nch = 0 AND lb.nch = 0)
+  AND (len(list_intersect(a.sset, b.sset))::DOUBLE
        / (len(a.sset) + len(b.sset)
           - len(list_intersect(a.sset, b.sset)))) >= {threshold}
 """
     )
 
 
-def _sql_minhash_pairs(num_perm: int = 128, num_bands: int = 16,
-                       seed: int = 7, threshold: float = 0.5) -> str:
+def _sql_minhash_pairs(num_perm: int = 128, threshold: float = 0.5) -> str:
     """MinHash-LSH in SQL: the shingle hash is md5-derived (DuckDB
     ``md5_number_lower & 0xFFFFFFFF``), the (a,b) universal-hash params are
     embedded as literals (seeded numpy isn't SQL-expressible, 128 constants
     are), band keys are the dash-joined signature values, and the verify is
-    per-perm signature agreement — the exact distributed algorithm."""
-    from .functions.dedup import _perm_params
-
-    a, b = _perm_params(num_perm, seed)
-    vals = ",".join(f"({j},{int(a[j])},{int(b[j])})" for j in range(num_perm))
-    rows = num_perm // num_bands
-    return f"""
-WITH docs AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
-  FROM documents WHERE len(regexp_split_to_array(trim(text), ' +')) >= 1
-), sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-    CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
-         ELSE list_transform(range(1, len(words) - 1),
-                             i -> array_to_string(words[i:i+2], ' ')) END,
-    s -> ((md5_number_lower(s) & 4294967295::UBIGINT))::BIGINT))) AS x
-  FROM docs
-), perms(j, a, b) AS (VALUES {vals}),
-sig AS (
-  SELECT sh.doc_id, p.j,
-         MIN(((p.a::HUGEINT * sh.x + p.b) % 2305843009213693951)::BIGINT)
-           AS sv
-  FROM sh CROSS JOIN perms p
-  GROUP BY sh.doc_id, p.j
-), bands AS (
-  SELECT doc_id, j // {rows} AS band,
-         string_agg(sv::VARCHAR, '-' ORDER BY j) AS band_key
-  FROM sig GROUP BY doc_id, j // {rows}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-), eq AS (
+    per-perm signature agreement — the exact distributed algorithm.
+    Builds on the shared candidate CTEs (:func:`_minhash_cands_cte`)."""
+    return (
+        _minhash_cands_cte(num_perm=num_perm)
+        + f"""
+, eq AS (
   SELECT c.id_a, c.id_b,
          SUM(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END) AS n_eq
   FROM cand c
@@ -1299,6 +1260,7 @@ SELECT id_a, id_b,
        ((1000 * n_eq) // {num_perm})::BIGINT AS est_permille
 FROM eq WHERE (n_eq / {num_perm}.0) >= {threshold}
 """
+    )
 
 
 # The SimHash kernel hashes each distinct word with md5 (first 8 digest
@@ -1426,11 +1388,14 @@ def q_top_terms(sf_dir):
     return top_terms(_docs(sf_dir, num_blocks=_read_blocks()), k=20)
 
 
-SQL_TOP_TERMS = """
+# split on \s+ with an explicit empty-doc branch so the SQL matches the
+# engine's str.split() on blank docs and tab/newline whitespace
+_SQL_WORDS = """CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END"""
+
+SQL_TOP_TERMS = f"""
 SELECT word, count(*)::BIGINT AS df
-FROM (SELECT doc_id,
-             unnest(list_distinct(regexp_split_to_array(trim(text), ' +')))
-               AS word
+FROM (SELECT doc_id, unnest(list_distinct({_SQL_WORDS})) AS word
       FROM documents)
 GROUP BY word ORDER BY df DESC, word LIMIT 20
 """
@@ -1439,12 +1404,12 @@ GROUP BY word ORDER BY df DESC, word LIMIT 20
 def q_length_quantiles(sf_dir):
     from .stages.dataops import length_quantiles
 
-    return length_quantiles(_docs(sf_dir))
+    return length_quantiles(_docs(sf_dir, num_blocks=_read_blocks()))
 
 
-SQL_LENGTH_QUANTILES = """
+SQL_LENGTH_QUANTILES = f"""
 WITH l AS (
-  SELECT len(regexp_split_to_array(trim(text), ' +'))::BIGINT AS n
+  SELECT len({_SQL_WORDS})::BIGINT AS n
   FROM documents
 )
 SELECT 50::BIGINT AS q_percent,

@@ -100,18 +100,22 @@ def exact_dedup_groups(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """The one CPU probe (shared by partition/parallelism sizing)."""
+    import ray
+
+    return (
+        int(ray.cluster_resources().get("CPU", default))
+        if ray.is_initialized()
+        else default
+    )
+
+
 def _cluster_parts(min_parts: int = 64) -> int:
     """Coarse-partition count scaled to the cluster (~4x cores, floor 64)
     so shuffle parallelism grows with the cluster and per-group size
     shrinks with it — never a fixed handful of corpus-sized groups."""
-    import ray
-
-    cpus = (
-        int(ray.cluster_resources().get("CPU", 8))
-        if ray.is_initialized()
-        else 8
-    )
-    return max(min_parts, 4 * cpus)
+    return max(min_parts, 4 * cluster_cpus())
 
 
 def distinct_pairs(pairs_ds, value_col: str, how: str = "max",
@@ -211,28 +215,10 @@ def minhash_candidate_pairs(
     a single task at 100 TB). Buckets inside a part are resolved with a
     vectorized pandas groupby.
     """
-    import zlib
-
-    sigs = docs_ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, seed=seed, text_col=text_col, id_col=id_col,
-            num_bands=num_bands,
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    sigs = _bucketed_signatures(
+        docs_ds, num_perm=num_perm, num_bands=num_bands, text_col=text_col,
+        id_col=id_col, seed=seed,
     )
-
-    num_parts = _cluster_parts()
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        bands = batch.column("band").to_pylist()
-        hashes = batch.column("band_hash").to_pylist()
-        parts = [
-            zlib.crc32(f"{b}|{h}".encode("utf-8")) % num_parts
-            for b, h in zip(bands, hashes)
-        ]
-        return batch.append_column("part", pa.array(parts, pa.int64()))
 
     def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
         a_ids, b_ids, est = [], [], []
@@ -269,38 +255,20 @@ def minhash_candidate_pairs(
             }
         )
 
-    pairs = (
-        sigs.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(part_pairs, batch_format="pandas")
+    pairs = sigs.groupby("part").map_groups(
+        part_pairs, batch_format="pandas"
     )
     # same pair can surface from several bands → distinct
     return distinct_pairs(pairs, "est_permille", how="max")
 
 
-def jaccard_verified_pairs(
-    docs_ds,
-    doc_texts: dict,
-    *,
-    threshold: float = 0.5,
-    num_perm: int = 128,
-    num_bands: int = 16,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    seed: int = 7,
-):
-    """MinHash-LSH candidates verified by EXACT n-gram Jaccard (the
-    classic candidate→verify dedup pipeline: approximate recall from the
-    bands, exact precision from the verify).
-
-    ``doc_texts`` ({id: text}) is the small-side broadcast for the verify
-    step (one ``ray.put``, read per task) — at 100 TB the verify joins
-    candidates back to the documents table by id instead of broadcasting;
-    the candidate generation is unchanged. Emits ``jaccard_permille`` =
-    (1000*|A∩B|)//|A∪B| over word-3-gram shingle sets."""
+def _bucketed_signatures(docs_ds, *, num_perm, num_bands, text_col,
+                         id_col, seed):
+    """Shared LSH scaffold: MinHash signatures exploded to (id, band,
+    band_hash, signature) rows with the cluster-scaled ``part`` shuffle
+    key — consumed by both the signature-verify and the exact-Jaccard
+    pair pipelines."""
     import zlib
-
-    import ray
 
     sigs = docs_ds.map_batches(
         MinHashSignatures,
@@ -323,6 +291,36 @@ def jaccard_verified_pairs(
         ]
         return batch.append_column("part", pa.array(parts, pa.int64()))
 
+    return sigs.map_batches(add_part, batch_format="pyarrow")
+
+
+def jaccard_verified_pairs(
+    docs_ds,
+    doc_texts: dict,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+):
+    """MinHash-LSH candidates verified by EXACT n-gram Jaccard (the
+    classic candidate→verify dedup pipeline: approximate recall from the
+    bands, exact precision from the verify).
+
+    ``doc_texts`` ({id: text}) is the small-side broadcast for the verify
+    step (one ``ray.put``, read per task) — at 100 TB the verify joins
+    candidates back to the documents table by id instead of broadcasting;
+    the candidate generation is unchanged. Emits ``jaccard_permille`` =
+    (1000*|A∩B|)//|A∪B| over word-3-gram shingle sets."""
+    import ray
+
+    sigs = _bucketed_signatures(
+        docs_ds, num_perm=num_perm, num_bands=num_bands, text_col=text_col,
+        id_col=id_col, seed=seed,
+    )
+
     def part_candidates(group: pd.DataFrame) -> pd.DataFrame:
         a_ids, b_ids = [], []
         counts = group.groupby(["band", "band_hash"])[id_col].transform(
@@ -335,18 +333,17 @@ def jaccard_verified_pairs(
                 for j in range(i + 1, len(ids)):
                     a_ids.append(ids[i])
                     b_ids.append(ids[j])
+        id_dtype = group[id_col].dtype  # typed even when empty
         return pd.DataFrame(
             {
-                "id_a": pd.Series(a_ids, dtype="int64"),
-                "id_b": pd.Series(b_ids, dtype="int64"),
+                "id_a": pd.Series(a_ids, dtype=id_dtype),
+                "id_b": pd.Series(b_ids, dtype=id_dtype),
                 "one": pd.Series([1] * len(a_ids), dtype="int64"),
             }
         )
 
-    cands = (
-        sigs.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(part_candidates, batch_format="pandas")
+    cands = sigs.groupby("part").map_groups(
+        part_candidates, batch_format="pandas"
     )
     distinct = distinct_pairs(cands, "one", how="max")
 
@@ -358,20 +355,20 @@ def jaccard_verified_pairs(
         texts = ray.get(texts_ref)
         a = batch.column("id_a").to_pylist()
         b = batch.column("id_b").to_pylist()
-        o_a, o_b, o_j = [], [], []
-        for ia, ib in zip(a, b):
+        keep, o_j = [], []
+        for k, (ia, ib) in enumerate(zip(a, b)):
             sa = shingles(texts[ia])
             sb = shingles(texts[ib])
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             if union and inter / union >= threshold:
-                o_a.append(ia)
-                o_b.append(ib)
+                keep.append(k)
                 o_j.append((1000 * inter) // union)
+        filtered = batch.take(pa.array(keep, pa.int64()))
         return pa.table(
             {
-                "id_a": pa.array(o_a, pa.int64()),
-                "id_b": pa.array(o_b, pa.int64()),
+                "id_a": filtered.column("id_a"),  # keeps the id dtype
+                "id_b": filtered.column("id_b"),
                 "jaccard_permille": pa.array(o_j, pa.int64()),
             }
         )

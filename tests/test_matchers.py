@@ -2,6 +2,7 @@
 own Matcher methods (AST-extracted, tests/reference_oracle.py)."""
 
 import random
+import zlib
 
 import pytest
 
@@ -65,8 +66,6 @@ def test_matchers_differential_vs_reference():
         ("simple_tuple_match", simple_tuple_match, 1),
     ]
     for name, ours, min_args in cases:
-        import zlib
-
         ref_fn = getattr(Matcher, name)
         # crc32, not hash(): str hash is salted per process and would
         # make the fuzz corpus irreproducible
