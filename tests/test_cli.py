@@ -86,3 +86,28 @@ def test_missing_args_error():
     res = run_cli("--mode", "splitpredict", "--out", "/tmp/x")
     assert res.returncode != 0
     assert "requires --inp" in res.stderr
+
+
+def test_dedup_job_resumable(tmp_path):
+    """jobs/dedup_job.py: per-shard manifests; a re-run skips finished
+    shards and writes nothing new."""
+    import json
+
+    out = tmp_path / "dedup"
+
+    def run_job(*extra):
+        return subprocess.run(
+            [sys.executable, "jobs/dedup_job.py",
+             "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--out", str(out), "--method", "exact", *extra],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+
+    first = run_job()
+    assert first.returncode == 0, first.stderr[-500:]
+    rep1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert rep1["shards_written"] == 1 and rep1["rows_written"] == 500
+
+    second = run_job()
+    rep2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert rep2["shards_skipped"] == 1 and rep2["shards_written"] == 0
