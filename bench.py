@@ -113,10 +113,21 @@ def run_bench() -> dict:
         timed("minhash_pairs", lambda: q_minhash_pairs(SF_DIR).count())
         timed("ann_topk", lambda: q_ann_topk(SF_DIR).count())
 
+    # hardware-ceiling probe (best-of-2, ~11 s) in the driver-visible
+    # output so the scaling claim stays falsifiable every round.
+    # GRAFT_BENCH_PROBE=0 skips it.
+    hw_probe = None
+    if os.environ.get("GRAFT_BENCH_PROBE", "1") != "0":
+        try:
+            hw_probe = round(hardware_scaling_baseline(8, 32), 3)
+        except Exception:  # noqa: BLE001 — a probe failure must not kill
+            hw_probe = None  # the bench line the driver parses
+
     result = {
         "metric": "flagship_e2e",
         "value": timings["flagship"],
         "unit": "sec",
+        "hw_per_proc_ceiling": hw_probe,
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
@@ -148,7 +159,7 @@ print(n, time.perf_counter() - t0)
 '''
 
 
-def hardware_scaling_baseline(lo: int, hi: int) -> float:
+def hardware_scaling_baseline(lo: int, hi: int, samples: int = 2) -> float:
     """Per-process throughput ratio of hi vs lo *independent Python
     processes* running the extraction kernel — no Ray involved. On one
     box this is <1 (shared memory bus / turbo clocks); a real N→4N
@@ -180,9 +191,9 @@ def hardware_scaling_baseline(lo: int, hi: int) -> float:
         return total / wall / k
 
     # the probe rides the same host noise as everything else: take the
-    # best of two interleaved measurements per level
-    r_hi = max(rate(hi), rate(hi))
-    r_lo = max(rate(lo), rate(lo))
+    # best of `samples` interleaved measurements per level
+    r_hi = max(rate(hi) for _ in range(samples))
+    r_lo = max(rate(lo) for _ in range(samples))
     return r_hi / r_lo
 
 
