@@ -107,6 +107,15 @@ def run_bench() -> dict:
     rows["flagship"] = n_e
 
     if os.environ.get("GRAFT_BENCH_ONLY") != "flagship":
+        # deduped corpus-level edge build (§2.8) as its own entry so the
+        # coarse-partition dedup's cost stays visible round over round
+        # (same input as the headline; headline protocol unchanged)
+        timed(
+            "flagship_deduped_edges",
+            lambda: build_graph(
+                extract_triples_with_entities(docs()), deduped=True
+            )[1].count(),
+        )
         timed("lineitem_agg", lambda: q_lineitem_agg(SF_DIR).count())
         timed("revenue_by_nation", lambda: q_revenue_by_nation(SF_DIR).count())
         timed("events_windows", lambda: q_events_windows(SF_DIR).count())

@@ -166,26 +166,85 @@ def carb_sweep(gold_ds, pred_ds):
         group_arrays, batch_format="pandas"
     )
     num_conf = len(thresholds)
+
+    # Finish ON WORKERS: per-batch combiner sums the per-sentence byte
+    # arrays into one (idx, p, pl, r, rl) row per threshold, then a Ray
+    # Sum over num_conf (~100, 2-decimal-capped) groups. The driver only
+    # ever sees num_conf rows — no materialization scaling with sentence
+    # count (the q_violations shape, queries.py).
+    def batch_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        p = np.zeros(num_conf)
+        pl = np.zeros(num_conf)
+        r = np.zeros(num_conf)
+        rl = np.zeros(num_conf)
+        for pb, plb, rb, rlb in zip(
+            batch["p"], batch["pl"], batch["r"], batch["rl"]
+        ):
+            p += np.frombuffer(pb, dtype=np.float64)
+            pl += np.frombuffer(plb, dtype=np.float64)
+            r += np.frombuffer(rb, dtype=np.float64)
+            rl += np.frombuffer(rlb, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "idx": np.arange(num_conf, dtype=np.int64),
+                "p": p,
+                "pl": pl,
+                "r": r,
+                "rl": rl,
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        partials.map_batches(
+            batch_sums, batch_format="pandas", batch_size=65536
+        )
+        .groupby("idx")
+        .aggregate(
+            Sum("p", alias_name="p"),
+            Sum("pl", alias_name="pl"),
+            Sum("r", alias_name="r"),
+            Sum("rl", alias_name="rl"),
+        )
+        .take_all()  # num_conf rows — a true small result
+    )
     p = np.zeros(num_conf)
     pl = np.zeros(num_conf)
     r = np.zeros(num_conf)
     rl = np.zeros(num_conf)
-    for row in partials.take_all():
-        p += np.frombuffer(row["p"], dtype=np.float64)
-        pl += np.frombuffer(row["pl"], dtype=np.float64)
-        r += np.frombuffer(row["r"], dtype=np.float64)
-        rl += np.frombuffer(row["rl"], dtype=np.float64)
+    for row in sums:
+        i = int(row["idx"])
+        p[i] = row["p"]
+        pl[i] = row["pl"]
+        r[i] = row["r"]
+        rl[i] = row["rl"]
     return finish_curve(p, pl, r, rl, thresholds)
 
 
 def carb_precision_recall(gold_ds, pred_ds):
     """Both datasets: rows with (sentence, rel, arg1, arg2). Returns
     (precision, recall) at the zero-confidence threshold."""
+    from ray.data.aggregate import Sum
+
     unioned = _tag(gold_ds, "g").union(_tag(pred_ds, "p"))
     partials = unioned.groupby("sent_key").map_groups(
         _group_counts, batch_format="pandas"
     )
-    pdf = partials.to_pandas().sum()
-    precision = pdf["p_num"] / pdf["p_den"] if pdf["p_den"] else 1.0
-    recall = pdf["r_num"] / pdf["r_den"] if pdf["r_den"] else 0.0
+    # tree-aggregate the four additive counters on workers — the driver
+    # receives one row, never the per-sentence partials
+    tot = partials.aggregate(
+        Sum("p_num", alias_name="p_num"),
+        Sum("p_den", alias_name="p_den"),
+        Sum("r_num", alias_name="r_num"),
+        Sum("r_den", alias_name="r_den"),
+    )
+    p_num = tot["p_num"] or 0.0
+    p_den = tot["p_den"] or 0.0
+    r_num = tot["r_num"] or 0.0
+    r_den = tot["r_den"] or 0.0
+    precision = p_num / p_den if p_den else 1.0
+    recall = r_num / r_den if r_den else 0.0
     return float(precision), float(recall)

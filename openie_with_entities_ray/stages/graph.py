@@ -96,33 +96,57 @@ def triples_to_edges(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def dedup_edges(edges_ds):
-    """Corpus-level exact edge dedup (SURVEY.md §2.8): hash-partition on
-    (src, rel, dst) via groupby, keep the max-confidence witness."""
+def dedup_edges(edges_ds, num_parts: int | None = None):
+    """Corpus-level exact edge dedup (SURVEY.md §2.8): keep the
+    max-confidence witness per (src, rel, dst).
+
+    Scale shape: coarse hash partition of the edge key (cluster-scaled
+    part count — the ``distinct_pairs`` idiom, dataops.py:121) and ONE
+    vectorized pandas sort + ``groupby(edge_key).head(1)`` inside each
+    part. Never ``groupby(edge_key)`` directly: Ray pays ~1 ms of Python
+    per aggregate group (measured, BASELINE.md tail), so one Ray group
+    per distinct edge walls at ~1e6 s for 1e9 distinct edges; this shape
+    pays #parts group calls regardless of corpus size."""
     import pandas as pd
 
+    from .dataops import _cluster_parts
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
     def key(batch: pa.Table) -> pa.Table:
-        keys = [
-            f"{s}\x00{r}\x00{d}"
+        # crc32 over the NUL-joined key bytes is injective-enough for a
+        # PARTITION (collisions just co-locate) and NUL-safe; the actual
+        # group key inside the part is the (src, rel, dst) columns —
+        # NEVER a "\x00"-joined string, because pandas' string hashtable
+        # (factorize/groupby) truncates at embedded NULs and silently
+        # merges distinct keys (measured: 2249 -> 2243 groups at sf0.01).
+        parts = [
+            zlib.crc32(f"{s}\x00{r}\x00{d}".encode("utf-8")) % num_parts
             for s, r, d in zip(
                 batch.column("src").to_pylist(),
                 batch.column("rel").to_pylist(),
                 batch.column("dst").to_pylist(),
             )
         ]
-        return batch.append_column("edge_key", pa.array(keys, pa.string()))
+        return batch.append_column("edge_part", pa.array(parts, pa.int64()))
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(
-            ["confidence", "repo", "path", "sent_id"],
-            ascending=[False, True, True, True],
-        ).head(1)
+    def first_per_key(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.sort_values(
+                ["confidence", "repo", "path", "sent_id"],
+                ascending=[False, True, True, True],
+                kind="mergesort",
+            )
+            .groupby(["src", "rel", "dst"], sort=False)
+            .head(1)
+        )
+        return out.drop(columns=["edge_part"])
 
     return (
         edges_ds.map_batches(key, batch_format="pyarrow")
-        .groupby("edge_key")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["edge_key"])
+        .groupby("edge_part")
+        .map_groups(first_per_key, batch_format="pandas")
     )
 
 
