@@ -1349,8 +1349,9 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   + 0.5)
             AS BIGINT) AS cosine_centi
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                             b.embedding::DOUBLE[]) >= 0.3
+WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) * 100 + 0.5)
+      >= 30
 """
 
 
@@ -1365,7 +1366,10 @@ def q_embedding_dups_lsh(sf_dir):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    ds = embedding_near_dup_pairs(emb, threshold=0.3)
+    # fixed geometry (8 planes x 12 tables): reproducible output the SQL
+    # oracle embeds as literal plane constants; production callers omit
+    # num_planes and get the corpus-scaled auto sizing
+    ds = embedding_near_dup_pairs(emb, threshold=0.3, num_planes=8)
 
     def to_cents(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1385,22 +1389,62 @@ def q_embedding_dups_lsh(sf_dir):
     return ds.map_batches(to_cents, batch_format="pyarrow")
 
 
+def _sql_embedding_dups_lsh() -> str:
+    """Full SQL reproduction of the hyperplane-LSH near-dup pipeline: the
+    12x8x64 plane constants (np.random.RandomState(11), exactly
+    LSHBucketer's draw order) are embedded as literal DOUBLE[] values —
+    the `_sql_minhash_pairs` precedent at larger scale. Signature =
+    sum of 2^i over planes with positive dot product; candidates share a
+    (table, bucket); the verify decides on the rounded cosine_centi, the
+    engine-reproducible value (numpy vs DuckDB raw doubles diverge at
+    ~2e-16)."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for t in range(12):
+        plane = rng.randn(8, 64)  # one draw per table, LSHBucketer order
+        for i in range(8):
+            lst = ", ".join(repr(float(x)) for x in plane[i])
+            rows.append(f"({t}, {1 << i}, [{lst}]::DOUBLE[])")
+    planes = ",\n  ".join(rows)
+    return f"""
+WITH planes(t, w, v) AS (VALUES
+  {planes}
+),
+sig AS (
+  SELECT e.vec_id, p.t,
+         SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.v) > 0
+                  THEN p.w ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]) * 100
+                  + 0.5) AS BIGINT) AS cosine_centi
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                   eb.embedding::DOUBLE[]) * 100 + 0.5)
+      >= 30
+"""
+
+
 def q_jaccard_pairs(sf_dir):
     """LSH candidate generation + exact n-gram Jaccard verify (the
-    candidate→verify dedup shape; text broadcast for the verify at sf
-    scale, id-join at production scale — see dataops docstring)."""
-    import pyarrow.parquet as pq
-
+    candidate→verify dedup shape). Drives the PRODUCTION verify path —
+    candidates hash-joined back to the documents table by id, no
+    driver-built text dict; the broadcast fast path stays available via
+    the ``doc_texts`` argument (pytest-gated equal)."""
     from .stages.dataops import jaccard_verified_pairs
 
-    tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    doc_texts = dict(
-        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
-    )
     return jaccard_verified_pairs(
-        _docs(sf_dir, num_blocks=_read_blocks()), doc_texts, threshold=0.5
+        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5
     )
 
 
@@ -1509,6 +1553,7 @@ def build_oracle_sql():
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "minhash_pairs": _sql_minhash_pairs(),
         "embedding_dups": SQL_EMBEDDING_DUPS,
+        "embedding_dups_lsh": _sql_embedding_dups_lsh(),
         # labeler-pipeline oracles: the deterministic labeler + decode is
         # a pure word-list/md5 function of the sentence → expressible in
         # SQL end-to-end (openie_with_entities_ray/oracles.py)

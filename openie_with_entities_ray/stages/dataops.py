@@ -182,9 +182,12 @@ class MinHashSignatures:
                 out_band.append(band)
                 out_hash.append(bh)
                 out_sig.append(sig.tobytes())
+        # the id column keeps the caller's name (self.id_col) so the
+        # downstream group kernels' `group[id_col]` stays correct for any
+        # id column, not just 'doc_id'
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
+                self.id_col: pa.array(out_id),
                 "band": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.string()),
                 "signature": pa.array(out_sig, pa.binary()),
@@ -224,15 +227,15 @@ def minhash_candidate_pairs(
         a_ids, b_ids, est = [], [], []
         # drop singleton buckets before the Python group loop (most buckets
         # hold one doc; iterating them costs more than the real work)
-        counts = group.groupby(["band", "band_hash"])["doc_id"].transform(
+        counts = group.groupby(["band", "band_hash"])[id_col].transform(
             "size"
         )
         group = group[counts >= 2]
         for _, bucket in group.groupby(["band", "band_hash"], sort=False):
-            rows = bucket.drop_duplicates(subset=["doc_id"]).sort_values(
-                "doc_id"
+            rows = bucket.drop_duplicates(subset=[id_col]).sort_values(
+                id_col
             )
-            ids = rows["doc_id"].to_list()
+            ids = rows[id_col].to_list()
             sigs_mat = np.stack(
                 [np.frombuffer(s, dtype=np.uint64) for s in rows["signature"]]
             )
@@ -246,7 +249,7 @@ def minhash_candidate_pairs(
         # typed columns even when empty — an untyped empty block breaks
         # downstream schema unification (Ray warns 'RefBundle with a
         # different schema')
-        id_dtype = group["doc_id"].dtype
+        id_dtype = group[id_col].dtype
         return pd.DataFrame(
             {
                 "id_a": pd.Series(a_ids, dtype=id_dtype),
@@ -296,7 +299,7 @@ def _bucketed_signatures(docs_ds, *, num_perm, num_bands, text_col,
 
 def jaccard_verified_pairs(
     docs_ds,
-    doc_texts: dict,
+    doc_texts: dict | None = None,
     *,
     threshold: float = 0.5,
     num_perm: int = 128,
@@ -309,11 +312,19 @@ def jaccard_verified_pairs(
     classic candidate→verify dedup pipeline: approximate recall from the
     bands, exact precision from the verify).
 
-    ``doc_texts`` ({id: text}) is the small-side broadcast for the verify
-    step (one ``ray.put``, read per task) — at 100 TB the verify joins
-    candidates back to the documents table by id instead of broadcasting;
-    the candidate generation is unchanged. Emits ``jaccard_permille`` =
-    (1000*|A∩B|)//|A∪B| over word-3-gram shingle sets."""
+    Two verify shapes, identical output:
+
+    - ``doc_texts=None`` (production path, the default): the distinct
+      candidate pairs are HASH-JOINED back to the documents table by id
+      (two ``Dataset.join`` s with cluster-scaled partitions) — nothing
+      corpus-sized touches the driver, so the path holds at 100 TB.
+    - ``doc_texts`` ({id: text}): small-side broadcast for the verify
+      (one ``ray.put``, read per task) — the fast path when the corpus
+      fits a broadcast.
+
+    Emits ``jaccard_permille`` = (1000*|A∩B|)//|A∪B| over word-3-gram
+    shingle sets; shingle arrays are memoized per verify batch (pairs
+    arrive bucket-clustered, so hot docs repeat within a batch)."""
     import ray
 
     sigs = _bucketed_signatures(
@@ -347,18 +358,72 @@ def jaccard_verified_pairs(
     )
     distinct = distinct_pairs(cands, "one", how="max")
 
-    texts_ref = ray.put(doc_texts)
+    if doc_texts is not None:
+        # broadcast fast path: attach texts from the ray.put'd dict
+        texts_ref = ray.put(doc_texts)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            ta = [texts[i] for i in batch.column("id_a").to_pylist()]
+            tb = [texts[i] for i in batch.column("id_b").to_pylist()]
+            batch = batch.append_column(
+                "__text_a", pa.array(ta, pa.string())
+            )
+            return batch.append_column("__text_b", pa.array(tb, pa.string()))
+
+        paired = distinct.map_batches(attach, batch_format="pyarrow")
+    else:
+        # production path: two hash joins back to the documents table —
+        # candidates are tiny relative to the corpus, so each join ships
+        # only the matching document rows; partitions scale with the
+        # cluster (~cpus/4 aggregator actors, see revenue_by_nation)
+        num_partitions = max(2, cluster_cpus() // 4)
+
+        def renamed(id_name: str, text_name: str):
+            def proj(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        id_name: batch.column(id_col),
+                        text_name: batch.column(text_col),
+                    }
+                )
+
+            return docs_ds.map_batches(proj, batch_format="pyarrow")
+
+        paired = distinct.join(
+            renamed("__jid_a", "__text_a"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_a",),
+            right_on=("__jid_a",),
+        ).join(
+            renamed("__jid_b", "__text_b"),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_b",),
+            right_on=("__jid_b",),
+        )
 
     def verify(batch: pa.Table) -> pa.Table:
         from ..functions.dedup import shingles
 
-        texts = ray.get(texts_ref)
         a = batch.column("id_a").to_pylist()
         b = batch.column("id_b").to_pylist()
+        ta = batch.column("__text_a").to_pylist()
+        tb = batch.column("__text_b").to_pylist()
+        memo: dict = {}  # per-batch shingle memo (hot docs repeat)
+
+        def sh(doc_id, text):
+            s = memo.get(doc_id)
+            if s is None:
+                s = shingles(text)
+                memo[doc_id] = s
+            return s
+
         keep, o_j = [], []
-        for k, (ia, ib) in enumerate(zip(a, b)):
-            sa = shingles(texts[ia])
-            sb = shingles(texts[ib])
+        for k in range(len(a)):
+            sa = sh(a[k], ta[k])
+            sb = sh(b[k], tb[k])
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             if union and inter / union >= threshold:
@@ -373,7 +438,7 @@ def jaccard_verified_pairs(
             }
         )
 
-    return distinct.map_batches(verify, batch_format="pyarrow")
+    return paired.map_batches(verify, batch_format="pyarrow")
 
 
 def top_terms(docs_ds, *, k: int = 20, text_col: str = "text",
@@ -599,12 +664,30 @@ def ann_topk(
     return top
 
 
+def auto_num_planes(corpus_size: int, target_bucket: int = 64,
+                    min_planes: int = 4, max_planes: int = 24) -> int:
+    """Planes per LSH table sized to the corpus: 2^planes buckets/table,
+    so planes = ceil(log2(N / target_bucket)) keeps expected bucket
+    occupancy ~target_bucket as N grows — at 100 TB the verify stays a
+    bounded in-bucket matmul instead of a corpus-sized bucket. Callers
+    pass a cheap ``count()`` or a corpus-size hint."""
+    import math
+
+    if corpus_size <= target_bucket:
+        return min_planes
+    return max(
+        min_planes,
+        min(max_planes, math.ceil(math.log2(corpus_size / target_bucket))),
+    )
+
+
 class LSHBucketer:
     """Random-hyperplane LSH with L tables of P planes each (actor holds
     the projection matrices). A vector lands in L buckets; a pair at angle
     θ collides in at least one table with prob 1-(1-(1-θ/π)^P)^L —
     recall/precision is tuned with (P, L). Multi-table = the scale path
-    for approximate cosine search and near-dup."""
+    for approximate cosine search and near-dup. Size P with
+    :func:`auto_num_planes` so buckets stay bounded as the corpus grows."""
 
     def __init__(self, dim: int = 64, num_planes: int = 4,
                  num_tables: int = 6, seed: int = 11):
@@ -728,13 +811,15 @@ def embedding_dup_pairs_exact(
     quadratic by design: use :func:`embedding_near_dup_pairs` (LSH) as
     the 100-TB scale path — this one caps at a broadcastable reference
     matrix."""
-    import math
-
     import ray
 
     norms = np.linalg.norm(ref_mat, axis=1)
     norms[norms == 0] = 1.0
     ref = ray.put((np.asarray(ref_ids), ref_mat, norms))
+    # threshold on the ROUNDED integer, not the raw double: numpy and
+    # DuckDB disagree by ~2e-16 on raw cosines, which can flip pair
+    # membership at the boundary; the centi value is the reproducible one
+    thr_centi = int(round(threshold * 100))
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_b, mat_b, norms_b = ray.get(ref)
@@ -743,14 +828,16 @@ def embedding_dup_pairs_exact(
         norms_a = np.linalg.norm(mat_a, axis=1)
         norms_a[norms_a == 0] = 1.0
         sims = (mat_a @ mat_b.T) / np.outer(norms_a, norms_b)
-        ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+        centi = np.floor(sims * 100 + 0.5)
+        ii, jj = np.nonzero(
+            (centi >= thr_centi) & (ids_a[:, None] < ids_b[None, :])
+        )
         return pa.table(
             {
                 "id_a": pa.array(ids_a[ii], pa.int64()),
                 "id_b": pa.array(ids_b[jj], pa.int64()),
                 "cosine_centi": pa.array(
-                    [int(math.floor(v * 100 + 0.5)) for v in sims[ii, jj]],
-                    pa.int64(),
+                    centi[ii, jj].astype(np.int64), pa.int64()
                 ),
             }
         )
@@ -764,20 +851,32 @@ def embedding_near_dup_pairs(
     threshold: float = 0.3,
     dim: int = 64,
     id_col: str = "vec_id",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     num_tables: int = 12,
+    corpus_size: int | None = None,
 ):
     """Embedding-cosine near-dup, the approximate SCALE path: multi-table
     hyperplane LSH bucketing (actor pool) → in-bucket pairwise cosine ≥
     threshold → distinct pairs across tables. (num_planes, num_tables)
-    set the recall/cost point; num_planes should grow with corpus size
-    (buckets per table = 2^planes).
+    set the recall/cost point.
+
+    ``num_planes=None`` (default) auto-scales with the corpus via
+    :func:`auto_num_planes` — from ``corpus_size`` if the caller already
+    knows it, else a cheap ``count()`` (metadata-only on parquet reads) —
+    so expected bucket occupancy stays bounded as N grows. Pass an
+    explicit ``num_planes`` for a reproducible fixed geometry (the
+    SQL-oracled query entry does).
 
     Scale shape: shuffle key = ``hash(table, bucket) % P`` with P scaled
     to the cluster (see :func:`minhash_candidate_pairs`); the in-bucket
     verify is one vectorized upper-triangle matmul, not a Python pair
-    loop."""
+    loop. Pair membership is decided on the rounded ``cosine_centi``
+    value (not the raw double) so the decision is engine-reproducible."""
     num_parts = _cluster_parts()
+    if num_planes is None:
+        n = corpus_size if corpus_size is not None else emb_ds.count()
+        num_planes = auto_num_planes(int(n))
+    thr_centi = int(round(threshold * 100))
 
     def add_part(batch: pa.Table) -> pa.Table:
         tables = batch.column("table").to_pylist()
@@ -802,7 +901,9 @@ def embedding_near_dup_pairs(
             norms[norms == 0] = 1.0
             mat = mat / norms[:, None]
             sims = mat @ mat.T
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            ii, jj = np.nonzero(
+                np.triu(np.floor(sims * 100 + 0.5) >= thr_centi, k=1)
+            )
             if len(ii):
                 frames.append(
                     pd.DataFrame(

@@ -97,8 +97,6 @@ def test_embedding_dup_exact_and_lsh_recall(ray_session):
     """The exact broadcast baseline must equal numpy all-pairs; the LSH
     scale path must recover (nearly) all true near-dup pairs at a high
     threshold on a corpus with planted duplicates."""
-    import math
-
     import pyarrow as pa
     import ray.data
 
@@ -118,10 +116,12 @@ def test_embedding_dup_exact_and_lsh_recall(ray_session):
 
     norms = np.linalg.norm(mat, axis=1)
     sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
-    ii, jj = np.nonzero(np.triu(sims >= 0.8, k=1))
+    # membership is decided on the rounded centi value (engine-reproducible
+    # vs DuckDB), so the expected set uses the same rule
+    centi = np.floor(sims * 100 + 0.5)
+    ii, jj = np.nonzero(np.triu(centi >= 80, k=1))
     expect = {
-        (int(ids[i]), int(ids[j])): int(math.floor(sims[i, j] * 100 + 0.5))
-        for i, j in zip(ii, jj)
+        (int(ids[i]), int(ids[j])): int(centi[i, j]) for i, j in zip(ii, jj)
     }
     assert len(expect) >= 20
 
@@ -475,3 +475,77 @@ def test_multimodal_stdlib_backend(ray_session):
     assert len(frames) == 2 * 4  # 4 video rows in 12
     for r in frames:
         assert read_png(bytes(r["frame_bytes"])).ndim == 3
+
+
+def test_jaccard_join_path_matches_broadcast(ray_session):
+    """The production id-join verify and the doc_texts broadcast verify
+    must produce identical pair sets — including with a non-default id
+    column name (regression: MinHashSignatures used to hardcode
+    'doc_id', breaking any other id_col)."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import jaccard_verified_pairs
+
+    texts = [TEXT_A, TEXT_B, TEXT_C, TEXT_A, "tiny words here",
+             TEXT_B + " extra", TEXT_C + " tail"]
+    ids = list(range(10, 10 + len(texts)))
+
+    def pairs(**kwargs):
+        ds = ray.data.from_arrow(
+            pa.table({"item_id": ids, "body": texts})
+        )
+        rows = jaccard_verified_pairs(
+            ds, threshold=0.5, id_col="item_id", text_col="body", **kwargs
+        ).take_all()
+        return {(r["id_a"], r["id_b"]): r["jaccard_permille"] for r in rows}
+
+    joined = pairs()  # production path: no driver-built dict
+    broadcast = pairs(doc_texts=dict(zip(ids, texts)))
+    assert joined == broadcast
+    assert (10, 13) in joined  # exact dup pair survives the verify
+    assert joined[(10, 13)] == 1000
+
+
+def test_auto_num_planes_tracks_corpus_size():
+    """Bucket count grows with N so expected occupancy stays ~bounded:
+    occupancy = N / 2^planes must not exceed ~2x target as N scales."""
+    from openie_with_entities_ray.stages.dataops import auto_num_planes
+
+    target = 64
+    prev = 0
+    for n in (10, 1_000, 100_000, 10_000_000, 10**9, 10**12):
+        p = auto_num_planes(n, target_bucket=target)
+        assert p >= prev  # monotone in corpus size
+        prev = p
+        if n > target and p < 24:  # inside the uncapped range
+            assert n / 2**p <= 2 * target
+    assert auto_num_planes(10) == 4  # floor
+    assert auto_num_planes(10**12) <= 24  # cap
+
+
+def test_embedding_lsh_auto_planes(ray_session):
+    """num_planes=None resolves from a count()/hint without error and
+    still finds the planted near-dup pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(30, 64)
+    mat = np.vstack([base, base[:10] + 0.02 * rng.randn(10, 64)])
+    tbl = pa.table(
+        {
+            "vec_id": list(range(len(mat))),
+            "embedding": [list(v) for v in mat],
+        }
+    )
+    got = embedding_near_dup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.9
+    ).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in got}
+    planted = {(i, 30 + i) for i in range(10)}
+    assert planted <= found
