@@ -126,91 +126,275 @@ def _conj_stage(sentences_ds, seed: int, batch_size: int):
     )
 
 
-def _write_conj(splits_rows, out: str) -> None:
-    """K4: orig + splits per block, blank-line separated (model.py:678-690)."""
-    import collections
+def _stream_rows(ds, keys, columns=None):
+    """Rows of ``ds`` in ``keys`` order with O(batch) driver memory: the
+    distributed sort orders the block sequence and ``iter_batches``
+    follows it — the streaming replacement for ``take_all()`` + a driver
+    sort (the render files are inherently sequential sinks, but the
+    driver never holds more than one batch)."""
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    for batch in ds.sort(keys).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        yield from batch.to_pylist()
 
-    by_sent = collections.defaultdict(list)
-    for r in sorted(splits_rows, key=lambda r: (r["sent_id"], r["split_id"])):
-        by_sent[r["sent_id"]].append(r)
-    blocks = []
-    for sid in sorted(by_sent):
-        rows = by_sent[sid]
-        orig = rows[0]["orig_sentence"]
-        splits = [r["split_sentence"] for r in rows]
-        if splits == [orig]:
-            blocks.append(orig)
-        else:
-            blocks.append("\n".join([orig] + splits))
+
+def _write_conj(splits_ds, out: str) -> None:
+    """K4: orig + splits per block, blank-line separated (model.py:678-690),
+    rendered as a stream over the sorted splits with a one-block carry."""
     with open(f"{out}.conj", "w", encoding="utf-8") as f:
-        f.write("\n\n".join(blocks) + "\n")
+        cur_sid = None
+        cur_orig = ""
+        cur_splits: list = []
+        first = True
+
+        def flush():
+            nonlocal first
+            if cur_sid is None:
+                return
+            block = (
+                cur_orig
+                if cur_splits == [cur_orig]
+                else "\n".join([cur_orig] + cur_splits)
+            )
+            f.write(("" if first else "\n\n") + block)
+            first = False
+
+        for r in _stream_rows(
+            splits_ds,
+            ["sent_id", "split_id"],
+            ["sent_id", "split_id", "orig_sentence", "split_sentence"],
+        ):
+            if r["sent_id"] != cur_sid:
+                flush()
+                cur_sid = r["sent_id"]
+                cur_orig = r["orig_sentence"]
+                cur_splits = []
+            cur_splits.append(r["split_sentence"])
+        flush()
+        f.write("\n")
 
 
-def _write_oie_allennlp(triple_rows, all_sentences, out: str, style: str) -> None:
+def _first_seen_sentences(splits_ds):
+    """Distinct original sentences with their first-seen sent_id (the
+    reference's corpus-wide first-seen-order output keying,
+    model.py:609-634): coarse crc32 partition + a vectorized pandas
+    min per text — one Ray group per PART, not per distinct sentence."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from .stages.dataops import _cluster_parts
+
+    num_parts = _cluster_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        texts = batch.column("orig_sentence").to_pylist()
+        return pa.table(
+            {
+                "orig_sentence": batch.column("orig_sentence"),
+                "sent_id": batch.column("sent_id"),
+                "part": pa.array(
+                    [
+                        zlib.crc32(t.encode("utf-8")) % num_parts
+                        for t in texts
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("orig_sentence", as_index=False).agg(
+            first_sid=("sent_id", "min")
+        )
+
+    return (
+        splits_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _write_oie_allennlp(triples_ds, splits_ds, out: str, style: str) -> None:
     """K1 + K2 with the reference's exact file shape (model.py:609-654,
     697-702): predictions keyed corpus-wide by original-sentence TEXT in
     first-seen order (duplicate sentences merge; triples exact-deduped
     across occurrences), every sentence gets a block even with zero
     extractions, and blocks are blank-line separated (each block ends
-    with a newline, blocks joined with '\\n')."""
+    with a newline, blocks joined with '\\n').
+
+    Distributed render: the first-seen key table is computed by coarse-
+    partitioned groupby, triples join it by sentence text, the
+    cross-occurrence first-wins dedup runs vectorized per part, and the
+    driver merges the two SORTED row streams with O(batch) memory —
+    byte-identical to the whole-file writer, no corpus-sized
+    ``take_all``."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+
     from .functions.triples import (
         Triple,
         ext_to_allennlp,
         ext_to_sentence,
         ext_to_string,
     )
+    from .stages.dataops import _cluster_parts, cluster_cpus
 
-    by_sent: dict = {}
-    for sentence in all_sentences:  # first-seen order, duplicates merge
-        by_sent.setdefault(sentence, [])
-    for r in sorted(
-        triple_rows, key=lambda r: (r["sent_id"], r["split_id"], r["depth"])
-    ):
-        t = Triple(r["arg1"], r["rel"], r["arg2"], r["confidence"])
-        bucket = by_sent.setdefault(r["orig_sentence"], [])
-        if all(x.dedup_key != t.dedup_key for x in bucket):
-            bucket.append(t)
-    oie_blocks, allennlp_lines = [], []
-    for sentence, triples in by_sent.items():
-        block = sentence + "\n"
-        for t in triples:
-            block += (
-                ext_to_sentence(t) if style == "sentences" else ext_to_string(t)
-            ) + "\n"
-            allennlp_lines.append(ext_to_allennlp(sentence, t))
-        oie_blocks.append(block)
-    with open(f"{out}.oie", "w", encoding="utf-8") as f:
-        f.write("\n".join(oie_blocks) + "\n")
-    with open(f"{out}.allennlp", "w", encoding="utf-8") as f:
-        f.write("".join(line + "\n" for line in allennlp_lines))
+    headers = _first_seen_sentences(splits_ds)
+    hdr_renamed = headers.map_batches(
+        lambda b: pa.table(
+            {
+                "__hdr_sentence": b.column("orig_sentence"),
+                "first_sid": b.column("first_sid"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = triples_ds.join(
+        hdr_renamed,
+        join_type="inner",
+        num_partitions=max(2, cluster_cpus() // 4),
+        on=("orig_sentence",),
+        right_on=("__hdr_sentence",),
+    )
+
+    num_parts = _cluster_parts()
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        a1 = batch.column("arg1").to_pylist()
+        rel = batch.column("rel").to_pylist()
+        a2 = batch.column("arg2").to_pylist()
+        sents = batch.column("orig_sentence").to_pylist()
+        # dedup key = ' '.join(args) + ' ' + pred (model.py:596)
+        keys = [f"{x} {z} {y}" for x, y, z in zip(a1, rel, a2)]
+        parts = [
+            zlib.crc32(f"{s}\x00{k}".encode("utf-8")) % num_parts
+            for s, k in zip(sents, keys)
+        ]
+        batch = batch.append_column("dedup_key", pa.array(keys, pa.string()))
+        return batch.append_column("__part", pa.array(parts, pa.int64()))
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        # in-part pandas groupby on the COMPONENT columns (a NUL-joined
+        # string key would hit pandas' NUL-truncating string hashtable)
+        out = (
+            g.sort_values(
+                ["sent_id", "split_id", "depth"], kind="mergesort"
+            )
+            .groupby(["orig_sentence", "dedup_key"], sort=False)
+            .head(1)
+        )
+        return out.drop(columns=["__part"])
+
+    prepped = (
+        joined.map_batches(add_key, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(first_wins, batch_format="pandas")
+    )
+
+    hdr_iter = _stream_rows(
+        headers, ["first_sid"], ["first_sid", "orig_sentence"]
+    )
+    tri_iter = _stream_rows(
+        prepped,
+        ["first_sid", "sent_id", "split_id", "depth"],
+        [
+            "first_sid", "sent_id", "split_id", "depth", "arg1", "rel",
+            "arg2", "confidence",
+        ],
+    )
+    with open(f"{out}.oie", "w", encoding="utf-8") as foie, open(
+        f"{out}.allennlp", "w", encoding="utf-8"
+    ) as fall:
+        tri = next(tri_iter, None)
+        first_block = True
+        for hdr in hdr_iter:
+            sid = hdr["first_sid"]
+            sentence = hdr["orig_sentence"]
+            block = sentence + "\n"
+            while tri is not None and tri["first_sid"] == sid:
+                t = Triple(tri["arg1"], tri["rel"], tri["arg2"],
+                           tri["confidence"])
+                block += (
+                    ext_to_sentence(t)
+                    if style == "sentences"
+                    else ext_to_string(t)
+                ) + "\n"
+                fall.write(ext_to_allennlp(sentence, t) + "\n")
+                tri = next(tri_iter, None)
+            foie.write(("" if first_block else "\n") + block)
+            first_block = False
+        foie.write("\n")
 
 
-def _write_labels(split_rows, out: str, seed: int, no_lt: bool) -> None:
-    """K3/O11: label rows projected onto original word positions
-    (run.py:246-291 file shape, incl. the leading blank line per block)."""
-    import collections
+class _LabelProjector:
+    """Actor: label each split sentence and project the label rows onto
+    original word positions (O11) on WORKERS; the driver only renders."""
 
-    from .functions.triples import project_labels_to_original
-    from .state.labeler import DeterministicLabeler
+    def __init__(self, seed: int):
+        from .state.labeler import DeterministicLabeler
 
-    labeler = DeterministicLabeler(seed=seed)
-    by_sent = collections.defaultdict(list)
-    for r in sorted(split_rows, key=lambda r: (r["sent_id"], r["split_id"])):
-        by_sent[(r["sent_id"], r["orig_sentence"])].append(r)
-    lines = []
-    for (sid, sentence), rows in sorted(by_sent.items()):
-        lines.append("\n" + sentence)
-        n_orig = len(sentence.split())
-        for r in rows:
-            rows_lbl, _ = labeler.label_oie(r["split_sentence"])
-            lines.extend(
+        self.labeler = DeterministicLabeler(seed=seed)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .functions.triples import project_labels_to_original
+
+        sids = batch.column("sent_id").to_pylist()
+        split_ids = batch.column("split_id").to_pylist()
+        origs = batch.column("orig_sentence").to_pylist()
+        splits = batch.column("split_sentence").to_pylist()
+        idxs = batch.column("split_indices").to_pylist()
+        lines_col = []
+        for orig, split, idx in zip(origs, splits, idxs):
+            rows_lbl, _ = self.labeler.label_oie(split)
+            lines_col.append(
                 project_labels_to_original(
-                    rows_lbl, list(r["split_indices"]), n_orig
+                    rows_lbl, list(idx), len(orig.split())
                 )
             )
-    lines.append("\n")
+        return pa.table(
+            {
+                "sent_id": pa.array(sids, pa.int64()),
+                "split_id": pa.array(split_ids, pa.int64()),
+                "orig_sentence": pa.array(origs, pa.string()),
+                "lines": pa.array(lines_col, pa.list_(pa.string())),
+            }
+        )
+
+
+def _write_labels(splits_ds, out: str, seed: int, no_lt: bool) -> None:
+    """K3/O11: label rows projected onto original word positions
+    (run.py:246-291 file shape, incl. the leading blank line per block).
+    Projection runs in an actor pool; the driver streams the sorted rows."""
+    proj = splits_ds.map_batches(
+        _LabelProjector,
+        fn_constructor_kwargs=dict(seed=seed),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
     with open(f"{out}.labels", "w", encoding="utf-8") as f:
-        f.write("\n".join(lines))
+        first = True
+
+        def emit(x: str) -> None:
+            nonlocal first
+            f.write(("" if first else "\n") + x)
+            first = False
+
+        cur_sid = None
+        for r in _stream_rows(proj, ["sent_id", "split_id"]):
+            if r["sent_id"] != cur_sid:
+                cur_sid = r["sent_id"]
+                emit("\n" + r["orig_sentence"])
+            for line in r["lines"]:
+                emit(line)
+        emit("\n")
 
 
 def _presplit_dataset(split_fp: str):
@@ -264,11 +448,12 @@ def run_splitpredict(args) -> None:
         splits = _presplit_dataset(args.split_fp).materialize()
     else:
         sentences = _read_sentence_file(args.inp)
-        # materialized once: consumed by the .conj writer AND the OIE
-        # stage (a lazy Dataset would re-run the labeler otherwise)
+        # materialized once: consumed by the .conj writer, the first-seen
+        # key table, the OIE stage and the labels writer (a lazy Dataset
+        # would re-run the labeler per consumer); pinned blocks spill to
+        # the object store, nothing corpus-sized lands on the driver
         splits = _conj_stage(sentences, args.seed, args.batch_size).materialize()
-    split_rows = splits.take_all()
-    _write_conj(split_rows, args.out)
+    _write_conj(splits, args.out)
 
     raw = splits.drop_columns(["conj_words", "split_indices"]).map_batches(
         OIEExtractor,
@@ -277,14 +462,10 @@ def run_splitpredict(args) -> None:
         batch_size=args.batch_size,
         concurrency=(1, 8),
     )
-    triples = dedup_topk_grouped(raw, args.num_extractions).take_all()
-    sentences_in_order = [
-        r["orig_sentence"]
-        for r in sorted(split_rows, key=lambda r: (r["sent_id"], r["split_id"]))
-    ]
-    _write_oie_allennlp(triples, sentences_in_order, args.out, args.type)
+    triples = dedup_topk_grouped(raw, args.num_extractions)
+    _write_oie_allennlp(triples, splits, args.out, args.type)
     if "labels" in (args.type or ""):
-        _write_labels(split_rows, args.out, args.seed, args.no_lt)
+        _write_labels(splits, args.out, args.seed, args.no_lt)
     print(
         f"Triples written to {args.out}.oie, Conjunctions written to "
         f"{args.out}.conj"
@@ -294,8 +475,9 @@ def run_splitpredict(args) -> None:
 def run_predict(args) -> None:
     if args.task == "conj":
         sentences = _read_sentence_file(args.inp)
-        split_rows = _conj_stage(sentences, args.seed, args.batch_size).take_all()
-        _write_conj(split_rows, args.out)
+        _write_conj(
+            _conj_stage(sentences, args.seed, args.batch_size), args.out
+        )
         print(f"Conjunctions written to {args.out}.conj")
         return
     # task oie: no conjunction splitting — each sentence is its own split
@@ -314,7 +496,9 @@ def run_predict(args) -> None:
         cols["orig_sentence"] = batch.column("sentence")
         return pa.table(cols)
 
-    splits = sentences.map_batches(as_splits, batch_format="pyarrow")
+    splits = sentences.map_batches(
+        as_splits, batch_format="pyarrow"
+    ).materialize()  # consumed by both the OIE stage and the key table
     raw = splits.map_batches(
         OIEExtractor,
         fn_constructor_kwargs=dict(seed=args.seed, no_lt=args.no_lt),
@@ -322,12 +506,8 @@ def run_predict(args) -> None:
         batch_size=args.batch_size,
         concurrency=(1, 8),
     )
-    triples = dedup_topk_grouped(raw, args.num_extractions).take_all()
-    sentence_rows = sentences.select_columns(["sent_id", "sentence"]).take_all()
-    ordered = [
-        r["sentence"] for r in sorted(sentence_rows, key=lambda r: r["sent_id"])
-    ]
-    _write_oie_allennlp(triples, ordered, args.out, args.type)
+    triples = dedup_topk_grouped(raw, args.num_extractions)
+    _write_oie_allennlp(triples, splits, args.out, args.type)
     print(f"Triples written to {args.out}.oie")
 
 

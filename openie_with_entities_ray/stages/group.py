@@ -46,10 +46,51 @@ def _dedup_topk_group(group: pd.DataFrame, num_extractions: int) -> pd.DataFrame
     return out
 
 
-def dedup_topk_grouped(triples_ds, num_extractions: int = 5):
-    """Shuffled variant of the reference's per-sentence accumulator."""
-    return triples_ds.groupby(GROUP_KEY).map_groups(
-        lambda g: _dedup_topk_group(g, num_extractions), batch_format="pandas"
+def dedup_topk_grouped(triples_ds, num_extractions: int = 5,
+                       num_parts: int | None = None):
+    """Shuffled variant of the reference's per-sentence accumulator.
+
+    Scale shape: coarse hash partition of the sentence identity
+    (cluster-scaled part count) with a pandas sub-group loop inside each
+    part — never ``groupby(GROUP_KEY)`` directly, which pays Ray's
+    ~1 ms/group on one group PER SENTENCE (the ``distinct_pairs`` idiom,
+    dataops.py:121). crc32 runs over the raw key bytes, so the partition
+    is safe for any content; the in-part pandas groupby is on the
+    component columns (not a joined string), so it is NUL-safe too."""
+    import zlib
+
+    import pyarrow as pa
+
+    from .dataops import _cluster_parts
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [
+            zlib.crc32(f"{r}\x00{p}\x00{c}\x00{s}".encode("utf-8"))
+            % num_parts
+            for r, p, c, s in zip(
+                batch.column("repo").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("commit").to_pylist(),
+                batch.column("sent_id").to_pylist(),
+            )
+        ]
+        return batch.append_column("__gpart", pa.array(parts, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _dedup_topk_group(sub, num_extractions)
+            for _, sub in g.groupby(GROUP_KEY, sort=False)
+        ]
+        out = pd.concat(outs) if outs else g.iloc[0:0]
+        return out.drop(columns=["__gpart"])
+
+    return (
+        triples_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__gpart")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
