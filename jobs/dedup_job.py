@@ -14,10 +14,25 @@ Per input shard the job writes ``out/<method>/part=<k>/`` Parquet plus a
 manifest; a re-run skips every shard whose manifest exists (pruned at
 the read — nothing upstream re-executes). Exact dedup emits
 (content_sha256, keeper_id, n_docs) groups; minhash/simhash emit
-verified near-dup pairs WITHIN the shard (the production cross-shard
-pass runs the same operators over the full table — per-shard mode is
-the resumable embarrassingly-parallel first stage that removes the
-bulk of duplicates next to the data).
+verified near-dup pairs WITHIN the shard (the resumable embarrassingly-
+parallel first stage that removes the bulk of duplicates next to the
+data).
+
+``--cross-shard`` (minhash) appends the GLOBAL pass in two further
+manifest-tracked stages:
+
+1. ``out/minhash/sigs/part=<k>/`` — per shard, the MinHash signature
+   table of that shard's SURVIVORS (shard docs anti-joined against the
+   within-shard dup ids); one manifest per shard, so the signature
+   stage resumes at shard granularity.
+2. ``out/minhash/global/part=<b>/`` — per LSH band, the verified
+   cross-shard pairs from the union of all signature tables filtered to
+   band ``b`` (parquet predicate pushdown). Bands are independent LSH
+   partitions, so each is its own resumable unit; a killed run resumes
+   at the first unfinished band.
+
+The same pair can surface from several bands, so consumers distinct
+the global parts (within a band the pairs are already distinct).
 """
 
 from __future__ import annotations
@@ -44,6 +59,98 @@ def _pipeline(method: str, docs):
     raise SystemExit(f"unknown --method {method}")
 
 
+def run_cross_shard(shards, out_dir: str, *, threshold: float = 0.8,
+                    num_perm: int = 128, num_bands: int = 16,
+                    resume: bool = True) -> dict:
+    """The global (cross-shard) minhash pass — see module docstring."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        MinHashSignatures,
+        cluster_cpus,
+        minhash_band_pairs,
+    )
+    from openie_with_entities_ray.stages.graph import (
+        completed_partitions,
+        write_partition,
+    )
+
+    # stage 1: per-shard survivor signatures
+    sig_dir = os.path.join(out_dir, "sigs")
+    done = completed_partitions(sig_dir) if resume else set()
+    sigs_written = 0
+    for part, shard in enumerate(shards):
+        if part in done:
+            continue
+        docs = ray.data.read_parquet(shard, columns=["doc_id", "text"])
+        pair_files = glob.glob(
+            os.path.join(out_dir, f"part={part}", "*.parquet")
+        )
+        if pair_files:
+            dropped = ray.data.read_parquet(
+                pair_files, columns=["id_b"]
+            ).map_batches(
+                lambda b: pa.table({"doc_id": b.column("id_b")}),
+                batch_format="pyarrow",
+            )
+            # within a pair the smaller id survives (id_a < id_b), so the
+            # shard's survivors are docs minus the id_b side
+            docs = docs.join(
+                dropped,
+                join_type="left_anti",
+                num_partitions=max(2, cluster_cpus() // 4),
+                on=("doc_id",),
+            )
+        sigs = docs.map_batches(
+            MinHashSignatures,
+            fn_constructor_kwargs=dict(
+                num_perm=num_perm, num_bands=num_bands
+            ),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        write_partition(
+            sigs, sig_dir, part,
+            extra_meta={"input": str(shard), "stage": "signatures"},
+        )
+        sigs_written += 1
+
+    # stage 2: per-band global pairs over ALL shards' signatures
+    glob_dir = os.path.join(out_dir, "global")
+    done_bands = completed_partitions(glob_dir) if resume else set()
+    bands_written = 0
+    sig_files = sorted(glob.glob(os.path.join(sig_dir, "part=*", "*.parquet")))
+    for band in range(num_bands):
+        if band in done_bands:
+            continue
+        # explicit columns= also drops the hive-inferred 'part' column
+        # from the part=<k> directory names (it would collide with the
+        # bucket shuffle key added downstream)
+        band_sigs = ray.data.read_parquet(
+            sig_files,
+            columns=["doc_id", "band", "band_hash", "signature"],
+            filter=(pads.field("band") == band),
+        )
+        pairs = minhash_band_pairs(
+            band_sigs, num_perm=num_perm, threshold=threshold
+        )
+        write_partition(
+            pairs, glob_dir, band,
+            extra_meta={"stage": "band_pairs", "band": band},
+        )
+        bands_written += 1
+    return {
+        "cross_shard_sigs_written": sigs_written,
+        "cross_shard_bands_written": bands_written,
+        "cross_shard_bands_skipped": len(done_bands),
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
@@ -51,8 +158,14 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--method", default="exact",
                     choices=["exact", "minhash", "simhash"])
+    ap.add_argument("--cross-shard", action="store_true",
+                    help="after the per-shard pass, run the global "
+                         "cross-shard near-dup stage (minhash only)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
+    if args.cross_shard and args.method != "minhash":
+        print(json.dumps({"error": "--cross-shard requires --method minhash"}))
+        return 1
 
     import os
 
@@ -98,18 +211,19 @@ def main(argv=None) -> int:
             write_partition(result, out_dir, part,
                             extra_meta={"input": str(shard)})
         )
-    print(
-        json.dumps(
-            {
-                "method": args.method,
-                "shards_total": len(shards),
-                "shards_skipped": len(skipped),
-                "shards_written": len(manifests),
-                "rows_written": sum(m["rows"] for m in manifests),
-                "out": out_dir,
-            }
+    summary = {
+        "method": args.method,
+        "shards_total": len(shards),
+        "shards_skipped": len(skipped),
+        "shards_written": len(manifests),
+        "rows_written": sum(m["rows"] for m in manifests),
+        "out": out_dir,
+    }
+    if args.cross_shard:
+        summary.update(
+            run_cross_shard(shards, out_dir, resume=not args.no_resume)
         )
-    )
+    print(json.dumps(summary))
     ray.shutdown()
     return 0
 

@@ -213,7 +213,11 @@ def read_frame_container(payload: bytes):
     pos = 4
     frames = []
     while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated frame container (short length prefix)")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 4 + length > len(payload):
+            raise ValueError("truncated frame container (short frame payload)")
         frames.append(read_png(payload[pos + 4 : pos + 4 + length]))
         pos += 4 + length
     return frames

@@ -222,6 +222,17 @@ def minhash_candidate_pairs(
         docs_ds, num_perm=num_perm, num_bands=num_bands, text_col=text_col,
         id_col=id_col, seed=seed,
     )
+    return _verify_signature_pairs(
+        sigs, num_perm=num_perm, threshold=threshold, id_col=id_col
+    )
+
+
+def _verify_signature_pairs(parted_sigs, *, num_perm, threshold, id_col):
+    """Shared verify stage over a part-keyed signature table: in-part
+    bucket pair extraction with signature-agreement verification →
+    distinct pairs. Consumed by the one-shot
+    :func:`minhash_candidate_pairs` and by the dedup job's cross-shard
+    global stage (:func:`minhash_band_pairs`)."""
 
     def part_pairs(group: pd.DataFrame) -> pd.DataFrame:
         a_ids, b_ids, est = [], [], []
@@ -258,11 +269,26 @@ def minhash_candidate_pairs(
             }
         )
 
-    pairs = sigs.groupby("part").map_groups(
+    pairs = parted_sigs.groupby("part").map_groups(
         part_pairs, batch_format="pandas"
     )
     # same pair can surface from several bands → distinct
     return distinct_pairs(pairs, "est_permille", how="max")
+
+
+def minhash_band_pairs(sig_ds, *, num_perm: int = 128,
+                       threshold: float = 0.8, id_col: str = "doc_id"):
+    """Verified near-dup pairs from an EXISTING signature table (columns
+    ``id_col, band, band_hash, signature``) — the cross-shard GLOBAL
+    stage of the two-level dedup job (jobs/dedup_job.py): signatures are
+    computed once per shard next to the data, then each band is an
+    independent, resumable global partition; this function handles one
+    such slice. Same part-keying and verify kernel as the one-shot
+    pipeline."""
+    return _verify_signature_pairs(
+        _add_bucket_part(sig_ds),
+        num_perm=num_perm, threshold=threshold, id_col=id_col,
+    )
 
 
 def _bucketed_signatures(docs_ds, *, num_perm, num_bands, text_col,
@@ -271,8 +297,6 @@ def _bucketed_signatures(docs_ds, *, num_perm, num_bands, text_col,
     band_hash, signature) rows with the cluster-scaled ``part`` shuffle
     key — consumed by both the signature-verify and the exact-Jaccard
     pair pipelines."""
-    import zlib
-
     sigs = docs_ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs=dict(
@@ -282,8 +306,15 @@ def _bucketed_signatures(docs_ds, *, num_perm, num_bands, text_col,
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    return _add_bucket_part(sigs)
 
-    num_parts = _cluster_parts()
+
+def _add_bucket_part(sig_ds, num_parts: int | None = None):
+    """Cluster-scaled shuffle key over (band, band_hash) buckets."""
+    import zlib
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         bands = batch.column("band").to_pylist()
@@ -294,7 +325,7 @@ def _bucketed_signatures(docs_ds, *, num_perm, num_bands, text_col,
         ]
         return batch.append_column("part", pa.array(parts, pa.int64()))
 
-    return sigs.map_batches(add_part, batch_format="pyarrow")
+    return sig_ds.map_batches(add_part, batch_format="pyarrow")
 
 
 def jaccard_verified_pairs(

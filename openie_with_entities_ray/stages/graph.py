@@ -188,7 +188,13 @@ def write_partition(ds_part, out_dir: str, part: int, extra_meta=None) -> dict:
     if os.path.isdir(dest):
         shutil.rmtree(dest)  # crashed earlier attempt: manifest is absent
     ds_part.write_parquet(dest)
-    rows = pads.dataset(dest, format="parquet").count_rows()
+    # an empty partition writes no files/dir at all — still a valid,
+    # completed partition (e.g. a dedup shard with zero dup pairs)
+    rows = (
+        pads.dataset(dest, format="parquet").count_rows()
+        if os.path.isdir(dest)
+        else 0
+    )
     meta = {
         "partition": part,
         "rows": rows,

@@ -111,3 +111,83 @@ def test_dedup_job_resumable(tmp_path):
     second = run_job()
     rep2 = json.loads(second.stdout.strip().splitlines()[-1])
     assert rep2["shards_skipped"] == 1 and rep2["shards_written"] == 0
+
+
+def test_dedup_job_cross_shard_resumable(tmp_path):
+    """--cross-shard: the global pass finds ACROSS-shard near-dups that
+    the per-shard pass cannot, and resumes mid-run at band granularity
+    (a crash between bands re-runs only the unfinished bands)."""
+    import json
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dup = ("the quick brown fox jumps over the lazy dog again and again "
+           "today in the bright warm morning sun near the old farm")
+    uniq = [
+        f"completely distinct document number {i} about topic {i * 7} "
+        f"with its own content and vocabulary set {i * 13}"
+        for i in range(6)
+    ]
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    # shard 0: exact dup inside the shard (ids 0,1) + unique docs
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2, 3, 4],
+                  "text": [dup, dup, uniq[0], uniq[1], uniq[2]]}),
+        shard_dir / "s0.parquet",
+    )
+    # shard 1: the same text again -> only the CROSS-shard pass sees it
+    pq.write_table(
+        pa.table({"doc_id": [10, 11, 12, 13],
+                  "text": [dup, uniq[3], uniq[4], uniq[5]]}),
+        shard_dir / "s1.parquet",
+    )
+    out = tmp_path / "dedup"
+
+    def run_job():
+        return subprocess.run(
+            [sys.executable, "jobs/dedup_job.py",
+             "--input", str(shard_dir / "*.parquet"),
+             "--out", str(out), "--method", "minhash", "--cross-shard"],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+
+    first = run_job()
+    assert first.returncode == 0, first.stderr[-800:]
+    rep1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert rep1["shards_written"] == 2
+    assert rep1["cross_shard_sigs_written"] == 2
+    assert rep1["cross_shard_bands_written"] == 16
+
+    def global_pairs():
+        import glob as g
+
+        pairs = set()
+        for f in g.glob(str(out / "minhash" / "global" / "part=*" /
+                             "*.parquet")):
+            t = pq.read_table(f)
+            pairs |= set(zip(t.column("id_a").to_pylist(),
+                             t.column("id_b").to_pylist()))
+        return pairs
+
+    pairs1 = global_pairs()
+    # within-shard dup (0,1) was removed before the global pass: survivor
+    # 0 pairs with shard 1's copy; the dropped id 1 appears nowhere
+    assert (0, 10) in pairs1
+    assert not any(1 in p for p in pairs1)
+
+    # simulate a crash after band 5: delete manifests+outputs of the rest
+    gdir = out / "minhash" / "global"
+    for band in range(6, 16):
+        (gdir / "_manifests" / f"part-{band}.json").unlink()
+        shutil.rmtree(gdir / f"part={band}")
+    resumed = run_job()
+    assert resumed.returncode == 0, resumed.stderr[-800:]
+    rep2 = json.loads(resumed.stdout.strip().splitlines()[-1])
+    assert rep2["shards_skipped"] == 2  # per-shard pass untouched
+    assert rep2["cross_shard_sigs_written"] == 0
+    assert rep2["cross_shard_bands_skipped"] == 6
+    assert rep2["cross_shard_bands_written"] == 10
+    assert global_pairs() == pairs1  # byte-equal result after resume
