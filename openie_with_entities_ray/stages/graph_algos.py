@@ -5,13 +5,18 @@ for canonical entities; also the final stage of MinHash-LSH dedup per the
 Ray guide): iterate "label(node) ← min(label(node), label(neighbor))"
 until fixpoint.
 
-Implementation shape: the adjacency Dataset stays distributed and static;
-the label table (one row per distinct node — orders of magnitude smaller
-than the edge set) is broadcast via ``ray.put`` each round, and each round
-is one vectorized ``map_batches`` + per-batch partial-min + driver merge.
-For label tables beyond driver memory the same loop runs as an iterative
-hash join (groupby on node) — documented trade-off; component counts in
-entity graphs are bounded by distinct surfaces, not edges.
+Two implementations of the same fixpoint:
+
+- :func:`connected_components` — the label table (one row per distinct
+  node, orders of magnitude smaller than the edge set) is broadcast via
+  ``ray.put`` each round; right when labels fit one machine (entity
+  graphs: bounded by distinct surfaces, not edges).
+- :func:`connected_components_join` — the 100 TB path: labels stay a
+  DATASET; each round is a hash join of the (doubled) adjacency against
+  the label table, a coarse-partitioned vectorized min per node, and an
+  anti-join convergence check. Nothing node- or edge-scaled ever
+  touches the driver; per-round label tables are materialized (spill to
+  the object store) so the lineage does not grow with iterations.
 """
 
 from __future__ import annotations
@@ -116,3 +121,123 @@ def connected_components(
     return pd.DataFrame(
         {"node_id": list(labels), "component": list(labels.values())}
     ).sort_values("node_id").reset_index(drop=True)
+
+
+def connected_components_join(
+    edges_ds, src: str = "src", dst: str = "dst",
+    max_iters: int | None = None,
+):
+    """Distributed min-label propagation with the LABELS AS A DATASET —
+    the scale path when the node table itself exceeds driver memory.
+
+    Per round: adjacency ⋈ labels (hash join on the neighbor id) unions
+    the nodes' own labels, a coarse-partitioned vectorized pandas min
+    picks each node's new label (cluster-scaled part count — never one
+    Ray group per node), and a left_anti join of new against old on
+    (node_id, label) counts changed rows for convergence. Returns a
+    Dataset (node_id, component); same deterministic result as
+    :func:`connected_components` (lexicographic-min component ids)."""
+    import zlib
+
+    import ray
+
+    from .dataops import _cluster_parts, cluster_cpus
+
+    num_parts = _cluster_parts()
+    num_join_parts = max(2, cluster_cpus() // 4)
+
+    # doubled adjacency (node, nbr): propagate both directions
+    def doubled(batch: pa.Table) -> pa.Table:
+        u = batch.column(src).to_pylist()
+        v = batch.column(dst).to_pylist()
+        return pa.table(
+            {
+                "node_id": pa.array(u + v, pa.string()),
+                "nbr": pa.array(v + u, pa.string()),
+            }
+        )
+
+    adj = edges_ds.select_columns([src, dst]).map_batches(
+        doubled, batch_format="pyarrow"
+    ).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        nodes = sorted(set(batch.column("node_id").to_pylist()))
+        return pa.table(
+            {
+                "node_id": pa.array(nodes, pa.string()),
+                "label": pa.array(nodes, pa.string()),
+            }
+        )
+
+    def min_per_node(cands):
+        def add_part(batch: pa.Table) -> pa.Table:
+            parts = [
+                zlib.crc32(n.encode("utf-8")) % num_parts
+                for n in batch.column("node_id").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "node_id": batch.column("node_id"),
+                    "label": batch.column("label"),
+                    "part": pa.array(parts, pa.int64()),
+                }
+            )
+
+        def part_min(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node_id", as_index=False).agg(
+                label=("label", "min")
+            )
+
+        return (
+            cands.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(part_min, batch_format="pandas")
+        )
+
+    labels = min_per_node(
+        adj.map_batches(init_labels, batch_format="pyarrow")
+    ).materialize()
+
+    iteration = 0
+    while True:
+        iteration += 1
+        if max_iters is not None and iteration > max_iters:
+            raise RuntimeError(
+                f"connected_components_join did not converge in "
+                f"{max_iters} iterations"
+            )
+        nbr_labels = adj.join(
+            labels.map_batches(
+                lambda b: pa.table(
+                    {
+                        "__lbl_node": b.column("node_id"),
+                        "label": b.column("label"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_join_parts,
+            on=("nbr",),
+            right_on=("__lbl_node",),
+        ).select_columns(["node_id", "label"])
+        new_labels = min_per_node(
+            nbr_labels.union(labels.select_columns(["node_id", "label"]))
+        ).materialize()
+        changed = new_labels.join(
+            labels,
+            join_type="left_anti",
+            num_partitions=num_join_parts,
+            on=("node_id", "label"),
+        ).count()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"node_id": b.column("node_id"), "component": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -549,3 +549,38 @@ def test_embedding_lsh_auto_planes(ray_session):
     found = {(r["id_a"], r["id_b"]) for r in got}
     planted = {(i, 30 + i) for i in range(10)}
     assert planted <= found
+
+
+def test_connected_components_join_matches_broadcast(ray_session):
+    """The labels-as-a-Dataset scale path must agree with the broadcast
+    implementation on a random multi-component graph."""
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import (
+        connected_components,
+        connected_components_join,
+    )
+
+    rng = random.Random(42)
+    src, dst = [], []
+    # 6 planted components of varying diameter + random intra-component
+    # extra edges
+    for c in range(6):
+        nodes = [f"c{c}n{i:02d}" for i in range(rng.randint(2, 12))]
+        for a, b in zip(nodes, nodes[1:]):  # chain: worst-case diameter
+            src.append(a)
+            dst.append(b)
+        for _ in range(3):
+            src.append(rng.choice(nodes))
+            dst.append(rng.choice(nodes))
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    bc = connected_components(edges)
+    expect = dict(zip(bc["node_id"], bc["component"]))
+    got_rows = connected_components_join(edges, max_iters=50).take_all()
+    got = {r["node_id"]: r["component"] for r in got_rows}
+    assert got == expect
+    assert len(set(got.values())) == 6
