@@ -61,7 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gold", type=str, help="gold TSV for --mode eval")
     p.add_argument("--matcher", type=str, default="carb",
                    choices=["carb", "wire57", "simple", "exact", "pred",
-                            "lexical", "bow", "strict", "binary"],
+                            "lexical", "bow", "strict", "binary", "bleu"],
                    help="eval protocol: CaRB PR sweep (with any matcher "
                         "from the reference registry, carb/carb.py:480-505) "
                         "or Wire57 greedy-F1")

@@ -205,6 +205,63 @@ def lexical_match(ref: MatchTuple, ex: MatchTuple) -> bool:
     return coverage > LEXICAL_THRESHOLD
 
 
+BLEU_THRESHOLD = 0.4  # matcher.py:381
+
+
+def _sentence_bleu(reference, hypothesis, max_n: int = 4) -> float:
+    """``nltk.translate.bleu_score.sentence_bleu`` DEFAULT semantics
+    (weights 4x0.25, method0 smoothing, brevity penalty) on the stdlib —
+    nltk is an optional heavy dep even in the reference and is absent
+    here, so the algorithm is reimplemented from the published BLEU
+    definition the nltk defaults encode:
+
+    - modified n-gram precision with reference clipping; denominator
+      floored at 1 (nltk's ``modified_precision``),
+    - zero unigram matches → 0.0 outright (nltk ``corpus_bleu``),
+    - method0 smoothing: any other zero precision becomes
+      ``sys.float_info.min`` so the log-space geometric mean yields ~0
+      instead of raising — including the famous quirk that a PERFECT
+      sub-4-word hypothesis scores ~0 because p_4 has no 4-grams,
+    - brevity penalty ``exp(1 - r/h)`` for h <= r (h == 0 → 0)."""
+    import math
+    import sys
+    from collections import Counter
+
+    def ngrams(seq, n):
+        return Counter(
+            tuple(seq[i : i + n]) for i in range(len(seq) - n + 1)
+        )
+
+    p = []
+    for n in range(1, max_n + 1):
+        hyp = ngrams(hypothesis, n)
+        ref = ngrams(reference, n)
+        clipped = sum(min(c, ref[g]) for g, c in hyp.items())
+        p.append(clipped / max(1, sum(hyp.values())))
+    if p[0] == 0:
+        return 0.0
+    h, r = len(hypothesis), len(reference)
+    if h > r:
+        bp = 1.0
+    elif h == 0:
+        bp = 0.0
+    else:
+        bp = math.exp(1 - r / h)
+    s = math.fsum(
+        0.25 * math.log(x if x > 0 else sys.float_info.min) for x in p
+    )
+    return bp * math.exp(s)
+
+
+def bleu_match(ref: MatchTuple, ex: MatchTuple) -> bool:
+    """matcher.py:106-112 ('--bleuMatch'): sentence BLEU over the bows
+    (no lowercasing — the reference passes the raw bow strings)."""
+    return (
+        _sentence_bleu(_bow(ref).split(" "), _bow(ex).split(" "))
+        > BLEU_THRESHOLD
+    )
+
+
 def tuple_match(ref: MatchTuple, ex: MatchTuple):
     """matcher.py:136-185 ('--strictMatch'): like linient but no
     'be'-forms bonus, no '.' filter, and a zero-overlap arg at index < 2
@@ -328,4 +385,5 @@ MATCHERS = {
     "bow": _as_score(bow_match),                 # (legacy bowMatch)
     "strict": _as_score(tuple_match),            # --strictMatch
     "binary": _as_score(binary_tuple_match),     # --binaryMatch
+    "bleu": _as_score(bleu_match),               # --bleuMatch
 }

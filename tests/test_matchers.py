@@ -94,3 +94,61 @@ def test_strict_vs_lenient_divergence():
 
     assert linient_tuple_match(gold, pred)[0] > 0
     assert tuple_match(gold, pred) is False  # no be-forms equivalence
+
+
+def test_sentence_bleu_nltk_default_semantics():
+    """Stdlib BLEU vs hand-computed nltk-default values (weights 4x0.25,
+    method0 smoothing, brevity penalty)."""
+    import math
+
+    from openie_with_entities_ray.eval.matcher import _sentence_bleu
+
+    # >=4-word identical: all precisions 1, bp 1 -> exactly 1.0
+    ref = "the cat sat on the mat".split()
+    assert _sentence_bleu(ref, list(ref)) == 1.0
+
+    # the nltk method0 quirk: a PERFECT 2-word hypothesis scores ~0
+    # because p3/p4 have no n-grams (sys.float_info.min substitution)
+    assert _sentence_bleu(["big", "dog"], ["big", "dog"]) < 1e-100
+
+    # mixed case, closed form: p1=5/6, p2=3/5, p3=1/4, p4=min; bp=1 (h==r)
+    import sys
+
+    hyp = "the cat is on the mat".split()
+    expect = math.exp(
+        0.25
+        * (
+            math.log(5 / 6)
+            + math.log(3 / 5)
+            + math.log(1 / 4)
+            + math.log(sys.float_info.min)
+        )
+    )
+    assert abs(_sentence_bleu(ref, hyp) - expect) < 1e-12
+
+    # zero unigram overlap -> exactly 0 (corpus_bleu early return)
+    assert _sentence_bleu(ref, ["x", "y", "z", "w"]) == 0.0
+
+    # brevity penalty: h<r shrinks the score by exp(1-r/h)
+    ref2 = "a b c d e f g h".split()
+    hyp2 = "a b c d".split()
+    p4 = _sentence_bleu(ref2, hyp2)
+    assert abs(p4 - math.exp(1 - 8 / 4)) < 1e-12  # precisions all 1
+
+
+def test_bleu_match_threshold():
+    from openie_with_entities_ray.eval.matcher import (
+        MatchTuple,
+        bleu_match,
+    )
+
+    ref = MatchTuple("founded in 1999", ["Acme Corp", "the new factory"])
+    # identical bow (8 words) -> BLEU 1 > 0.4
+    assert bleu_match(ref, MatchTuple("founded in 1999",
+                                      ["Acme Corp", "the new factory"]))
+    # disjoint extraction -> 0
+    assert not bleu_match(ref, MatchTuple("sold", ["Globex", "shares"]))
+    # registry wiring
+    from openie_with_entities_ray.eval.matcher import MATCHERS
+
+    assert MATCHERS["bleu"](ref, ref) == [1.0, 1.0]
