@@ -114,6 +114,22 @@ def dedup_edges(edges_ds, num_parts: int | None = None):
     if num_parts is None:
         num_parts = _cluster_parts()
 
+    _SORT = dict(
+        by=["confidence", "repo", "path", "sent_id"],
+        ascending=[False, True, True, True],
+        kind="mergesort",
+    )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial dedup BEFORE the shuffle (the combiner shape):
+        # duplicate edges are heavily batch-local (same doc/sentence), so
+        # this collapses most of the shuffle volume at map time. Safe
+        # because best-row-per-key selection under a total row order is
+        # associative.
+        return batch.sort_values(**_SORT).groupby(
+            ["src", "rel", "dst"], sort=False
+        ).head(1)
+
     def key(batch: pa.Table) -> pa.Table:
         # crc32 over the NUL-joined key bytes is injective-enough for a
         # PARTITION (collisions just co-locate) and NUL-safe; the actual
@@ -133,18 +149,17 @@ def dedup_edges(edges_ds, num_parts: int | None = None):
 
     def first_per_key(group: pd.DataFrame) -> pd.DataFrame:
         out = (
-            group.sort_values(
-                ["confidence", "repo", "path", "sent_id"],
-                ascending=[False, True, True, True],
-                kind="mergesort",
-            )
+            group.sort_values(**_SORT)
             .groupby(["src", "rel", "dst"], sort=False)
             .head(1)
         )
         return out.drop(columns=["edge_part"])
 
     return (
-        edges_ds.map_batches(key, batch_format="pyarrow")
+        edges_ds.map_batches(
+            combine, batch_format="pandas", batch_size=65536
+        )
+        .map_batches(key, batch_format="pyarrow")
         .groupby("edge_part")
         .map_groups(first_per_key, batch_format="pandas")
     )
