@@ -42,6 +42,13 @@ import glob
 import json
 import sys
 
+# ONE source of truth for the minhash geometry: the per-shard pass and
+# the cross-shard global pass must agree or the survivor anti-joins and
+# the band iteration silently use the wrong parameters.
+MINHASH_THRESHOLD = 0.8
+MINHASH_NUM_PERM = 128
+MINHASH_NUM_BANDS = 16
+
 
 def _pipeline(method: str, docs):
     from openie_with_entities_ray.stages.dataops import (
@@ -53,14 +60,19 @@ def _pipeline(method: str, docs):
     if method == "exact":
         return exact_dedup_groups(docs)
     if method == "minhash":
-        return minhash_candidate_pairs(docs, threshold=0.8)
+        return minhash_candidate_pairs(
+            docs, threshold=MINHASH_THRESHOLD, num_perm=MINHASH_NUM_PERM,
+            num_bands=MINHASH_NUM_BANDS,
+        )
     if method == "simhash":
         return simhash_pairs(docs, max_hamming=3)
     raise SystemExit(f"unknown --method {method}")
 
 
-def run_cross_shard(shards, out_dir: str, *, threshold: float = 0.8,
-                    num_perm: int = 128, num_bands: int = 16,
+def run_cross_shard(shards, out_dir: str, *,
+                    threshold: float = MINHASH_THRESHOLD,
+                    num_perm: int = MINHASH_NUM_PERM,
+                    num_bands: int = MINHASH_NUM_BANDS,
                     resume: bool = True) -> dict:
     """The global (cross-shard) minhash pass — see module docstring."""
     import os

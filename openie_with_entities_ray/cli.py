@@ -245,7 +245,9 @@ def _write_oie_allennlp(triples_ds, splits_ds, out: str, style: str) -> None:
     )
     from .stages.dataops import _cluster_parts, cluster_cpus
 
-    headers = _first_seen_sentences(splits_ds)
+    # materialized: consumed by the triples join AND the header stream —
+    # lazy would run the coarse-partition shuffle twice
+    headers = _first_seen_sentences(splits_ds).materialize()
     hdr_renamed = headers.map_batches(
         lambda b: pa.table(
             {
@@ -266,12 +268,15 @@ def _write_oie_allennlp(triples_ds, splits_ds, out: str, style: str) -> None:
     num_parts = _cluster_parts()
 
     def add_key(batch: pa.Table) -> pa.Table:
+        from .functions.triples import triple_dedup_key
+
         a1 = batch.column("arg1").to_pylist()
         rel = batch.column("rel").to_pylist()
         a2 = batch.column("arg2").to_pylist()
         sents = batch.column("orig_sentence").to_pylist()
-        # dedup key = ' '.join(args) + ' ' + pred (model.py:596)
-        keys = [f"{x} {z} {y}" for x, y, z in zip(a1, rel, a2)]
+        keys = [
+            triple_dedup_key(x, y, z) for x, y, z in zip(a1, rel, a2)
+        ]
         parts = [
             zlib.crc32(f"{s}\x00{k}".encode("utf-8")) % num_parts
             for s, k in zip(sents, keys)

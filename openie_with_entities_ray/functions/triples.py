@@ -38,6 +38,14 @@ MARKER_SUFFIX = " " + " ".join(MARKERS)
 _MARKER_NUM = re.compile(r"\[unused(\d+)\]")
 
 
+def triple_dedup_key(arg1: str, rel: str, arg2: str) -> str:
+    """The reference's extraction identity string:
+    ``' '.join(extr.args) + ' ' + extr.pred`` (model.py:596). The ONE
+    definition — Triple.dedup_key and the CLI's columnar dedup both call
+    it, so the quirk (args first, pred last) can never diverge."""
+    return arg1 + " " + arg2 + " " + rel
+
+
 @dataclass
 class Triple:
     """One (arg1, rel, arg2) extraction with confidence.
@@ -52,8 +60,7 @@ class Triple:
 
     @property
     def dedup_key(self) -> str:
-        # ' '.join(extr.args) + ' ' + extr.pred (model.py:596)
-        return self.arg1 + " " + self.arg2 + " " + self.rel
+        return triple_dedup_key(self.arg1, self.rel, self.arg2)
 
 
 def decode_triple(labels, words, no_lt: bool = False) -> Triple:

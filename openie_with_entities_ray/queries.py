@@ -1397,7 +1397,14 @@ def _sql_embedding_dups_lsh() -> str:
     sum of 2^i over planes with positive dot product; candidates share a
     (table, bucket); the verify decides on the rounded cosine_centi, the
     engine-reproducible value (numpy vs DuckDB raw doubles diverge at
-    ~2e-16)."""
+    ~2e-16).
+
+    Known residual: the bucket BITS are sign tests on raw dot products
+    computed by two engines, and no rounding scheme shrinks the bad set
+    (any decision boundary has the same ~1e-16 measure). A fixture
+    vector whose plane dot lands within float error of the boundary
+    would flip a bit on one side only; probability ~1e-9 for this
+    corpus, and the gate fails loudly (hash mismatch), never silently."""
     rng = np.random.RandomState(11)
     rows = []
     for t in range(12):

@@ -892,11 +892,14 @@ def embedding_near_dup_pairs(
     set the recall/cost point.
 
     ``num_planes=None`` (default) auto-scales with the corpus via
-    :func:`auto_num_planes` — from ``corpus_size`` if the caller already
-    knows it, else a cheap ``count()`` (metadata-only on parquet reads) —
-    so expected bucket occupancy stays bounded as N grows. Pass an
-    explicit ``num_planes`` for a reproducible fixed geometry (the
-    SQL-oracled query entry does).
+    :func:`auto_num_planes`: from ``corpus_size`` if the caller already
+    knows it, else the dataset is ``materialize()``d and counted —
+    materializing first means the upstream pipeline executes ONCE (the
+    count is then metadata-only and the bucketing pass reuses the pinned
+    blocks; a bare ``count()`` would run any non-trivial upstream twice).
+    Callers at scales where pinning the embedding table is unwanted
+    should pass ``corpus_size`` (or an explicit ``num_planes``; the
+    SQL-oracled query entry fixes the geometry that way).
 
     Scale shape: shuffle key = ``hash(table, bucket) % P`` with P scaled
     to the cluster (see :func:`minhash_candidate_pairs`); the in-bucket
@@ -905,8 +908,10 @@ def embedding_near_dup_pairs(
     value (not the raw double) so the decision is engine-reproducible."""
     num_parts = _cluster_parts()
     if num_planes is None:
-        n = corpus_size if corpus_size is not None else emb_ds.count()
-        num_planes = auto_num_planes(int(n))
+        if corpus_size is None:
+            emb_ds = emb_ds.materialize()  # execute upstream once
+            corpus_size = emb_ds.count()
+        num_planes = auto_num_planes(int(corpus_size))
     thr_centi = int(round(threshold * 100))
 
     def add_part(batch: pa.Table) -> pa.Table:

@@ -191,3 +191,82 @@ def test_dedup_job_cross_shard_resumable(tmp_path):
     assert rep2["cross_shard_bands_skipped"] == 6
     assert rep2["cross_shard_bands_written"] == 10
     assert global_pairs() == pairs1  # byte-equal result after resume
+
+
+def test_streaming_writers_byte_parity(ray_session, tmp_path):
+    """The streaming .oie/.allennlp/.conj writers must be byte-identical
+    to the reference's whole-file writer semantics (model.py:609-702),
+    reimplemented naively here from the same rows — including duplicate
+    sentences (first-seen merge + cross-occurrence dedup) and
+    coordination splits."""
+    from openie_with_entities_ray.cli import (
+        _conj_stage,
+        _read_sentence_file,
+        _write_conj,
+        _write_oie_allennlp,
+    )
+    from openie_with_entities_ray.functions.triples import (
+        Triple,
+        ext_to_allennlp,
+        ext_to_string,
+    )
+    from openie_with_entities_ray.stages.extract import OIEExtractor
+    from openie_with_entities_ray.stages.group import dedup_topk_grouped
+
+    inp = tmp_path / "sents.txt"
+    inp.write_text(
+        "Alice , Bob and Carol founded Acme Corp in New York .\n"
+        "Dave , the CEO of Globex , acquired Initech .\n"
+        "Alice , Bob and Carol founded Acme Corp in New York .\n"
+        "The merger was approved by the board .\n"
+        "Dave , the CEO of Globex , acquired Initech .\n"
+    )
+    splits = _conj_stage(_read_sentence_file(str(inp)), 777, 512).materialize()
+    raw = splits.drop_columns(["conj_words", "split_indices"]).map_batches(
+        OIEExtractor, fn_constructor_kwargs=dict(seed=777, no_lt=False),
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 2),
+    )
+    triples_ds = dedup_topk_grouped(raw, None)
+
+    # streamed output (the code under test)
+    _write_conj(splits, str(tmp_path / "got"))
+    _write_oie_allennlp(triples_ds, splits, str(tmp_path / "got"), "")
+
+    # naive whole-file replica of the reference writer semantics
+    split_rows = sorted(
+        splits.take_all(), key=lambda r: (r["sent_id"], r["split_id"])
+    )
+    by_sid: dict = {}
+    for r in split_rows:
+        by_sid.setdefault(r["sent_id"], []).append(r)
+    blocks = []
+    for sid in sorted(by_sid):
+        orig = by_sid[sid][0]["orig_sentence"]
+        ss = [r["split_sentence"] for r in by_sid[sid]]
+        blocks.append(orig if ss == [orig] else "\n".join([orig] + ss))
+    expect_conj = "\n\n".join(blocks) + "\n"
+
+    by_sent: dict = {}
+    for r in split_rows:  # first-seen order, duplicates merge
+        by_sent.setdefault(r["orig_sentence"], [])
+    for r in sorted(
+        triples_ds.take_all(),
+        key=lambda r: (r["sent_id"], r["split_id"], r["depth"]),
+    ):
+        t = Triple(r["arg1"], r["rel"], r["arg2"], r["confidence"])
+        bucket = by_sent.setdefault(r["orig_sentence"], [])
+        if all(x.dedup_key != t.dedup_key for x in bucket):
+            bucket.append(t)
+    oie_blocks, allennlp_lines = [], []
+    for sentence, ts in by_sent.items():
+        block = sentence + "\n"
+        for t in ts:
+            block += ext_to_string(t) + "\n"
+            allennlp_lines.append(ext_to_allennlp(sentence, t))
+        oie_blocks.append(block)
+    expect_oie = "\n".join(oie_blocks) + "\n"
+    expect_allennlp = "".join(x + "\n" for x in allennlp_lines)
+
+    assert (tmp_path / "got.conj").read_text() == expect_conj
+    assert (tmp_path / "got.oie").read_text() == expect_oie
+    assert (tmp_path / "got.allennlp").read_text() == expect_allennlp
