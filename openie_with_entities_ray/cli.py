@@ -207,9 +207,16 @@ def _first_seen_sentences(splits_ds):
         )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("orig_sentence", as_index=False).agg(
-            first_sid=("sent_id", "min")
+        # bytes group key: pandas' str hashtable truncates at embedded
+        # NULs, merging distinct sentences from adversarial content
+        g = g.assign(
+            _k=[s.encode("utf-8") for s in g["orig_sentence"]]
         )
+        out = g.groupby("_k", as_index=False).agg(
+            orig_sentence=("orig_sentence", "first"),
+            first_sid=("sent_id", "min"),
+        )
+        return out.drop(columns=["_k"])
 
     return (
         splits_ds.map_batches(add_part, batch_format="pyarrow")
@@ -285,16 +292,21 @@ def _write_oie_allennlp(triples_ds, splits_ds, out: str, style: str) -> None:
         return batch.append_column("__part", pa.array(parts, pa.int64()))
 
     def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        # in-part pandas groupby on the COMPONENT columns (a NUL-joined
-        # string key would hit pandas' NUL-truncating string hashtable)
+        # bytes composite key (NUL-safe in pandas' object hashtable)
+        g = g.assign(
+            _k=[
+                f"{s}\x00{k}".encode("utf-8")
+                for s, k in zip(g["orig_sentence"], g["dedup_key"])
+            ]
+        )
         out = (
             g.sort_values(
                 ["sent_id", "split_id", "depth"], kind="mergesort"
             )
-            .groupby(["orig_sentence", "dedup_key"], sort=False)
+            .groupby("_k", sort=False)
             .head(1)
         )
-        return out.drop(columns=["__part"])
+        return out.drop(columns=["_k", "__part"])
 
     prepped = (
         joined.map_batches(add_key, batch_format="pyarrow")

@@ -19,6 +19,42 @@ from .benchmark import normalize_key
 from .matcher import MatchTuple, binary_linient_tuple_match
 
 
+def _per_sentence_partials(unioned, kernel):
+    """Run ``kernel`` once per sentence co-group via a coarse crc32
+    partition + an in-part pandas sub-group loop — one Ray group per
+    PART, never per sentence (~1 ms of Python per Ray group, measured).
+    The in-part sub-group key is the utf-8 BYTES of the sentence key
+    (pandas' str hashtable truncates at embedded NULs)."""
+    import zlib
+
+    import pyarrow as pa
+
+    from ..stages.dataops import _cluster_parts
+
+    num_parts = _cluster_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [
+            zlib.crc32(k.encode("utf-8")) % num_parts
+            for k in batch.column("sent_key").to_pylist()
+        ]
+        return batch.append_column("__epart", pa.array(parts, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[s.encode("utf-8") for s in g["sent_key"]])
+        outs = [
+            kernel(sub.drop(columns=["_k", "__epart"]))
+            for _, sub in g.groupby("_k", sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        unioned.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__epart")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def _tag(ds, side: str):
     def add(batch: pa.Table) -> pa.Table:
         keys = [
@@ -162,9 +198,7 @@ def carb_sweep(gold_ds, pred_ds):
              "r": [r.tobytes()], "rl": [rl.tobytes()]}
         )
 
-    partials = unioned.groupby("sent_key").map_groups(
-        group_arrays, batch_format="pandas"
-    )
+    partials = _per_sentence_partials(unioned, group_arrays)
     num_conf = len(thresholds)
 
     # Finish ON WORKERS: per-batch combiner sums the per-sentence byte
@@ -230,9 +264,7 @@ def carb_precision_recall(gold_ds, pred_ds):
     from ray.data.aggregate import Sum
 
     unioned = _tag(gold_ds, "g").union(_tag(pred_ds, "p"))
-    partials = unioned.groupby("sent_key").map_groups(
-        _group_counts, batch_format="pandas"
-    )
+    partials = _per_sentence_partials(unioned, _group_counts)
     # tree-aggregate the four additive counters on workers — the driver
     # receives one row, never the per-sentence partials
     tot = partials.aggregate(

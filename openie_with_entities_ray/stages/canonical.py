@@ -69,19 +69,53 @@ def _partial_counts(batch: pa.Table) -> pa.Table:
     )
 
 
-def canonicalize_surfaces(triples_ds):
+def canonicalize_surfaces(triples_ds, num_parts: int | None = None):
     """triples → nodes table (node_id, surface, n_mentions).
 
-    Two-phase aggregate: map_batches partials (combiner) → small groupby
-    sum. The 'surface' kept per canonical id is the lexicographic min of the
+    Two-phase aggregate: map_batches partials (combiner) → coarse
+    crc32 hash partition → ONE vectorized pandas aggregate per part.
+    The 'surface' kept per canonical id is the lexicographic min of the
     per-batch examples (deterministic under any partitioning).
-    """
-    from ray.data.aggregate import Min, Sum
 
-    partials = triples_ds.map_batches(_partial_counts, batch_format="pyarrow")
-    agg = partials.groupby("surface_norm").aggregate(
-        Sum("n_mentions", alias_name="n_mentions"),
-        Min("surface", alias_name="surface"),
+    Scale shape: the merge groups by a cluster-scaled part key, never by
+    ``surface_norm`` directly — Ray pays ~1 ms of Python per aggregate
+    group (measured, BASELINE.md tail), so one group per distinct
+    surface walls at corpus scale. Inside the part the group key is the
+    utf-8 BYTES of the surface (pandas' string hashtable truncates at
+    embedded NULs and would merge distinct surfaces from adversarial
+    content)."""
+    import zlib
+
+    import pandas as pd
+
+    from .dataops import _cluster_parts
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _partial_counts(batch)
+        parts = [
+            zlib.crc32(s.encode("utf-8")) % num_parts
+            for s in t.column("surface_norm").to_pylist()
+        ]
+        return t.append_column("part", pa.array(parts, pa.int64()))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            _k=[s.encode("utf-8") for s in g["surface_norm"]]
+        )
+        out = g.groupby("_k", as_index=False).agg(
+            surface_norm=("surface_norm", "first"),
+            surface=("surface", "min"),
+            n_mentions=("n_mentions", "sum"),
+        )
+        return out.drop(columns=["_k"])
+
+    agg = (
+        triples_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -98,10 +132,19 @@ def canonicalize_surfaces(triples_ds):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def predicate_frequencies(triples_ds):
+def predicate_frequencies(triples_ds, num_parts: int | None = None):
     """A7 skew probe (pubmed_analysis.py:22-31): normalized predicate →
-    count, sorted desc. Same two-phase combiner shape."""
-    from ray.data.aggregate import Sum
+    count, sorted desc. Same combiner → coarse-partition merge shape as
+    :func:`canonicalize_surfaces` (one Ray group per PART, not per
+    distinct predicate; NUL-safe bytes group key inside the part)."""
+    import zlib
+
+    import pandas as pd
+
+    from .dataops import _cluster_parts
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter()
@@ -109,16 +152,31 @@ def predicate_frequencies(triples_ds):
             norm = normalize_surface(v or "")
             if norm:
                 counts[norm] += 1
+        norms = list(counts)
         return pa.table(
             {
-                "rel_norm": pa.array(list(counts), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
+                "rel_norm": pa.array(norms, pa.string()),
+                "n": pa.array([counts[x] for x in norms], pa.int64()),
+                "part": pa.array(
+                    [
+                        zlib.crc32(x.encode("utf-8")) % num_parts
+                        for x in norms
+                    ],
+                    pa.int64(),
+                ),
             }
         )
 
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[s.encode("utf-8") for s in g["rel_norm"]])
+        out = g.groupby("_k", as_index=False).agg(
+            rel_norm=("rel_norm", "first"), n=("n", "sum")
+        )
+        return out.drop(columns=["_k"])
+
     return (
         triples_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("rel_norm")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
         .sort("n", descending=True)
     )

@@ -75,28 +75,41 @@ def add_text_stats(docs_ds, text_col: str = "text"):
 # exact dedup
 
 
-def exact_dedup_groups(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
-    """content sha256 → (hash, keeper id, group size)."""
-    from ray.data.aggregate import Count, Min
+def exact_dedup_groups(docs_ds, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_parts: int | None = None):
+    """content sha256 → (hash, keeper id, group size).
+
+    Scale shape: coarse partition on the hash prefix (cluster-scaled
+    part count) + ONE vectorized pandas aggregate per part — never
+    ``groupby(content_sha256)`` directly, which pays Ray's ~1 ms/group
+    on one group per DISTINCT DOCUMENT. Hex hashes are NUL-free, so the
+    in-part str groupby is safe."""
+    if num_parts is None:
+        num_parts = _cluster_parts()
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
+        shas = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
         return pa.table(
             {
-                "content_sha256": pa.array(
-                    [hashlib.sha256(t.encode()).hexdigest() for t in texts],
-                    pa.string(),
-                ),
+                "content_sha256": pa.array(shas, pa.string()),
                 id_col: batch.column(id_col),
+                "part": pa.array(
+                    [int(s[:8], 16) % num_parts for s in shas], pa.int64()
+                ),
             }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("content_sha256", as_index=False).agg(
+            keeper_id=(id_col, "min"), n_docs=(id_col, "size")
         )
 
     return (
         docs_ds.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("content_sha256")
-        .aggregate(
-            Min(id_col, alias_name="keeper_id"), Count(alias_name="n_docs")
-        )
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -500,7 +513,15 @@ def top_terms(docs_ds, *, k: int = 20, text_col: str = "text",
         )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return group.groupby("word", as_index=False).agg(df=("df", "sum"))
+        # bytes group key — pandas' str hashtable truncates at embedded
+        # NULs, merging distinct words from adversarial content
+        group = group.assign(
+            _k=[w.encode("utf-8") for w in group["word"]]
+        )
+        out = group.groupby("_k", as_index=False).agg(
+            word=("word", "first"), df=("df", "sum")
+        )
+        return out.drop(columns=["_k"])
 
     return (
         docs_ds.map_batches(partial, batch_format="pyarrow")

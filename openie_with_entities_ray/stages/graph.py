@@ -120,23 +120,33 @@ def dedup_edges(edges_ds, num_parts: int | None = None):
         kind="mergesort",
     )
 
+    def _ebytes(df: pd.DataFrame) -> list:
+        # utf-8 BYTES composite key: pandas' string hashtable truncates
+        # str keys at embedded NULs (adversarial corpus content would
+        # silently merge distinct edges); bytes go through the NUL-safe
+        # object hashtable
+        return [
+            f"{s}\x00{r}\x00{d}".encode("utf-8")
+            for s, r, d in zip(df["src"], df["rel"], df["dst"])
+        ]
+
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
         # per-batch partial dedup BEFORE the shuffle (the combiner shape):
         # duplicate edges are heavily batch-local (same doc/sentence), so
         # this collapses most of the shuffle volume at map time. Safe
         # because best-row-per-key selection under a total row order is
         # associative.
-        return batch.sort_values(**_SORT).groupby(
-            ["src", "rel", "dst"], sort=False
-        ).head(1)
+        return (
+            batch.assign(_k=_ebytes(batch))
+            .sort_values(**_SORT)
+            .groupby("_k", sort=False)
+            .head(1)
+            .drop(columns=["_k"])
+        )
 
     def key(batch: pa.Table) -> pa.Table:
-        # crc32 over the NUL-joined key bytes is injective-enough for a
-        # PARTITION (collisions just co-locate) and NUL-safe; the actual
-        # group key inside the part is the (src, rel, dst) columns —
-        # NEVER a "\x00"-joined string, because pandas' string hashtable
-        # (factorize/groupby) truncates at embedded NULs and silently
-        # merges distinct keys (measured: 2249 -> 2243 groups at sf0.01).
+        # crc32 over the NUL-joined key bytes: injective-enough for a
+        # PARTITION (collisions just co-locate) and NUL-safe
         parts = [
             zlib.crc32(f"{s}\x00{r}\x00{d}".encode("utf-8")) % num_parts
             for s, r, d in zip(
@@ -149,11 +159,12 @@ def dedup_edges(edges_ds, num_parts: int | None = None):
 
     def first_per_key(group: pd.DataFrame) -> pd.DataFrame:
         out = (
-            group.sort_values(**_SORT)
-            .groupby(["src", "rel", "dst"], sort=False)
+            group.assign(_k=_ebytes(group))
+            .sort_values(**_SORT)
+            .groupby("_k", sort=False)
             .head(1)
         )
-        return out.drop(columns=["edge_part"])
+        return out.drop(columns=["_k", "edge_part"])
 
     return (
         edges_ds.map_batches(

@@ -25,28 +25,50 @@ import pandas as pd
 import pyarrow as pa
 
 
-def node_degrees(edges_ds, src: str = "src", dst: str = "dst"):
-    """Degree per node (in+out), two-phase combiner shape."""
+def node_degrees(edges_ds, src: str = "src", dst: str = "dst",
+                 num_parts: int | None = None):
+    """Degree per node (in+out): per-batch combiner → coarse crc32
+    partition → vectorized pandas sum per part (one Ray group per PART,
+    never per node; NUL-safe bytes group key inside the part)."""
+    import zlib
     from collections import Counter
 
-    from ray.data.aggregate import Sum
+    from .dataops import _cluster_parts
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter()
         for col in (src, dst):
             for v in batch.column(col).to_pylist():
                 counts[v] += 1
+        nodes = list(counts)
         return pa.table(
             {
-                "node_id": pa.array(list(counts), pa.string()),
-                "degree": pa.array(list(counts.values()), pa.int64()),
+                "node_id": pa.array(nodes, pa.string()),
+                "degree": pa.array([counts[n] for n in nodes], pa.int64()),
+                "part": pa.array(
+                    [
+                        zlib.crc32(n.encode("utf-8")) % num_parts
+                        for n in nodes
+                    ],
+                    pa.int64(),
+                ),
             }
         )
 
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[n.encode("utf-8") for n in g["node_id"]])
+        out = g.groupby("_k", as_index=False).agg(
+            node_id=("node_id", "first"), degree=("degree", "sum")
+        )
+        return out.drop(columns=["_k"])
+
     return (
         edges_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("node_id")
-        .aggregate(Sum("degree", alias_name="degree"))
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -185,9 +207,12 @@ def connected_components_join(
             )
 
         def part_min(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("node_id", as_index=False).agg(
-                label=("label", "min")
+            # bytes group key (NUL-safe in pandas' object hashtable)
+            g = g.assign(_k=[n.encode("utf-8") for n in g["node_id"]])
+            out = g.groupby("_k", as_index=False).agg(
+                node_id=("node_id", "first"), label=("label", "min")
             )
+            return out.drop(columns=["_k"])
 
         return (
             cands.map_batches(add_part, batch_format="pyarrow")

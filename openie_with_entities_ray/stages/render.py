@@ -24,6 +24,46 @@ from ..functions.triples import (
 _SENT_KEY = ["repo", "path", "commit", "sent_id"]
 
 
+def _per_sentence(ds, render_group):
+    """Apply ``render_group`` once per sentence via a coarse crc32
+    partition (cluster-scaled part count) + an in-part pandas sub-group
+    loop — one Ray group per PART, never per sentence (~1 ms of Python
+    per Ray group, measured; see BASELINE.md tail). crc32 runs over the
+    raw key bytes (NUL-safe); the in-part groupby is on the component
+    columns."""
+    import zlib
+
+    from .dataops import _cluster_parts
+
+    num_parts = _cluster_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [
+            zlib.crc32(f"{r}\x00{p}\x00{c}\x00{s}".encode("utf-8"))
+            % num_parts
+            for r, p, c, s in zip(
+                batch.column("repo").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("commit").to_pylist(),
+                batch.column("sent_id").to_pylist(),
+            )
+        ]
+        return batch.append_column("__spart", pa.array(parts, pa.int64()))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            render_group(sub.drop(columns=["__spart"]))
+            for _, sub in g.groupby(_SENT_KEY, sort=False)
+        ]
+        return pd.concat(outs) if outs else g.iloc[0:0]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__spart")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 def render_oie_blocks(triples_ds, *, style: str = "labels"):
     """K1: per original sentence — the sentence line then one rendered
     extraction line per triple (model.py:640-651). ``style='sentences'``
@@ -53,9 +93,7 @@ def render_oie_blocks(triples_ds, *, style: str = "labels"):
             }
         )
 
-    return triples_ds.groupby(_SENT_KEY).map_groups(
-        render, batch_format="pandas"
-    )
+    return _per_sentence(triples_ds, render)
 
 
 def render_allennlp_lines(triples_ds):
@@ -107,6 +145,4 @@ def render_conj_blocks(split_sentences_ds):
             }
         )
 
-    return split_sentences_ds.groupby(_SENT_KEY).map_groups(
-        render, batch_format="pandas"
-    )
+    return _per_sentence(split_sentences_ds, render)

@@ -584,3 +584,53 @@ def test_connected_components_join_matches_broadcast(ray_session):
     got = {r["node_id"]: r["component"] for r in got_rows}
     assert got == expect
     assert len(set(got.values())) == 6
+
+
+def test_nul_safe_group_keys(ray_session):
+    """pandas' string hashtable truncates str group keys at embedded
+    NULs (measured: distinct keys silently merge). Every in-part pandas
+    groupby keyed on corpus-derived text must therefore group on utf-8
+    BYTES — this test feeds NUL-bearing values through the affected
+    kernels and checks that distinct keys stay distinct."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import top_terms
+    from openie_with_entities_ray.stages.graph import dedup_edges
+    from openie_with_entities_ray.stages.graph_algos import node_degrees
+
+    # 1. edges whose src differ only after an embedded NUL
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["a\x00x", "a\x00y", "a\x00x"],
+                "dst": ["d", "d", "d"],
+                "rel": ["r", "r", "r"],
+                "confidence": [0.9, 0.8, 0.7],
+                "repo": ["R"] * 3,
+                "path": ["P"] * 3,
+                "commit": ["C"] * 3,
+                "sent_id": [1, 2, 3],
+            }
+        )
+    )
+    out = dedup_edges(edges).take_all()
+    assert {(r["src"], r["confidence"]) for r in out} == {
+        ("a\x00x", 0.9),
+        ("a\x00y", 0.8),
+    }
+
+    deg = {r["node_id"]: r["degree"] for r in node_degrees(edges).take_all()}
+    assert deg == {"a\x00x": 2, "a\x00y": 1, "d": 3}
+
+    # 2. document words that differ only after an embedded NUL
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": ["w\x00a w\x00b", "w\x00a"],
+            }
+        )
+    )
+    terms = {r["word"]: r["df"] for r in top_terms(docs, k=10).take_all()}
+    assert terms == {"w\x00a": 2, "w\x00b": 1}
