@@ -18,18 +18,19 @@ verified near-dup pairs WITHIN the shard (the resumable embarrassingly-
 parallel first stage that removes the bulk of duplicates next to the
 data).
 
-``--cross-shard`` (minhash) appends the GLOBAL pass in two further
-manifest-tracked stages:
+``--cross-shard`` (minhash or simhash) appends the GLOBAL pass in two
+further manifest-tracked stages:
 
 1. ``out/minhash/sigs/part=<k>/`` — per shard, the MinHash signature
    table of that shard's SURVIVORS (shard docs anti-joined against the
    within-shard dup ids); one manifest per shard, so the signature
    stage resumes at shard granularity.
-2. ``out/minhash/global/part=<b>/`` — per LSH band, the verified
-   cross-shard pairs from the union of all signature tables filtered to
-   band ``b`` (parquet predicate pushdown). Bands are independent LSH
-   partitions, so each is its own resumable unit; a killed run resumes
-   at the first unfinished band.
+2. ``out/<method>/global/part=<b>/`` — per band (16 LSH bands for
+   minhash, 4 x 16-bit bands for simhash), the verified cross-shard
+   pairs from the union of all signature tables filtered to band ``b``
+   (parquet predicate pushdown). Bands are independent partitions, so
+   each is its own resumable unit; a killed run resumes at the first
+   unfinished band.
 
 The same pair can surface from several bands, so consumers distinct
 the global parts (within a band the pairs are already distinct).
@@ -69,12 +70,12 @@ def _pipeline(method: str, docs):
     raise SystemExit(f"unknown --method {method}")
 
 
-def run_cross_shard(shards, out_dir: str, *,
-                    threshold: float = MINHASH_THRESHOLD,
-                    num_perm: int = MINHASH_NUM_PERM,
-                    num_bands: int = MINHASH_NUM_BANDS,
+def run_cross_shard(shards, out_dir: str, method: str = "minhash", *,
                     resume: bool = True) -> dict:
-    """The global (cross-shard) minhash pass — see module docstring."""
+    """The global (cross-shard) near-dup pass — see module docstring.
+    Works for minhash (16 LSH bands) and simhash (4 x 16-bit bands);
+    both share the shape: per-shard survivor signatures → per-band
+    global pairs, manifests at each granularity."""
     import os
 
     import pyarrow as pa
@@ -86,11 +87,46 @@ def run_cross_shard(shards, out_dir: str, *,
         MinHashSignatures,
         cluster_cpus,
         minhash_band_pairs,
+        simhash_band_pairs,
+        simhash_signatures,
     )
     from openie_with_entities_ray.stages.graph import (
         completed_partitions,
         write_partition,
     )
+
+    if method == "minhash":
+        num_bands = MINHASH_NUM_BANDS
+        sig_columns = ["doc_id", "band", "band_hash", "signature"]
+
+        def signatures(docs):
+            return docs.map_batches(
+                MinHashSignatures,
+                fn_constructor_kwargs=dict(
+                    num_perm=MINHASH_NUM_PERM, num_bands=MINHASH_NUM_BANDS
+                ),
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+            )
+
+        def band_pairs(sig_ds):
+            return minhash_band_pairs(
+                sig_ds, num_perm=MINHASH_NUM_PERM,
+                threshold=MINHASH_THRESHOLD,
+            )
+    elif method == "simhash":
+        num_bands = 4
+        sig_columns = ["doc_id", "band", "band_key", "simhash"]
+
+        def signatures(docs):
+            # the one-shot pipeline's part key is dropped at the parquet
+            # write; the global stage recomputes it after the band filter
+            return simhash_signatures(docs).drop_columns(["part"])
+
+        def band_pairs(sig_ds):
+            return simhash_band_pairs(sig_ds, max_hamming=3)
+    else:
+        raise SystemExit(f"--cross-shard unsupported for method {method}")
 
     # stage 1: per-shard survivor signatures
     sig_dir = os.path.join(out_dir, "sigs")
@@ -118,16 +154,8 @@ def run_cross_shard(shards, out_dir: str, *,
                 num_partitions=max(2, cluster_cpus() // 4),
                 on=("doc_id",),
             )
-        sigs = docs.map_batches(
-            MinHashSignatures,
-            fn_constructor_kwargs=dict(
-                num_perm=num_perm, num_bands=num_bands
-            ),
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
         write_partition(
-            sigs, sig_dir, part,
+            signatures(docs), sig_dir, part,
             extra_meta={"input": str(shard), "stage": "signatures"},
         )
         sigs_written += 1
@@ -145,14 +173,11 @@ def run_cross_shard(shards, out_dir: str, *,
         # bucket shuffle key added downstream)
         band_sigs = ray.data.read_parquet(
             sig_files,
-            columns=["doc_id", "band", "band_hash", "signature"],
+            columns=sig_columns,
             filter=(pads.field("band") == band),
         )
-        pairs = minhash_band_pairs(
-            band_sigs, num_perm=num_perm, threshold=threshold
-        )
         write_partition(
-            pairs, glob_dir, band,
+            band_pairs(band_sigs), glob_dir, band,
             extra_meta={"stage": "band_pairs", "band": band},
         )
         bands_written += 1
@@ -172,11 +197,13 @@ def main(argv=None) -> int:
                     choices=["exact", "minhash", "simhash"])
     ap.add_argument("--cross-shard", action="store_true",
                     help="after the per-shard pass, run the global "
-                         "cross-shard near-dup stage (minhash only)")
+                         "cross-shard near-dup stage (minhash/simhash)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
-    if args.cross_shard and args.method != "minhash":
-        print(json.dumps({"error": "--cross-shard requires --method minhash"}))
+    if args.cross_shard and args.method not in ("minhash", "simhash"):
+        print(json.dumps({
+            "error": "--cross-shard requires --method minhash|simhash"
+        }))
         return 1
 
     import os
@@ -233,7 +260,9 @@ def main(argv=None) -> int:
     }
     if args.cross_shard:
         summary.update(
-            run_cross_shard(shards, out_dir, resume=not args.no_resume)
+            run_cross_shard(
+                shards, out_dir, args.method, resume=not args.no_resume
+            )
         )
     print(json.dumps(summary))
     ray.shutdown()

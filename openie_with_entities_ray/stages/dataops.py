@@ -591,21 +591,13 @@ def length_quantiles(docs_ds, *, quantiles=(0.5, 0.9, 0.99),
 # SimHash near-dup
 
 
-def simhash_pairs(
-    docs_ds,
-    *,
-    max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-):
-    """64-bit SimHash; candidate buckets via 4x16-bit bands (any pair within
-    Hamming distance 3 shares at least one exact band), then exact Hamming
-    verify in-bucket.
-
-    Scale shape: shuffle key = ``hash(band, band_key) % P`` with P scaled
-    to the cluster (see :func:`minhash_candidate_pairs`) — never a 4-group
-    ``groupby(band)`` that would funnel a quarter of the corpus's
-    signatures into one task."""
+def simhash_signatures(docs_ds, *, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """64-bit SimHash exploded to (id, band, band_key, simhash, part)
+    rows — 4x16-bit bands (any pair within Hamming distance 3 shares at
+    least one exact band), part = cluster-scaled shuffle key. Shared by
+    the one-shot :func:`simhash_pairs` and the dedup job's cross-shard
+    global stage."""
     num_parts = _cluster_parts()
 
     def sig_batch(batch: pa.Table) -> pa.Table:
@@ -623,7 +615,7 @@ def simhash_pairs(
                 out_part.append((key * 4 + band) % num_parts)
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
+                id_col: pa.array(out_id),
                 "band": pa.array(out_band, pa.int32()),
                 "band_key": pa.array(out_key, pa.int64()),
                 "simhash": pa.array(out_sig, pa.uint64()),
@@ -631,20 +623,69 @@ def simhash_pairs(
             }
         )
 
+    return docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def simhash_band_pairs(sig_ds, *, max_hamming: int = 3,
+                       id_col: str = "doc_id"):
+    """Verified pairs from an EXISTING simhash signature table (columns
+    ``id_col, band, band_key, simhash``) — the cross-shard GLOBAL stage
+    (jobs/dedup_job.py): each of the 4 bands is an independent,
+    resumable global partition; this handles one such slice (the part
+    shuffle key is recomputed, so a band-filtered parquet read works)."""
+    num_parts = _cluster_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bands = batch.column("band").to_pylist()
+        keys = batch.column("band_key").to_pylist()
+        parts = [
+            (int(k) * 4 + int(b)) % num_parts for b, k in zip(bands, keys)
+        ]
+        return batch.append_column("part", pa.array(parts, pa.int64()))
+
+    return _verify_simhash_pairs(
+        sig_ds.map_batches(add_part, batch_format="pyarrow"),
+        max_hamming=max_hamming, id_col=id_col,
+    )
+
+
+def simhash_pairs(
+    docs_ds,
+    *,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """64-bit SimHash; candidate buckets via 4x16-bit bands, then exact
+    Hamming verify in-bucket.
+
+    Scale shape: shuffle key = ``hash(band, band_key) % P`` with P scaled
+    to the cluster (see :func:`minhash_candidate_pairs`) — never a 4-group
+    ``groupby(band)`` that would funnel a quarter of the corpus's
+    signatures into one task."""
+    return _verify_simhash_pairs(
+        simhash_signatures(docs_ds, text_col=text_col, id_col=id_col),
+        max_hamming=max_hamming, id_col=id_col,
+    )
+
+
+def _verify_simhash_pairs(parted_sigs, *, max_hamming, id_col):
+    """Shared in-part bucket verify: vectorized XOR + popcount matrix."""
+
     def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
         # vectorized in-bucket verify: XOR matrix + popcount via unpackbits
         # (clustered corpora produce buckets of hundreds of docs — a Python
         # pair loop goes quadratic in interpreter time)
         frames = []
-        counts = group.groupby(["band", "band_key"])["doc_id"].transform(
+        counts = group.groupby(["band", "band_key"])[id_col].transform(
             "size"
         )
         group = group[counts >= 2]
         for _, bucket in group.groupby(["band", "band_key"], sort=False):
-            rows = bucket.drop_duplicates(subset=["doc_id"]).sort_values(
-                "doc_id"
+            rows = bucket.drop_duplicates(subset=[id_col]).sort_values(
+                id_col
             )
-            ids = np.asarray(rows["doc_id"].to_list())
+            ids = np.asarray(rows[id_col].to_list())
             sigs = np.asarray(rows["simhash"].to_list(), dtype=np.uint64)
             xor = sigs[:, None] ^ sigs[None, :]
             dist = np.unpackbits(
@@ -671,10 +712,8 @@ def simhash_pairs(
             )
         return pd.concat(frames, ignore_index=True)
 
-    pairs = (
-        docs_ds.map_batches(sig_batch, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(band_pairs, batch_format="pandas")
+    pairs = parted_sigs.groupby("part").map_groups(
+        band_pairs, batch_format="pandas"
     )
     return distinct_pairs(pairs, "hamming", how="min")
 

@@ -270,3 +270,54 @@ def test_streaming_writers_byte_parity(ray_session, tmp_path):
     assert (tmp_path / "got.conj").read_text() == expect_conj
     assert (tmp_path / "got.oie").read_text() == expect_oie
     assert (tmp_path / "got.allennlp").read_text() == expect_allennlp
+
+
+def test_dedup_job_cross_shard_simhash(tmp_path):
+    """--cross-shard with --method simhash: same two-level shape (4
+    bands); the across-shard exact dup is found globally after the
+    within-shard copy is removed."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dup = ("the quick brown fox jumps over the lazy dog again and again "
+           "today in the bright warm morning sun near the old farm")
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2],
+                  "text": [dup, dup,
+                           "another entirely different document about "
+                           "query planners and join orders"]}),
+        shard_dir / "s0.parquet",
+    )
+    pq.write_table(
+        pa.table({"doc_id": [10, 11],
+                  "text": [dup,
+                           "yet another unrelated text concerning "
+                           "storage engines and page caches"]}),
+        shard_dir / "s1.parquet",
+    )
+    out = tmp_path / "dedup"
+    res = subprocess.run(
+        [sys.executable, "jobs/dedup_job.py",
+         "--input", str(shard_dir / "*.parquet"),
+         "--out", str(out), "--method", "simhash", "--cross-shard"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["cross_shard_sigs_written"] == 2
+    assert rep["cross_shard_bands_written"] == 4
+
+    import glob as g
+
+    pairs = set()
+    for f in g.glob(str(out / "simhash" / "global" / "part=*" /
+                        "*.parquet")):
+        t = pq.read_table(f)
+        pairs |= set(zip(t.column("id_a").to_pylist(),
+                         t.column("id_b").to_pylist()))
+    assert (0, 10) in pairs
+    assert not any(1 in p for p in pairs)  # within-shard dup removed
