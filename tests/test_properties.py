@@ -105,3 +105,69 @@ def test_near_dedup_protects_conjunct_derived():
     assert len(dedup_near([a, b], conj_words=["Alice", "Alices"])) == 2
     without = dedup_near([a, b], conj_words=[])
     assert len(without) == 1
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),   # src index (collisions create dup keys)
+            st.integers(0, 2),   # rel index
+            st.integers(0, 6),   # dst index
+            st.integers(0, 99),  # confidence centi
+            st.integers(0, 9),   # sent_id
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 5),  # batch split point count
+)
+@settings(max_examples=40, deadline=None)
+def test_edge_dedup_combiner_associative(rows, n_chunks):
+    """The per-batch partial dedup (combiner) followed by a global
+    per-key head(1) must pick the SAME winners as a single global pass,
+    for ANY partitioning of rows into batches — the property that makes
+    the pre-shuffle combiner in stages/graph.py:dedup_edges safe."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "src": [f"s{a}" for a, _, _, _, _ in rows],
+            "rel": [f"r{b}" for _, b, _, _, _ in rows],
+            "dst": [f"d{c}" for _, _, c, _, _ in rows],
+            "confidence": [x / 100 for _, _, _, x, _ in rows],
+            "repo": ["R"] * len(rows),
+            "path": ["P"] * len(rows),
+            "sent_id": [s for _, _, _, _, s in rows],
+        }
+    )
+    sort = dict(
+        by=["confidence", "repo", "path", "sent_id"],
+        ascending=[False, True, True, True],
+        kind="mergesort",
+    )
+    key_cols = ["src", "rel", "dst"]
+
+    def best(frame):
+        return (
+            frame.sort_values(**sort).groupby(key_cols, sort=False).head(1)
+        )
+
+    global_winner = {
+        tuple(k): (r.confidence, r.sent_id)
+        for k, r in zip(
+            best(df)[key_cols].itertuples(index=False),
+            best(df).itertuples(index=False),
+        )
+    }
+
+    # arbitrary partitioning -> per-chunk combine -> global pass
+    chunks = [df.iloc[i::n_chunks] for i in range(n_chunks)]
+    combined = pd.concat([best(c) for c in chunks if len(c)])
+    two_phase = {
+        tuple(k): (r.confidence, r.sent_id)
+        for k, r in zip(
+            best(combined)[key_cols].itertuples(index=False),
+            best(combined).itertuples(index=False),
+        )
+    }
+    assert two_phase == global_winner
