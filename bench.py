@@ -231,21 +231,27 @@ def run_scaling() -> dict:
         )
         return json.loads(line)
 
-    def best_of(ncpu: int, n: int = 2) -> dict:
-        # this sandbox is a VM with invisible host-level contention —
-        # take the fastest of n runs, the standard noisy-host practice
-        runs = []
-        for _ in range(n):
-            runs.append(one(ncpu))
-            time.sleep(3)
-        return min(runs, key=lambda r: r["value"])
-
     lo, hi = 8, 32
-    # hardware baseline FIRST, on a quiet machine
-    hw = hardware_scaling_baseline(lo, hi)
+    # hardware baseline BEFORE and AFTER: host weather on this VM can
+    # shift mid-protocol (measured: ceiling 0.95 with the slowest 32-CPU
+    # run of the day in one window) — publishing both keeps the claim
+    # falsifiable; the normalization uses their max (the ceiling is a
+    # best-case process-scaling bound)
+    hw_pre = hardware_scaling_baseline(lo, hi)
     time.sleep(5)
-    r_lo = best_of(lo)
-    r_hi = best_of(hi)
+    # INTERLEAVE lo/hi runs (lo,hi,lo,hi) instead of all-lo-then-all-hi:
+    # a weather shift between phases would otherwise bias the ratio in
+    # either direction; interleaving puts both levels in every phase
+    runs_lo, runs_hi = [], []
+    for _ in range(2):
+        runs_lo.append(one(lo))
+        time.sleep(3)
+        runs_hi.append(one(hi))
+        time.sleep(3)
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
+    hw_post = hardware_scaling_baseline(lo, hi)
+    hw = max(hw_pre, hw_post)
     t_lo = r_lo["value"]
     t_hi = r_hi["value"]
     # throughput-basis efficiency: (T_lo/T_hi) / (hi/lo); 1.0 = linear
@@ -261,6 +267,8 @@ def run_scaling() -> dict:
         "throughput_lo": round(r_lo["rows"]["flagship"] / t_lo, 1),
         "throughput_hi": round(r_hi["rows"]["flagship"] / t_hi, 1),
         "hw_per_proc_ceiling": round(hw, 3),
+        "hw_ceiling_pre": round(hw_pre, 3),
+        "hw_ceiling_post": round(hw_post, 3),
         "bus_normalized_efficiency": round(eff / hw, 3),
         "sf": SF_DIR,
     }
