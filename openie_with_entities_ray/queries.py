@@ -1178,6 +1178,90 @@ FROM scored
 """
 
 
+def q_doc_sample(sf_dir):
+    """Deterministic 10% corpus sample (content-addressed md5 rule — no
+    RNG state, identical across cluster sizes/retries/resume)."""
+    import ray.data
+
+    from .stages.dataops import deterministic_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return deterministic_sample(docs, rate_permille=100)
+
+
+SQL_DOC_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower('sample|' || CAST(doc_id AS VARCHAR)) % 1000 < 100
+"""
+
+
+def q_doc_sample_stratified(sf_dir):
+    """Mixture-weighted sampling: 50% of 'en', 25% of 'de', 5% of
+    everything else (the training-data mixture rebalance shape)."""
+    import ray.data
+
+    from .stages.dataops import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(
+        docs, {"en": 500, "de": 250}, default_permille=50
+    )
+
+
+SQL_DOC_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower('strat|' || CAST(doc_id AS VARCHAR)) % 1000
+      < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 50 END
+"""
+
+
+def q_clean_corpus(sf_dir):
+    """C4-style quality filter over the documents table (length band,
+    stopword floor, punctuation ceiling)."""
+    from .stages.dataops import quality_filter
+
+    return quality_filter(_docs(sf_dir, num_blocks=_read_blocks()))
+
+
+def _sql_clean_corpus() -> str:
+    return f"""
+SELECT doc_id, lang_detected, n_words, n_tokens_bpe
+FROM ({SQL_TEXT_STATS})
+WHERE n_words BETWEEN 20 AND 1000
+  AND stopword_permille >= 50
+  AND punct_permille <= 200
+"""
+
+
+def q_corpus_budget(sf_dir):
+    """Per-language token-budget accounting (docs / words / BPE-ish
+    tokens): the how-much-training-data-per-language question."""
+    import ray.data
+
+    from .stages.dataops import corpus_budget
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return corpus_budget(docs)
+
+
+SQL_CORPUS_BUDGET = """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       SUM(len(regexp_split_to_array(trim(text), ' +')))::BIGINT
+         AS total_words,
+       SUM(len(regexp_extract_all(text,
+               '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')))::BIGINT
+         AS total_tokens_bpe
+FROM documents GROUP BY lang
+"""
+
+
 def q_minhash_pairs(sf_dir):
     from .stages.dataops import minhash_candidate_pairs
 
@@ -1537,6 +1621,10 @@ def build_queries():
         "jaccard_pairs": q_jaccard_pairs,
         "top_terms": q_top_terms,
         "length_quantiles": q_length_quantiles,
+        "doc_sample": q_doc_sample,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "clean_corpus": q_clean_corpus,
+        "corpus_budget": q_corpus_budget,
     }
 
 
@@ -1579,4 +1667,8 @@ def build_oracle_sql():
         "jaccard_pairs": _sql_jaccard_pairs(),
         "top_terms": SQL_TOP_TERMS,
         "length_quantiles": SQL_LENGTH_QUANTILES,
+        "doc_sample": SQL_DOC_SAMPLE,
+        "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
+        "clean_corpus": _sql_clean_corpus(),
+        "corpus_budget": SQL_CORPUS_BUDGET,
     }

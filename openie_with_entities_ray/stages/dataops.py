@@ -71,6 +71,127 @@ def add_text_stats(docs_ds, text_col: str = "text"):
     return docs_ds.map_batches(stats, batch_format="pyarrow")
 
 
+def deterministic_sample(docs_ds, *, rate_permille: int = 100,
+                         id_col: str = "doc_id", salt: str = "sample"):
+    """Content-addressed sampling: keep a row iff
+    ``md5(salt|id) mod 1000 < rate_permille``.
+
+    No RNG state — the decision is a pure function of the row id, so the
+    sample is identical across cluster sizes, task retries, and resumed
+    runs (the property a 100 TB pipeline needs from its sampler), and
+    DuckDB reproduces it exactly (``md5_number_lower``)."""
+    from ..functions.textstats import _md5_number_lower
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = [
+            _md5_number_lower(f"{salt}|{i}") % 1000 < rate_permille
+            for i in batch.column(id_col).to_pylist()
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(docs_ds, rates_permille: dict, *,
+                      default_permille: int = 0,
+                      strat_col: str = "lang", id_col: str = "doc_id",
+                      salt: str = "strat"):
+    """Per-stratum deterministic sampling (training-data mixture
+    weighting: e.g. keep 50% of 'en', 20% of 'de', drop the rest). Same
+    content-addressed rule as :func:`deterministic_sample` with the rate
+    looked up per stratum; the rates dict is a task-closure broadcast."""
+    from ..functions.textstats import _md5_number_lower
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        strata = batch.column(strat_col).to_pylist()
+        mask = [
+            _md5_number_lower(f"{salt}|{i}") % 1000
+            < rates_permille.get(s, default_permille)
+            for i, s in zip(ids, strata)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quality_filter(docs_ds, *, min_words: int = 20, max_words: int = 1000,
+                   min_stopword_permille: int = 50,
+                   max_punct_permille: int = 200, text_col: str = "text"):
+    """C4-style corpus cleaning: drop documents outside the length band,
+    with too few stopwords (non-prose), or too much punctuation (markup/
+    code). One stateless pass composing the text-stats kernels; emits
+    (doc_id, lang_detected, n_words, n_tokens_bpe) for the survivors."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids, langs, words, toks = [], [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(), texts):
+            q = quality_stats(t)
+            if not (min_words <= q["n_words"] <= max_words):
+                continue
+            if q["stopword_permille"] < min_stopword_permille:
+                continue
+            if q["punct_permille"] > max_punct_permille:
+                continue
+            ids.append(i)
+            langs.append(detect_language(t))
+            words.append(q["n_words"])
+            toks.append(bpe_ish_token_count(t))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang_detected": pa.array(langs, pa.string()),
+                "n_words": pa.array(words, pa.int64()),
+                "n_tokens_bpe": pa.array(toks, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def corpus_budget(docs_ds, *, strat_col: str = "lang",
+                  text_col: str = "text"):
+    """Token-budget accounting per stratum (how much training data do we
+    have per language?): per-batch combiner → tiny groupby (stratum
+    cardinality, not corpus cardinality)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for s, t in zip(
+            batch.column(strat_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            row = agg.setdefault(s, [0, 0, 0])
+            row[0] += 1
+            row[1] += len(t.split())
+            row[2] += bpe_ish_token_count(t)
+        strata = sorted(agg)
+        return pa.table(
+            {
+                strat_col: pa.array(strata, pa.string()),
+                "n_docs": pa.array([agg[s][0] for s in strata], pa.int64()),
+                "total_words": pa.array(
+                    [agg[s][1] for s in strata], pa.int64()
+                ),
+                "total_tokens_bpe": pa.array(
+                    [agg[s][2] for s in strata], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(strat_col)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_words", alias_name="total_words"),
+            Sum("total_tokens_bpe", alias_name="total_tokens_bpe"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 

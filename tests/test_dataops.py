@@ -634,3 +634,79 @@ def test_nul_safe_group_keys(ray_session):
     )
     terms = {r["word"]: r["df"] for r in top_terms(docs, k=10).take_all()}
     assert terms == {"w\x00a": 2, "w\x00b": 1}
+
+
+def test_deterministic_sampling_properties(ray_session):
+    """Sampling decisions are a pure function of the row id: identical
+    across partitionings, monotone in rate (a 10% sample is a subset of
+    the 20% sample), and stratum rates apply independently."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    n = 2000
+    tbl = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "lang": [("en", "de", "fr")[i % 3] for i in range(n)],
+        }
+    )
+
+    def ids(ds):
+        return {r["doc_id"] for r in ds.take_all()}
+
+    one_block = ids(deterministic_sample(
+        ray.data.from_arrow(tbl), rate_permille=100))
+    many_blocks = ids(deterministic_sample(
+        ray.data.from_arrow(tbl).repartition(7), rate_permille=100))
+    assert one_block == many_blocks  # partition-invariant
+    assert 0.05 * n < len(one_block) < 0.15 * n  # ~10%
+
+    bigger = ids(deterministic_sample(
+        ray.data.from_arrow(tbl), rate_permille=200))
+    assert one_block <= bigger  # monotone in rate (nested samples)
+
+    strat = stratified_sample(
+        ray.data.from_arrow(tbl), {"en": 1000}, default_permille=0
+    ).take_all()
+    assert {r["lang"] for r in strat} == {"en"}
+    assert len(strat) == sum(1 for i in range(n) if i % 3 == 0)
+
+
+def test_quality_filter_and_budget(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        corpus_budget,
+        quality_filter,
+    )
+
+    prose = ("the cat sat on the mat and then the dog sat on the mat "
+             "too because it is a warm spot for a nap in the sun") * 2
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "lang": ["en", "en", "de", "de"],
+                "text": [
+                    prose,                       # passes
+                    "short",                     # too short
+                    "x " * 1500,                 # too long
+                    "!!! ### $$$ %%% " * 10,     # punctuation ceiling
+                ],
+            }
+        )
+    )
+    kept = quality_filter(docs).take_all()
+    assert [r["doc_id"] for r in kept] == [1]
+    assert kept[0]["lang_detected"] == "en"
+
+    budget = {r["lang"]: r for r in corpus_budget(docs).take_all()}
+    assert budget["en"]["n_docs"] == 2
+    assert budget["en"]["total_words"] == len(prose.split()) + 1
+    assert budget["de"]["n_docs"] == 2
