@@ -21,8 +21,8 @@ data).
 ``--cross-shard`` (minhash or simhash) appends the GLOBAL pass in two
 further manifest-tracked stages:
 
-1. ``out/minhash/sigs/part=<k>/`` — per shard, the MinHash signature
-   table of that shard's SURVIVORS (shard docs anti-joined against the
+1. ``out/<method>/sigs/part=<k>/`` — per shard, the signature table of
+   that shard's SURVIVORS (shard docs anti-joined against the
    within-shard dup ids); one manifest per shard, so the signature
    stage resumes at shard granularity.
 2. ``out/<method>/global/part=<b>/`` — per band (16 LSH bands for

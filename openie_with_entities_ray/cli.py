@@ -274,6 +274,8 @@ def _write_oie_allennlp(triples_ds, splits_ds, out: str, style: str) -> None:
 
     num_parts = _cluster_parts()
 
+    from .stages.dataops import composite_key_bytes
+
     def add_key(batch: pa.Table) -> pa.Table:
         from .functions.triples import triple_dedup_key
 
@@ -285,19 +287,16 @@ def _write_oie_allennlp(triples_ds, splits_ds, out: str, style: str) -> None:
             triple_dedup_key(x, y, z) for x, y, z in zip(a1, rel, a2)
         ]
         parts = [
-            zlib.crc32(f"{s}\x00{k}".encode("utf-8")) % num_parts
-            for s, k in zip(sents, keys)
+            zlib.crc32(k) % num_parts
+            for k in composite_key_bytes(sents, keys)
         ]
         batch = batch.append_column("dedup_key", pa.array(keys, pa.string()))
         return batch.append_column("__part", pa.array(parts, pa.int64()))
 
     def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        # bytes composite key (NUL-safe in pandas' object hashtable)
+        # injective NUL-safe composite bytes key (dataops docstring)
         g = g.assign(
-            _k=[
-                f"{s}\x00{k}".encode("utf-8")
-                for s, k in zip(g["orig_sentence"], g["dedup_key"])
-            ]
+            _k=composite_key_bytes(g["orig_sentence"], g["dedup_key"])
         )
         out = (
             g.sort_values(

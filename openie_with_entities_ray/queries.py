@@ -1250,11 +1250,13 @@ def q_corpus_budget(sf_dir):
     return corpus_budget(docs)
 
 
-SQL_CORPUS_BUDGET = """
+def _sql_corpus_budget() -> str:
+    # _SQL_WORDS (not a bare regexp_split) so blank and tab/newline-
+    # separated docs count words exactly like the engine's str.split()
+    return f"""
 SELECT lang,
        count(*)::BIGINT AS n_docs,
-       SUM(len(regexp_split_to_array(trim(text), ' +')))::BIGINT
-         AS total_words,
+       SUM(len({_SQL_WORDS}))::BIGINT AS total_words,
        SUM(len(regexp_extract_all(text,
                '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')))::BIGINT
          AS total_tokens_bpe
@@ -1670,5 +1672,5 @@ def build_oracle_sql():
         "doc_sample": SQL_DOC_SAMPLE,
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
         "clean_corpus": _sql_clean_corpus(),
-        "corpus_budget": SQL_CORPUS_BUDGET,
+        "corpus_budget": _sql_corpus_budget(),
     }

@@ -107,72 +107,65 @@ def dedup_edges(edges_ds, num_parts: int | None = None):
     per aggregate group (measured, BASELINE.md tail), so one Ray group
     per distinct edge walls at ~1e6 s for 1e9 distinct edges; this shape
     pays #parts group calls regardless of corpus size."""
-    import pandas as pd
-
     from .dataops import _cluster_parts
 
     if num_parts is None:
         num_parts = _cluster_parts()
 
-    _SORT = dict(
-        by=["confidence", "repo", "path", "sent_id"],
-        ascending=[False, True, True, True],
-        kind="mergesort",
-    )
-
-    def _ebytes(df: pd.DataFrame) -> list:
-        # utf-8 BYTES composite key: pandas' string hashtable truncates
-        # str keys at embedded NULs (adversarial corpus content would
-        # silently merge distinct edges); bytes go through the NUL-safe
-        # object hashtable
-        return [
-            f"{s}\x00{r}\x00{d}".encode("utf-8")
-            for s, r, d in zip(df["src"], df["rel"], df["dst"])
-        ]
-
-    def combine(batch: pd.DataFrame) -> pd.DataFrame:
-        # per-batch partial dedup BEFORE the shuffle (the combiner shape):
-        # duplicate edges are heavily batch-local (same doc/sentence), so
-        # this collapses most of the shuffle volume at map time. Safe
-        # because best-row-per-key selection under a total row order is
-        # associative.
-        return (
-            batch.assign(_k=_ebytes(batch))
-            .sort_values(**_SORT)
-            .groupby("_k", sort=False)
-            .head(1)
-            .drop(columns=["_k"])
-        )
-
     def key(batch: pa.Table) -> pa.Table:
-        # crc32 over the NUL-joined key bytes: injective-enough for a
-        # PARTITION (collisions just co-locate) and NUL-safe
-        parts = [
-            zlib.crc32(f"{s}\x00{r}\x00{d}".encode("utf-8")) % num_parts
-            for s, r, d in zip(
-                batch.column("src").to_pylist(),
-                batch.column("rel").to_pylist(),
-                batch.column("dst").to_pylist(),
-            )
-        ]
+        # crc32 over the composite key bytes: a PARTITION key only needs
+        # co-location (a collision is harmless), but it reuses the same
+        # injective encoding as the group key
+        from .dataops import composite_key_bytes
+
+        keys = composite_key_bytes(
+            batch.column("src").to_pylist(),
+            batch.column("rel").to_pylist(),
+            batch.column("dst").to_pylist(),
+        )
+        parts = [zlib.crc32(k) % num_parts for k in keys]
         return batch.append_column("edge_part", pa.array(parts, pa.int64()))
 
-    def first_per_key(group: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            group.assign(_k=_ebytes(group))
-            .sort_values(**_SORT)
-            .groupby("_k", sort=False)
-            .head(1)
-        )
-        return out.drop(columns=["_k", "edge_part"])
+    def first_per_key(group):
+        return best_edge_per_key(group).drop(columns=["edge_part"])
 
     return (
+        # per-batch partial dedup BEFORE the shuffle (the combiner shape):
+        # duplicate edges are heavily batch-local (same doc/sentence), so
+        # the sort moves ~distinct rows instead of the full edge table.
+        # Safe because best-row-per-key selection under a total row order
+        # is associative (property-tested against the shipped kernel).
         edges_ds.map_batches(
-            combine, batch_format="pandas", batch_size=65536
+            best_edge_per_key, batch_format="pandas", batch_size=65536
         )
         .map_batches(key, batch_format="pyarrow")
         .groupby("edge_part")
         .map_groups(first_per_key, batch_format="pandas")
+    )
+
+
+_EDGE_SORT = dict(
+    by=["confidence", "repo", "path", "sent_id"],
+    ascending=[False, True, True, True],
+    kind="mergesort",
+)
+
+
+def best_edge_per_key(df):
+    """THE edge-dedup kernel (module-level so the combiner, the final
+    per-part pass, and the associativity property test all run the same
+    code): max-confidence witness per (src, rel, dst), keyed by the
+    injective NUL-safe composite bytes key."""
+    from .dataops import composite_key_bytes
+
+    return (
+        df.assign(
+            _k=composite_key_bytes(df["src"], df["rel"], df["dst"])
+        )
+        .sort_values(**_EDGE_SORT)
+        .groupby("_k", sort=False)
+        .head(1)
+        .drop(columns=["_k"])
     )
 
 

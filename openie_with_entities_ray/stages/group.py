@@ -66,26 +66,31 @@ def dedup_topk_grouped(triples_ds, num_extractions: int = 5,
     if num_parts is None:
         num_parts = _cluster_parts()
 
+    from .dataops import composite_key_bytes
+
     def add_part(batch: pa.Table) -> pa.Table:
-        parts = [
-            zlib.crc32(f"{r}\x00{p}\x00{c}\x00{s}".encode("utf-8"))
-            % num_parts
-            for r, p, c, s in zip(
-                batch.column("repo").to_pylist(),
-                batch.column("path").to_pylist(),
-                batch.column("commit").to_pylist(),
-                batch.column("sent_id").to_pylist(),
-            )
-        ]
+        keys = composite_key_bytes(
+            batch.column("repo").to_pylist(),
+            batch.column("path").to_pylist(),
+            batch.column("commit").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+        )
+        parts = [zlib.crc32(k) % num_parts for k in keys]
         return batch.append_column("__gpart", pa.array(parts, pa.int64()))
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # injective NUL-safe composite bytes key (dataops docstring)
+        g = g.assign(
+            _k=composite_key_bytes(
+                g["repo"], g["path"], g["commit"], g["sent_id"]
+            )
+        )
         outs = [
             _dedup_topk_group(sub, num_extractions)
-            for _, sub in g.groupby(GROUP_KEY, sort=False)
+            for _, sub in g.groupby("_k", sort=False)
         ]
         out = pd.concat(outs) if outs else g.iloc[0:0]
-        return out.drop(columns=["__gpart"])
+        return out.drop(columns=["_k", "__gpart"])
 
     return (
         triples_ds.map_batches(add_part, batch_format="pyarrow")

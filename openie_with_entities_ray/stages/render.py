@@ -51,9 +51,19 @@ def _per_sentence(ds, render_group):
         return batch.append_column("__spart", pa.array(parts, pa.int64()))
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # injective NUL-safe composite bytes key — a multi-column str
+        # groupby truncates each component at embedded NULs and merges
+        # distinct sentences (dataops.composite_key_bytes docstring)
+        from .dataops import composite_key_bytes
+
+        g = g.assign(
+            _k=composite_key_bytes(
+                g["repo"], g["path"], g["commit"], g["sent_id"]
+            )
+        )
         outs = [
-            render_group(sub.drop(columns=["__spart"]))
-            for _, sub in g.groupby(_SENT_KEY, sort=False)
+            render_group(sub.drop(columns=["_k", "__spart"]))
+            for _, sub in g.groupby("_k", sort=False)
         ]
         return pd.concat(outs) if outs else g.iloc[0:0]
 

@@ -710,3 +710,35 @@ def test_quality_filter_and_budget(ray_session):
     assert budget["en"]["n_docs"] == 2
     assert budget["en"]["total_words"] == len(prose.split()) + 1
     assert budget["de"]["n_docs"] == 2
+
+
+def test_composite_key_injective(ray_session):
+    """Regression: a NUL-JOINED composite key is ambiguous —
+    ('X','Y\\x00Z','W') and ('X\\x00Y','Z','W') encode identically and
+    the crc32 partition co-locates them, so dedup_edges silently merged
+    distinct edges. The length-prefixed key must keep them distinct."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import composite_key_bytes
+    from openie_with_entities_ray.stages.graph import dedup_edges
+
+    assert composite_key_bytes(["X"], ["Y\x00Z"], ["W"])[0] != \
+        composite_key_bytes(["X\x00Y"], ["Z"], ["W"])[0]
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": ["X", "X\x00Y"],
+                "rel": ["Y\x00Z", "Z"],
+                "dst": ["W", "W"],
+                "confidence": [0.9, 0.8],
+                "repo": ["R"] * 2,
+                "path": ["P"] * 2,
+                "commit": ["C"] * 2,
+                "sent_id": [1, 2],
+            }
+        )
+    )
+    out = dedup_edges(edges).take_all()
+    assert len(out) == 2

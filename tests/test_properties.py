@@ -124,50 +124,44 @@ def test_near_dedup_protects_conjunct_derived():
 @settings(max_examples=40, deadline=None)
 def test_edge_dedup_combiner_associative(rows, n_chunks):
     """The per-batch partial dedup (combiner) followed by a global
-    per-key head(1) must pick the SAME winners as a single global pass,
+    per-key pass must pick the SAME winners as a single global pass,
     for ANY partitioning of rows into batches — the property that makes
-    the pre-shuffle combiner in stages/graph.py:dedup_edges safe."""
+    the pre-shuffle combiner in stages/graph.py:dedup_edges safe.
+    Exercises the SHIPPED kernel (best_edge_per_key), including its
+    NUL-safe injective composite key: the src/dst values embed NULs."""
     import pandas as pd
+
+    from openie_with_entities_ray.stages.graph import best_edge_per_key
 
     df = pd.DataFrame(
         {
-            "src": [f"s{a}" for a, _, _, _, _ in rows],
+            # embedded NULs + shared prefixes so key ambiguity or pandas
+            # NUL truncation would merge distinct keys and fail the test
+            "src": [f"s\x00{a}" for a, _, _, _, _ in rows],
             "rel": [f"r{b}" for _, b, _, _, _ in rows],
-            "dst": [f"d{c}" for _, _, c, _, _ in rows],
+            "dst": [f"d\x00{c}x" for _, _, c, _, _ in rows],
             "confidence": [x / 100 for _, _, _, x, _ in rows],
             "repo": ["R"] * len(rows),
             "path": ["P"] * len(rows),
             "sent_id": [s for _, _, _, _, s in rows],
         }
     )
-    sort = dict(
-        by=["confidence", "repo", "path", "sent_id"],
-        ascending=[False, True, True, True],
-        kind="mergesort",
+
+    def winners(frame):
+        return {
+            (r.src, r.rel, r.dst): (r.confidence, r.sent_id)
+            for r in best_edge_per_key(frame).itertuples(index=False)
+        }
+
+    global_winner = winners(df)
+    # every distinct python-level key must survive (no silent merges)
+    assert len(global_winner) == len(
+        {(a, b, c) for a, b, c in zip(df["src"], df["rel"], df["dst"])}
     )
-    key_cols = ["src", "rel", "dst"]
-
-    def best(frame):
-        return (
-            frame.sort_values(**sort).groupby(key_cols, sort=False).head(1)
-        )
-
-    global_winner = {
-        tuple(k): (r.confidence, r.sent_id)
-        for k, r in zip(
-            best(df)[key_cols].itertuples(index=False),
-            best(df).itertuples(index=False),
-        )
-    }
 
     # arbitrary partitioning -> per-chunk combine -> global pass
     chunks = [df.iloc[i::n_chunks] for i in range(n_chunks)]
-    combined = pd.concat([best(c) for c in chunks if len(c)])
-    two_phase = {
-        tuple(k): (r.confidence, r.sent_id)
-        for k, r in zip(
-            best(combined)[key_cols].itertuples(index=False),
-            best(combined).itertuples(index=False),
-        )
-    }
-    assert two_phase == global_winner
+    combined = pd.concat(
+        [best_edge_per_key(c) for c in chunks if len(c)]
+    )
+    assert winners(combined) == global_winner
