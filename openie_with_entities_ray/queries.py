@@ -537,6 +537,75 @@ GROUP BY n.n_name
 """
 
 
+def q_revenue_by_nation_salted(sf_dir):
+    """Same result as ``revenue_by_nation`` computed through
+    :func:`stages.joins.salted_join` — the skew-aware join (north rule
+    "salted keys for skewed popular entities") verified by the same
+    value-hash oracle: a hot key spreads over num_salts partitions
+    instead of capping the join at one straggler aggregator."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import salted_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = salted_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cust_map = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_nationkey").to_pylist())
+    )
+    nation_map = dict(
+        zip(nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist())
+    )
+    maps_ref = ray.put((cust_map, nation_map))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cmap, nmap = ray.get(maps_ref)
+        batch["n_name"] = [
+            nmap[cmap[c]] for c in batch["o_custkey"].to_list()
+        ]
+        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        return batch.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue_cents": pa.array(
+                    [_cents(v) for v in batch.column("revenue").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_top_customers(sf_dir):
     """sort + limit: top 10 customers by total order value.
 
@@ -1627,6 +1696,7 @@ def build_queries():
         "doc_sample_stratified": q_doc_sample_stratified,
         "clean_corpus": q_clean_corpus,
         "corpus_budget": q_corpus_budget,
+        "revenue_by_nation_salted": q_revenue_by_nation_salted,
     }
 
 
@@ -1673,4 +1743,5 @@ def build_oracle_sql():
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
         "clean_corpus": _sql_clean_corpus(),
         "corpus_budget": _sql_corpus_budget(),
+        "revenue_by_nation_salted": SQL_REVENUE_BY_NATION,
     }

@@ -742,3 +742,45 @@ def test_composite_key_injective(ray_session):
     )
     out = dedup_edges(edges).take_all()
     assert len(out) == 2
+
+
+def test_salted_join_matches_plain_join(ray_session):
+    """salted_join must produce exactly the plain inner join's rows on a
+    key-skewed input (one hot key holding ~90% of the big side)."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import salted_join
+
+    n = 1000
+    keys = ["hot"] * 900 + [f"k{i}" for i in range(90)] + ["orphan"] * 10
+    big = pa.table({"k": keys, "v": list(range(n))})
+    small = pa.table(
+        {
+            "rk": ["hot"] + [f"k{i}" for i in range(90)] + ["unmatched"],
+            "w": list(range(92)),
+        }
+    )
+
+    def rows(ds):
+        return sorted(
+            (r["k"], r["v"], r["w"]) for r in ds.take_all()
+        )
+
+    plain = ray.data.from_arrow(big).join(
+        ray.data.from_arrow(small),
+        join_type="inner",
+        num_partitions=4,
+        on=("k",),
+        right_on=("rk",),
+    )
+    salted = salted_join(
+        ray.data.from_arrow(big),
+        ray.data.from_arrow(small),
+        on="k",
+        right_on="rk",
+        num_salts=5,
+    )
+    got, want = rows(salted), rows(plain)
+    assert got == want
+    assert len(got) == 990  # 900 hot + 90 matched, orphans dropped
