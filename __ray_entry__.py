@@ -38,9 +38,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (the
-    labeler/NER pipeline operators are covered by the pytest
-    reference-semantics oracle instead)."""
+    """DuckDB-equivalent SQL for EVERY queries() entry (39/39): the
+    labeler/NER pipeline is recomputed in SQL by oracles.py, and the
+    approximate LSH near-dup path embeds its plane constants as SQL
+    literals."""
     from openie_with_entities_ray.queries import build_oracle_sql
 
     return build_oracle_sql()
