@@ -205,6 +205,7 @@ def test_adversarial_content(ray_session):
         "# " + "w" * 300 + " founded X .",
         "# 🎉 Alice founded Acme 🎉 .",
         "# [unusedfoo] is REL-ish and Alice founded Acme .",
+        "# Ali\x00ce founded Ac\x00me and Ali\x00cf founded Acme .",
         "#\n#\n# \n",
         "# Alice founded Acme .\n" * 50,
         "no comments at all just code x = 1",
