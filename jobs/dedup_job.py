@@ -165,6 +165,14 @@ def run_cross_shard(shards, out_dir: str, method: str = "minhash", *,
     done_bands = completed_partitions(glob_dir) if resume else set()
     bands_written = 0
     sig_files = sorted(glob.glob(os.path.join(sig_dir, "part=*", "*.parquet")))
+    if not sig_files:
+        # every input shard was empty (an empty partition writes no
+        # parquet at all) — the global pass trivially has zero pairs
+        return {
+            "cross_shard_sigs_written": sigs_written,
+            "cross_shard_bands_written": 0,
+            "cross_shard_bands_skipped": len(done_bands),
+        }
     for band in range(num_bands):
         if band in done_bands:
             continue

@@ -117,7 +117,8 @@ def stratified_sample(docs_ds, rates_permille: dict, *,
 
 def quality_filter(docs_ds, *, min_words: int = 20, max_words: int = 1000,
                    min_stopword_permille: int = 50,
-                   max_punct_permille: int = 200, text_col: str = "text"):
+                   max_punct_permille: int = 200, text_col: str = "text",
+                   id_col: str = "doc_id"):
     """C4-style corpus cleaning: drop documents outside the length band,
     with too few stopwords (non-prose), or too much punctuation (markup/
     code). One stateless pass composing the text-stats kernels; emits
@@ -126,7 +127,7 @@ def quality_filter(docs_ds, *, min_words: int = 20, max_words: int = 1000,
     def keep(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids, langs, words, toks = [], [], [], []
-        for i, t in zip(batch.column("doc_id").to_pylist(), texts):
+        for i, t in zip(batch.column(id_col).to_pylist(), texts):
             q = quality_stats(t)
             if not (min_words <= q["n_words"] <= max_words):
                 continue
@@ -140,7 +141,7 @@ def quality_filter(docs_ds, *, min_words: int = 20, max_words: int = 1000,
             toks.append(bpe_ish_token_count(t))
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
                 "lang_detected": pa.array(langs, pa.string()),
                 "n_words": pa.array(words, pa.int64()),
                 "n_tokens_bpe": pa.array(toks, pa.int64()),
@@ -926,32 +927,90 @@ class LSHBucketer:
     θ collides in at least one table with prob 1-(1-(1-θ/π)^P)^L —
     recall/precision is tuned with (P, L). Multi-table = the scale path
     for approximate cosine search and near-dup. Size P with
-    :func:`auto_num_planes` so buckets stay bounded as the corpus grows."""
+    :func:`auto_num_planes` so buckets stay bounded as the corpus grows.
+
+    Emits ONLY (id_col, vec_col, table, bucket) — the ×L replication must
+    never ship payload columns into the bucket shuffle (a caller with a
+    text/metadata column would otherwise pay L copies of it); join payload
+    back by id after the verify."""
 
     def __init__(self, dim: int = 64, num_planes: int = 4,
-                 num_tables: int = 6, seed: int = 11):
+                 num_tables: int = 6, seed: int = 11,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
         rng = np.random.RandomState(seed)
         self.planes = [
             rng.randn(num_planes, dim) for _ in range(num_tables)
         ]
         self.num_planes = num_planes
+        self.id_col = id_col
+        self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = np.array(
+            batch.column(self.vec_col).to_pylist(), dtype=np.float64
+        )
         n = mat.shape[0]
-        cols = {c: [] for c in batch.column_names}
-        tables, buckets = [], []
+        ids = batch.column(self.id_col).to_pylist()
+        vecs = batch.column(self.vec_col).to_pylist()
+        out_ids, out_vecs, tables, buckets = [], [], [], []
         for t, planes in enumerate(self.planes):
             bits = (mat @ planes.T) > 0
             bucket = (bits * (1 << np.arange(self.num_planes))).sum(axis=1)
-            for c in batch.column_names:
-                cols[c].extend(batch.column(c).to_pylist())
+            out_ids.extend(ids)
+            out_vecs.extend(vecs)
             tables.extend([t] * n)
             buckets.extend(bucket.tolist())
-        out = {c: pa.array(cols[c]) for c in batch.column_names}
-        out["table"] = pa.array(tables, pa.int32())
-        out["bucket"] = pa.array(buckets, pa.int64())
-        return pa.table(out)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_ids),
+                self.vec_col: pa.array(out_vecs),
+                "table": pa.array(tables, pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+
+def seeded_reservoir_sample(
+    ds,
+    sample_size: int,
+    *,
+    seed: int = 17,
+    id_col: str = "vec_id",
+):
+    """Distributed deterministic reservoir: each row's priority is
+    ``md5(seed|id)`` and the sample is the ``sample_size`` rows with the
+    smallest priorities — a pure function of (seed, row ids), so the
+    result is identical under any partitioning, cluster size, retry, or
+    resume (the same content-addressed rule as
+    :func:`deterministic_sample`, in bottom-k form for a fixed-size
+    sample). Scale shape: per-batch partial bottom-k → tiny global
+    sort/limit; the driver never sees more than ``sample_size`` rows.
+    Ties (md5 collisions) break on the id for a total order."""
+    from ..functions.textstats import _md5_number_lower
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        # 63-bit mask: the priority must fit a SIGNED int64 column with
+        # ordering identical to the unsigned hash (a uint64→int64 wrap
+        # would reorder the global sort vs the in-batch bottom-k)
+        prio = np.array(
+            [
+                _md5_number_lower(f"{seed}|{i}") & ((1 << 63) - 1)
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        order = np.lexsort((np.array(ids), prio))[:sample_size]
+        return batch.take(order).append_column(
+            "_prio", pa.array(prio[order], pa.int64())
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["_prio", id_col])
+        .limit(sample_size)
+        .drop_columns(["_prio"])
+    )
 
 
 def ivf_build(
@@ -960,21 +1019,23 @@ def ivf_build(
     sample_size: int = 2048,
     seed: int = 17,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ):
     """IVF index build: deterministic k-means (seeded init + fixed Lloyd
-    iterations over a driver-side sample) → centroid matrix + the dataset
-    with an ``ivf_bucket`` assignment column (map_batches against the
-    broadcast centroids).
+    iterations over a bounded driver-side sample) → centroid matrix + the
+    dataset with an ``ivf_bucket`` assignment column (map_batches against
+    the broadcast centroids).
 
-    The sample is ``limit(sample_size)`` — deterministic for a
-    deterministic source. At production scale the sample is a seeded
-    ``random_sample``; centroids stay tiny and broadcast."""
+    The sample is the content-addressed
+    :func:`seeded_reservoir_sample` — deterministic given (seed, corpus)
+    regardless of partitioning or cluster size, and the driver holds only
+    ``sample_size`` vectors; centroids stay tiny and broadcast."""
     import ray
 
-    sample = np.array(
-        [r[vec_col] for r in emb_ds.limit(sample_size).take_all()],
-        dtype=np.float64,
-    )
+    sample_rows = seeded_reservoir_sample(
+        emb_ds, sample_size, seed=seed, id_col=id_col
+    ).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     sample = sample / norms
@@ -1049,7 +1110,14 @@ def embedding_dup_pairs_exact(
     boundary; the +0.5 rounding keeps both sides at 100. Exact-but-
     quadratic by design: use :func:`embedding_near_dup_pairs` (LSH) as
     the 100-TB scale path — this one caps at a broadcastable reference
-    matrix."""
+    matrix.
+
+    ``threshold``: pair membership is decided on the ROUNDED value —
+    ``floor(cos*100 + 0.5) >= round(threshold*100)`` — not on the raw
+    ``cos >= threshold``. This admits cosines up to half a centi below
+    the nominal threshold (e.g. cosine 0.795 passes threshold 0.8); the
+    trade is engine-reproducibility (numpy vs DuckDB raw doubles differ
+    by ~2e-16 at the boundary)."""
     import ray
 
     norms = np.linalg.norm(ref_mat, axis=1)
@@ -1112,8 +1180,12 @@ def embedding_near_dup_pairs(
     Scale shape: shuffle key = ``hash(table, bucket) % P`` with P scaled
     to the cluster (see :func:`minhash_candidate_pairs`); the in-bucket
     verify is one vectorized upper-triangle matmul, not a Python pair
-    loop. Pair membership is decided on the rounded ``cosine_centi``
-    value (not the raw double) so the decision is engine-reproducible."""
+    loop.
+
+    ``threshold``: as in :func:`embedding_dup_pairs_exact`, membership
+    is ``floor(cos*100 + 0.5) >= round(threshold*100)`` rather than raw
+    ``cos >= threshold`` — up to half a centi wider than the nominal
+    threshold, in exchange for engine-reproducible decisions."""
     num_parts = _cluster_parts()
     if num_planes is None:
         if corpus_size is None:
@@ -1171,7 +1243,8 @@ def embedding_near_dup_pairs(
     bucketed = emb_ds.map_batches(
         LSHBucketer,
         fn_constructor_kwargs=dict(
-            dim=dim, num_planes=num_planes, num_tables=num_tables
+            dim=dim, num_planes=num_planes, num_tables=num_tables,
+            id_col=id_col,
         ),
         batch_format="pyarrow",
         concurrency=(1, 4),

@@ -144,11 +144,21 @@ def dedup_edges(edges_ds, num_parts: int | None = None):
     )
 
 
-_EDGE_SORT = dict(
-    by=["confidence", "repo", "path", "sent_id"],
-    ascending=[False, True, True, True],
-    kind="mergesort",
-)
+# Tie-break columns forming a TOTAL order over witness rows: every
+# identity column an edge/triple table can carry participates, so the
+# surviving witness is identical under any batching/partitioning (the
+# pre-shuffle combiner depends on this — a partial order would make the
+# winner depend on batch boundaries for rows tying on a prefix).
+_EDGE_TIEBREAK = ("repo", "path", "commit", "sent_id", "split_id", "depth")
+
+
+def _edge_sort_spec(df):
+    by = ["confidence"] + [c for c in _EDGE_TIEBREAK if c in df.columns]
+    return dict(
+        by=by,
+        ascending=[False] + [True] * (len(by) - 1),
+        kind="mergesort",
+    )
 
 
 def best_edge_per_key(df):
@@ -162,7 +172,7 @@ def best_edge_per_key(df):
         df.assign(
             _k=composite_key_bytes(df["src"], df["rel"], df["dst"])
         )
-        .sort_values(**_EDGE_SORT)
+        .sort_values(**_edge_sort_spec(df))
         .groupby("_k", sort=False)
         .head(1)
         .drop(columns=["_k"])

@@ -321,3 +321,33 @@ def test_dedup_job_cross_shard_simhash(tmp_path):
                          t.column("id_b").to_pylist()))
     assert (0, 10) in pairs
     assert not any(1 in p for p in pairs)  # within-shard dup removed
+
+
+def test_dedup_job_cross_shard_empty_shards(tmp_path):
+    """All input shards empty -> the signature stage writes no parquet at
+    all; the global pass must complete with zero pairs instead of
+    raising on an empty read_parquet path list."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    pq.write_table(empty, shard_dir / "s0.parquet")
+    pq.write_table(empty, shard_dir / "s1.parquet")
+
+    res = subprocess.run(
+        [sys.executable, "jobs/dedup_job.py",
+         "--input", str(shard_dir / "*.parquet"),
+         "--out", str(tmp_path / "dedup"), "--method", "minhash",
+         "--cross-shard"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["shards_written"] == 2 and rep["rows_written"] == 0
+    assert rep["cross_shard_sigs_written"] == 2
+    assert rep["cross_shard_bands_written"] == 0

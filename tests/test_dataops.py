@@ -784,3 +784,88 @@ def test_salted_join_matches_plain_join(ray_session):
     got, want = rows(salted), rows(plain)
     assert got == want
     assert len(got) == 990  # 900 hot + 90 matched, orphans dropped
+
+
+def test_lsh_bucketer_drops_payload_columns(ray_session):
+    """The xL bucket replication must ship only (id, vector, table,
+    bucket) — a payload column (text) must NOT be copied num_tables
+    times into the shuffle, and its presence must not change the pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        LSHBucketer,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(21)
+    base = rng.randn(20, 64)
+    mat = np.vstack([base, base[:5] + 0.02 * rng.randn(5, 64)])
+    payload = ["blob-%d" % i for i in range(len(mat))]
+    with_payload = pa.table(
+        {
+            "vec_id": list(range(len(mat))),
+            "embedding": [list(v) for v in mat],
+            "text": payload,  # must not survive into the bucket table
+        }
+    )
+    bucketed = (
+        ray.data.from_arrow(with_payload)
+        .map_batches(
+            LSHBucketer,
+            fn_constructor_kwargs=dict(dim=64, num_planes=4, num_tables=3),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .take_all()
+    )
+    assert set(bucketed[0].keys()) == {"vec_id", "embedding", "table", "bucket"}
+    assert len(bucketed) == 3 * len(mat)  # one row per (vector, table)
+
+    pairs_with = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            ray.data.from_arrow(with_payload), threshold=0.9
+        ).take_all()
+    }
+    pairs_without = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            ray.data.from_arrow(with_payload.drop_columns(["text"])),
+            threshold=0.9,
+        ).take_all()
+    }
+    assert pairs_with == pairs_without
+    assert {(i, 20 + i) for i in range(5)} <= pairs_with
+
+
+def test_seeded_reservoir_sample_partition_invariant(ray_session):
+    """The IVF build sample is content-addressed: identical ids out for
+    any partitioning of the same corpus, exactly sample_size rows, and a
+    pure function of the seed (different seed -> different sample)."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        seeded_reservoir_sample,
+    )
+
+    rng = np.random.RandomState(5)
+    tbl = pa.table(
+        {
+            "vec_id": list(range(200)),
+            "embedding": [list(v) for v in rng.randn(200, 8)],
+        }
+    )
+
+    def ids(ds, **kw):
+        return [
+            r["vec_id"]
+            for r in seeded_reservoir_sample(ds, 32, **kw).take_all()
+        ]
+
+    one_block = ids(ray.data.from_arrow(tbl))
+    many_blocks = ids(ray.data.from_arrow(tbl).repartition(13))
+    assert one_block == many_blocks
+    assert len(one_block) == 32
+    assert ids(ray.data.from_arrow(tbl), seed=99) != one_block

@@ -115,6 +115,7 @@ def test_near_dedup_protects_conjunct_derived():
             st.integers(0, 6),   # dst index
             st.integers(0, 99),  # confidence centi
             st.integers(0, 9),   # sent_id
+            st.integers(0, 2),   # commit index (ties on everything else)
         ),
         min_size=1,
         max_size=60,
@@ -128,7 +129,10 @@ def test_edge_dedup_combiner_associative(rows, n_chunks):
     for ANY partitioning of rows into batches — the property that makes
     the pre-shuffle combiner in stages/graph.py:dedup_edges safe.
     Exercises the SHIPPED kernel (best_edge_per_key), including its
-    NUL-safe injective composite key: the src/dst values embed NULs."""
+    NUL-safe injective composite key (the src/dst values embed NULs)
+    and the FULL tie-break: rows that tie on (confidence, sent_id) must
+    still pick one deterministic winner via commit, so the winner
+    comparison covers every surviving column."""
     import pandas as pd
 
     from openie_with_entities_ray.stages.graph import best_edge_per_key
@@ -137,19 +141,20 @@ def test_edge_dedup_combiner_associative(rows, n_chunks):
         {
             # embedded NULs + shared prefixes so key ambiguity or pandas
             # NUL truncation would merge distinct keys and fail the test
-            "src": [f"s\x00{a}" for a, _, _, _, _ in rows],
-            "rel": [f"r{b}" for _, b, _, _, _ in rows],
-            "dst": [f"d\x00{c}x" for _, _, c, _, _ in rows],
-            "confidence": [x / 100 for _, _, _, x, _ in rows],
+            "src": [f"s\x00{a}" for a, *_ in rows],
+            "rel": [f"r{b}" for _, b, *_ in rows],
+            "dst": [f"d\x00{c}x" for _, _, c, *_ in rows],
+            "confidence": [x / 100 for _, _, _, x, _, _ in rows],
             "repo": ["R"] * len(rows),
             "path": ["P"] * len(rows),
-            "sent_id": [s for _, _, _, _, s in rows],
+            "sent_id": [s for *_, s, _ in rows],
+            "commit": [f"C{m}" for *_, m in rows],
         }
     )
 
     def winners(frame):
         return {
-            (r.src, r.rel, r.dst): (r.confidence, r.sent_id)
+            (r.src, r.rel, r.dst): (r.confidence, r.sent_id, r.commit)
             for r in best_edge_per_key(frame).itertuples(index=False)
         }
 
