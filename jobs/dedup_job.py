@@ -34,6 +34,11 @@ further manifest-tracked stages:
 
 The same pair can surface from several bands, so consumers distinct
 the global parts (within a band the pairs are already distinct).
+
+``--emit-survivors`` appends stage 3, closing the loop corpus→corpus:
+all pair tables → connected components → min-id keeper per duplicate
+cluster → per-shard anti-join, writing surviving doc ids to
+``out/<method>/survivors/part=<k>/`` (manifest per shard).
 """
 
 from __future__ import annotations
@@ -196,6 +201,71 @@ def run_cross_shard(shards, out_dir: str, method: str = "minhash", *,
     }
 
 
+def run_emit_survivors(shards, out_dir: str, *, resume: bool = True) -> dict:
+    """Stage 3 — close the dedup loop corpus→corpus: union every pair
+    table this job produced (within-shard parts + cross-shard global
+    parts) → connected components over the pair graph (labels stay a
+    Dataset) → keeper = min doc id per component → per input shard,
+    anti-join the dropped ids and write the SURVIVING doc ids to
+    ``out/<method>/survivors/part=<k>/`` with a manifest per shard
+    (resume skips finished shards; the dropped-id table is computed once
+    and reused across shards)."""
+    import os
+
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        cluster_cpus,
+        near_dedup_dropped_ids,
+    )
+    from openie_with_entities_ray.stages.graph import (
+        completed_partitions,
+        write_partition,
+    )
+
+    surv_dir = os.path.join(out_dir, "survivors")
+    done = completed_partitions(surv_dir) if resume else set()
+
+    pair_files = sorted(
+        glob.glob(os.path.join(out_dir, "part=*", "*.parquet"))
+        + glob.glob(os.path.join(out_dir, "global", "part=*", "*.parquet"))
+    )
+    dropped = None
+    if pair_files:
+        # columns= also drops the hive-inferred 'part' column
+        pairs = ray.data.read_parquet(pair_files, columns=["id_a", "id_b"])
+        # computed once, pinned in the object store, consumed per shard
+        dropped = near_dedup_dropped_ids(pairs).materialize()
+
+    written = 0
+    for part, shard in enumerate(shards):
+        if part in done:
+            continue
+        docs = ray.data.read_parquet(shard, columns=["doc_id"])
+        n_dropped = dropped.count() if dropped is not None else 0
+        if n_dropped > 0:
+            docs = docs.join(
+                dropped,
+                join_type="left_anti",
+                # capped by the dropped-id count: an all-empty hash-join
+                # partition is built schemaless and crashes key lookup
+                num_partitions=max(
+                    1,
+                    min(max(2, cluster_cpus() // 4), n_dropped // 16 + 1),
+                ),
+                on=("doc_id",),
+            )
+        write_partition(
+            docs, surv_dir, part,
+            extra_meta={"input": str(shard), "stage": "survivors"},
+        )
+        written += 1
+    return {
+        "survivor_shards_written": written,
+        "survivor_shards_skipped": len(done),
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
@@ -206,11 +276,21 @@ def main(argv=None) -> int:
     ap.add_argument("--cross-shard", action="store_true",
                     help="after the per-shard pass, run the global "
                          "cross-shard near-dup stage (minhash/simhash)")
+    ap.add_argument("--emit-survivors", action="store_true",
+                    help="after the pair stages, write the surviving doc "
+                         "ids per shard (pairs → connected components → "
+                         "min-id keeper → anti-join)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args(argv)
     if args.cross_shard and args.method not in ("minhash", "simhash"):
         print(json.dumps({
             "error": "--cross-shard requires --method minhash|simhash"
+        }))
+        return 1
+    if args.emit_survivors and args.method not in ("minhash", "simhash"):
+        print(json.dumps({
+            "error": "--emit-survivors requires --method minhash|simhash "
+                     "(pair-emitting methods)"
         }))
         return 1
 
@@ -270,6 +350,12 @@ def main(argv=None) -> int:
         summary.update(
             run_cross_shard(
                 shards, out_dir, args.method, resume=not args.no_resume
+            )
+        )
+    if args.emit_survivors:
+        summary.update(
+            run_emit_survivors(
+                shards, out_dir, resume=not args.no_resume
             )
         )
     print(json.dumps(summary))

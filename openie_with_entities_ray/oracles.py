@@ -342,9 +342,35 @@ def sql_graph_edges() -> str:
 SELECT src, dst, rel, conf_centi, repo, path, cmt AS "commit", sent_id
 FROM edges
 QUALIFY row_number() OVER (PARTITION BY src, rel, dst
-        ORDER BY conf_centi DESC, repo, path, sent_id) = 1
+        ORDER BY conf_centi DESC, repo, path, cmt, sent_id) = 1
 """
     )
+
+
+def sql_components() -> str:
+    """Connected components of the deduped edge graph: min-reachable-node
+    label per node via a recursive CTE — the SQL mirror of
+    stages/graph_algos.py:connected_components_join's min-label fixpoint
+    (node ids are ASCII 'C'+hex, so DuckDB's binary-collation MIN and
+    Python's codepoint-order min agree)."""
+    return f"""
+WITH RECURSIVE edges AS (
+{sql_graph_edges()}
+), adj AS (
+  SELECT src AS node_id, dst AS nbr FROM edges
+  UNION
+  SELECT dst AS node_id, src AS nbr FROM edges
+), reach AS (
+  SELECT node_id, node_id AS label
+  FROM (SELECT DISTINCT node_id FROM adj) n
+  UNION
+  SELECT a.node_id, r.label
+  FROM adj a JOIN reach r ON a.nbr = r.node_id
+)
+SELECT node_id, MIN(label) AS component
+FROM reach
+GROUP BY node_id
+"""
 
 
 def _ents_cte() -> str:

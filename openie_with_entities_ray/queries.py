@@ -1000,6 +1000,18 @@ def q_graph_edges(sf_dir):
     return _conf_to_centi(edges)
 
 
+def q_components(sf_dir):
+    """Connected components over the flagship's deduped edge table via
+    the 100-TB path (connected_components_join: labels stay a Dataset,
+    per-round hash join + anti-join convergence) — hard value-hash gate
+    against a DuckDB recursive-CTE reachability oracle."""
+    from .pipelines.flagship import build_graph, extract_triples
+    from .stages.graph_algos import connected_components_join
+
+    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    return connected_components_join(edges, max_iters=100)
+
+
 def q_predicate_freq(sf_dir):
     from .pipelines.flagship import extract_triples
     from .stages.canonical import predicate_frequencies
@@ -1341,6 +1353,18 @@ def q_minhash_pairs(sf_dir):
     )
 
 
+def q_near_dedup_corpus(sf_dir):
+    """The corpus→corpus dedup loop closed: MinHash pairs → connected
+    components (join path) → keep the min-id doc per duplicate cluster →
+    anti-join; returns surviving doc ids. Oracle = the minhash pair SQL
+    + a recursive-CTE component keeper rule."""
+    from .stages.dataops import near_dedup_corpus
+
+    return near_dedup_corpus(
+        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5
+    )
+
+
 def q_simhash_pairs(sf_dir):
     from .stages.dataops import simhash_pairs
 
@@ -1438,6 +1462,33 @@ SELECT id_a, id_b,
 FROM eq WHERE (n_eq / {num_perm}.0) >= {threshold}
 """
     )
+
+
+def _sql_near_dedup_corpus(num_perm: int = 128,
+                           threshold: float = 0.5) -> str:
+    """Surviving doc ids after near-dedup: the minhash pair SQL wrapped
+    in a recursive-CTE connected-components keeper rule (keeper = MIN id
+    reachable in the pair graph; numeric MIN here == the engine's
+    zero-padded lexicographic min for non-negative ids)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{_sql_minhash_pairs(num_perm=num_perm, threshold=threshold)}
+), padj AS (
+  SELECT id_a AS node, id_b AS nbr FROM pairs
+  UNION
+  SELECT id_b AS node, id_a AS nbr FROM pairs
+), preach AS (
+  SELECT node, node AS label FROM (SELECT DISTINCT node FROM padj) n
+  UNION
+  SELECT a.node, r.label FROM padj a JOIN preach r ON a.nbr = r.node
+), pcomp AS (
+  SELECT node, MIN(label) AS keeper FROM preach GROUP BY node
+)
+SELECT d.doc_id
+FROM documents d
+LEFT JOIN pcomp c ON d.doc_id = c.node
+WHERE c.node IS NULL OR c.keeper = d.doc_id
+"""
 
 
 # The SimHash kernel hashes each distinct word with md5 (first 8 digest
@@ -1679,6 +1730,7 @@ def build_queries():
         "triples_coord": q_triples_coord,
         "graph_nodes": q_graph_nodes,
         "graph_edges": q_graph_edges,
+        "components": q_components,
         "predicate_freq": q_predicate_freq,
         "violations": q_violations,
         "per_org_pairs": q_per_org_pairs,
@@ -1686,6 +1738,7 @@ def build_queries():
         "entity_filtered_triples": q_entity_filtered_triples,
         "text_stats": q_text_stats,
         "minhash_pairs": q_minhash_pairs,
+        "near_dedup_corpus": q_near_dedup_corpus,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -1719,6 +1772,7 @@ def build_oracle_sql():
         "text_stats": SQL_TEXT_STATS,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "minhash_pairs": _sql_minhash_pairs(),
+        "near_dedup_corpus": _sql_near_dedup_corpus(),
         "embedding_dups": SQL_EMBEDDING_DUPS,
         "embedding_dups_lsh": _sql_embedding_dups_lsh(),
         # labeler-pipeline oracles: the deterministic labeler + decode is
@@ -1731,6 +1785,7 @@ def build_oracle_sql():
         "predicate_freq": oracles.sql_predicate_freq(),
         "graph_nodes": oracles.sql_graph_nodes(),
         "graph_edges": oracles.sql_graph_edges(),
+        "components": oracles.sql_components(),
         "triples_entities": oracles.sql_triples_entities(),
         "violations": oracles.sql_violations(),
         "carb_selfcheck": oracles.sql_carb_selfcheck(),

@@ -453,6 +453,101 @@ def minhash_band_pairs(sig_ds, *, num_perm: int = 128,
     )
 
 
+def near_dedup_dropped_ids(pairs_ds, *, id_col: str = "doc_id"):
+    """Near-dup pair table (``id_a, id_b``) → the ids to DROP: connected
+    components over the pair graph (:func:`~.graph_algos.
+    connected_components_join` — labels stay a Dataset, nothing
+    corpus-scaled touches the driver), keeper = numeric-min id per
+    component, dropped = every other member.
+
+    Ids must be non-negative integers; they are zero-padded to 20 digits
+    so the component algorithm's lexicographic min IS the numeric min.
+    The pair table is materialized first (it is duplicate-pair-sized,
+    orders of magnitude below the corpus) — the empty case then costs a
+    metadata-only count instead of a join against an empty, schemaless
+    dataset."""
+    import ray.data
+
+    from .graph_algos import connected_components_join
+
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64())})
+        )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        return pa.table(
+            {
+                "src": pa.array([f"{x:020d}" for x in a], pa.string()),
+                "dst": pa.array([f"{x:020d}" for x in b], pa.string()),
+            }
+        )
+
+    comp = connected_components_join(
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    )
+
+    def dropped(batch: pa.Table) -> pa.Table:
+        out = [
+            int(n)
+            for n, c in zip(
+                batch.column("node_id").to_pylist(),
+                batch.column("component").to_pylist(),
+            )
+            if n != c
+        ]
+        return pa.table({id_col: pa.array(out, pa.int64())})
+
+    return comp.map_batches(dropped, batch_format="pyarrow")
+
+
+def near_dedup_corpus(
+    docs_ds,
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs_ds=None,
+):
+    """Corpus → corpus near-dedup, the full loop users actually want:
+    MinHash-LSH pairs → connected components → keep the min-id document
+    of every duplicate cluster → anti-join the dropped ids back out.
+    Returns the SURVIVING ids (single ``id_col`` column); join payload
+    columns back by id downstream (never ship text through the dedup
+    shuffles).
+
+    ``pairs_ds`` overrides the pair source — e.g. the union of the
+    cross-shard dedup job's per-shard and global pair tables
+    (jobs/dedup_job.py --emit-survivors), where pairs were already
+    computed next to the data."""
+    if pairs_ds is None:
+        pairs_ds = minhash_candidate_pairs(
+            docs_ds, threshold=threshold, num_perm=num_perm,
+            num_bands=num_bands, text_col=text_col, id_col=id_col,
+        )
+    # dropped is duplicate-cluster-sized — materializing it makes the
+    # count metadata-only and lets the join partition count scale DOWN
+    # for tiny inputs (an all-empty hash-join partition is built
+    # schemaless by Ray and crashes pyarrow's key resolution)
+    dropped = near_dedup_dropped_ids(pairs_ds, id_col=id_col).materialize()
+    n_dropped = dropped.count()
+    if n_dropped == 0:
+        return docs_ds.select_columns([id_col])
+    return docs_ds.select_columns([id_col]).join(
+        dropped,
+        join_type="left_anti",
+        num_partitions=max(
+            1, min(max(2, cluster_cpus() // 4), n_dropped // 16 + 1)
+        ),
+        on=(id_col,),
+    )
+
+
 def _bucketed_signatures(docs_ds, *, num_perm, num_bands, text_col,
                          id_col, seed):
     """Shared LSH scaffold: MinHash signatures exploded to (id, band,

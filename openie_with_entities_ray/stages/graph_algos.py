@@ -183,6 +183,18 @@ def connected_components_join(
         doubled, batch_format="pyarrow"
     ).materialize()
 
+    if adj.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node_id": pa.array([], pa.string()),
+                    "component": pa.array([], pa.string()),
+                }
+            )
+        )
+
     def init_labels(batch: pa.Table) -> pa.Table:
         nodes = sorted(set(batch.column("node_id").to_pylist()))
         return pa.table(
@@ -223,6 +235,14 @@ def connected_components_join(
     labels = min_per_node(
         adj.map_batches(init_labels, batch_format="pyarrow")
     ).materialize()
+
+    # A hash-join partition that receives ZERO rows on a side is built
+    # schemaless by Ray and pyarrow then cannot resolve that side's key
+    # FieldRef (measured on tiny graphs: 3 labels over 2 partitions).
+    # Cap the partition count by the DISTINCT-node count — the size of
+    # the join's label side — so every partition is expected non-empty;
+    # labels is materialized, so count() is metadata-only.
+    num_join_parts = max(1, min(num_join_parts, labels.count() // 16 + 1))
 
     iteration = 0
     while True:

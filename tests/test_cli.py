@@ -351,3 +351,62 @@ def test_dedup_job_cross_shard_empty_shards(tmp_path):
     assert rep["shards_written"] == 2 and rep["rows_written"] == 0
     assert rep["cross_shard_sigs_written"] == 2
     assert rep["cross_shard_bands_written"] == 0
+
+
+def test_dedup_job_emit_survivors(tmp_path):
+    """--emit-survivors closes the loop: within-shard pair (0,1) and
+    cross-shard pair (0,10) form one component with keeper 0, so the
+    survivor table is every doc id except 1 and 10; a re-run skips the
+    finished survivor shards."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dup = ("the quick brown fox jumps over the lazy dog again and again "
+           "today in the bright warm morning sun near the old farm")
+    uniq = [
+        f"completely distinct document number {i} about topic {i * 7} "
+        f"with its own content and vocabulary set {i * 13}"
+        for i in range(6)
+    ]
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2, 3, 4],
+                  "text": [dup, dup, uniq[0], uniq[1], uniq[2]]}),
+        shard_dir / "s0.parquet",
+    )
+    pq.write_table(
+        pa.table({"doc_id": [10, 11, 12, 13],
+                  "text": [dup, uniq[3], uniq[4], uniq[5]]}),
+        shard_dir / "s1.parquet",
+    )
+    out = tmp_path / "dedup"
+
+    def run_job():
+        return subprocess.run(
+            [sys.executable, "jobs/dedup_job.py",
+             "--input", str(shard_dir / "*.parquet"),
+             "--out", str(out), "--method", "minhash", "--cross-shard",
+             "--emit-survivors"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    first = run_job()
+    assert first.returncode == 0, first.stderr[-800:]
+    rep = json.loads(first.stdout.strip().splitlines()[-1])
+    assert rep["survivor_shards_written"] == 2
+
+    import glob as g
+
+    survivors = set()
+    for f in g.glob(str(out / "minhash" / "survivors" / "part=*" /
+                        "*.parquet")):
+        survivors |= set(pq.read_table(f).column("doc_id").to_pylist())
+    assert survivors == {0, 2, 3, 4, 11, 12, 13}
+
+    second = run_job()
+    rep2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert rep2["survivor_shards_skipped"] == 2
+    assert rep2["survivor_shards_written"] == 0

@@ -869,3 +869,71 @@ def test_seeded_reservoir_sample_partition_invariant(ray_session):
     assert one_block == many_blocks
     assert len(one_block) == 32
     assert ids(ray.data.from_arrow(tbl), seed=99) != one_block
+
+
+def test_components_query_agrees_with_broadcast(ray_session):
+    """The oracle-gated `components` query (join path) must agree with
+    the broadcast variant on the REAL flagship edge table — the two
+    implementations of the same fixpoint stay interchangeable."""
+    from openie_with_entities_ray.pipelines.flagship import (
+        build_graph,
+        extract_triples,
+    )
+    from openie_with_entities_ray.queries import _source_docs
+    from openie_with_entities_ray.stages.graph_algos import (
+        connected_components,
+        connected_components_join,
+    )
+
+    _, edges = build_graph(
+        extract_triples(_source_docs("/root/testdata/sf0.001"))
+    )
+    edges = edges.materialize()  # consumed by both variants
+    bc = connected_components(edges, max_iters=100)
+    jn = {
+        r["node_id"]: r["component"]
+        for r in connected_components_join(edges, max_iters=100).take_all()
+    }
+    assert jn == dict(zip(bc["node_id"], bc["component"]))
+
+
+def test_near_dedup_corpus_keeps_min_id(ray_session):
+    """near_dedup_corpus keeps exactly the min-id member of each
+    duplicate cluster (transitively: A~B and B~C drop both B and C even
+    if A~C was never emitted as a pair)."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import near_dedup_corpus
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [5, 9, 17, 23, 41],
+                "text": ["x"] * 5,  # text unused: pairs injected
+            }
+        )
+    )
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                # chain 9~17, 17~41 (one component, keeper 9); 5, 23 untouched
+                "id_a": pa.array([9, 17], pa.int64()),
+                "id_b": pa.array([17, 41], pa.int64()),
+            }
+        )
+    )
+    got = sorted(
+        r["doc_id"] for r in near_dedup_corpus(docs, pairs_ds=pairs).take_all()
+    )
+    assert got == [5, 9, 23]
+
+    # no pairs at all -> everything survives
+    empty = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())})
+    )
+    assert sorted(
+        r["doc_id"]
+        for r in near_dedup_corpus(docs, pairs_ds=empty).take_all()
+    ) == [5, 9, 17, 23, 41]
