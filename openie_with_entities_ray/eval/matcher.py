@@ -30,8 +30,11 @@ would crash on its own bool matchers, carb.py:119 vs matcher.py:29).
 ``ignoreStopwords/ignoreCase`` are fixed True as at the reference's one
 call site (carb.py:119). The stopword list is the public NLTK English
 list + ASCII punctuation (matcher.py:385), vendored as a literal since
-nltk is absent here. bleuMatch / bert_score_match need nltk / bert-score
-and are not ported (optional heavy deps even in the reference).
+nltk is absent here. ``bleu_match`` (registered as ``bleuMatch``) is a
+stdlib BLEU reimplementation in this file; ``bert_score_match`` is the
+one unported matcher — it needs a BERT model, env-blocked even as an
+optional dep in the reference (carb/matcher.py, registry
+carb/carb.py:480-505).
 """
 
 from __future__ import annotations

@@ -269,44 +269,135 @@ class SequenceLabeler:
 class TorchGridLabeler:
     """The real-deployment slot: BERT iterative grid labeler.
 
-    Contract notes for when weights + torch are available (replicating
-    /root/reference/model.py:58-267):
+    The FORWARD PASS is fully implemented in numpy — ``state/gridmodel.py``
+    replicates /root/reference/model.py:132-209 (encoder split, cumulative
+    iterative layers, label-embedding feedback, whole-batch early stop,
+    the ``sum(dim=0)`` confidence quirk, 2-decimal rounding) and is
+    unit-tested with random weights in tests/test_gridmodel.py. Torch is
+    needed here ONLY to deserialize the reference's ``.ckpt`` files
+    (external downloads, README.md:20-35): ``__init__`` loads the
+    Lightning state_dict, converts every tensor to a numpy array via
+    :func:`state_dict_to_grid_weights`, and serves the ``SequenceLabeler``
+    contract through :class:`~.gridmodel.NumpyGridLabeler`.
 
-    - wordpiece-tokenize per word with BOS=101/EOS=102 and UNK=[100] for
-      empty encodings (data.py:294-303); track word_starts — IMPLEMENTED
-      as a pure, torch-free kernel in functions/wordpiece.py
-      (``encode_words``), so this slot is now only the forward pass;
-    - split the last ``iterative_layers=2`` encoder layers; per depth run
-      them over the previous hidden state plus the label embedding of the
-      previous depth's argmax, gather vectors at word_starts, apply merge
-      + label heads (model.py:132-188);
-    - at inference stop early when a depth emits no (ARG1 and REL)
-      (model.py:180-188);
-    - confidence = exp(sum over words of max log-prob where label != 0,
-      normalized by the batch-column count + 1 — the reference's
-      ``sum(dim=0)`` quirk, model.py:201-209), rounded to 2 decimals at
-      test time (model.py:477): top-k ordering depends on this;
-    - drop sentences over 100 words or >=512 wordpieces (data.py:284-285).
+    Remaining contract notes (all enforced by the shared kernels):
+
+    - tokenization is functions/wordpiece.py ``encode_words`` (per-word
+      encode, UNK-for-empty, word_starts; data.py:294-303);
+    - sentences over 100 words or >=512 wordpieces are dropped upstream
+      (``fits_model_limits``, data.py:284-285);
+    - confidences rounded to 2 decimals at test time (model.py:477):
+      top-k ordering depends on this.
 
     Instantiated inside an actor's ``__init__`` (one weight load per
-    worker, run.py:46-51 analogue); raises ImportError here because torch
-    is not part of this environment.
+    worker, run.py:46-51 analogue). Raises ImportError in this
+    environment: torch is not installed — use DeterministicLabeler,
+    which has the same output contract.
     """
 
-    def __init__(self, checkpoint_path: str, task: str = "oie",
-                 model_str: str = "bert-base-cased", iterative_layers: int = 2):
+    def __init__(self, checkpoint_path: str, vocab_path: str,
+                 task: str = "oie", iterative_layers: int = 2,
+                 num_heads: int = 12):
         try:
-            import torch  # noqa: F401
+            import torch
         except ImportError as e:
             raise ImportError(
-                "TorchGridLabeler needs torch + transformers + the "
+                "TorchGridLabeler needs torch to deserialize the "
                 "reference checkpoints (README.md:20-35); this environment "
                 "ships neither — use DeterministicLabeler, which has the "
-                "same output contract"
+                "same output contract (the forward pass itself is "
+                "torch-free: state/gridmodel.py)"
             ) from e
-        raise NotImplementedError(
-            "weight-loading path not implemented in this environment"
+        from ..functions.wordpiece import load_vocab
+        from .gridmodel import GridModel, NumpyGridLabeler
+
+        ckpt = torch.load(checkpoint_path, map_location="cpu")
+        state = ckpt.get("state_dict", ckpt)
+        weights = state_dict_to_grid_weights(
+            {k: v.numpy() for k, v in state.items()},
+            iterative_layers=iterative_layers, num_heads=num_heads,
         )
+        model = GridModel(weights)
+        vocab = load_vocab(vocab_path)
+        self._inner = NumpyGridLabeler(
+            vocab,
+            oie_model=model if task == "oie" else None,
+            conj_model=model if task == "conj" else None,
+        )
+        self.task = task
+
+    def label_oie(self, sentence: str):
+        return self._inner.label_oie(sentence)
+
+    def label_conj(self, sentence: str):
+        return self._inner.label_conj(sentence)
+
+
+def state_dict_to_grid_weights(arrays, *, iterative_layers: int = 2,
+                               num_heads: int = 12):
+    """Map the reference Lightning module's state_dict (tensors already
+    converted to numpy) to :class:`~.gridmodel.GridModelWeights`.
+
+    Key layout per model.py:58-91: the base encoder keeps layers
+    ``0..N-1-iterative`` under ``_base_model.encoder.layer.{i}`` and the
+    split-off tail lives under ``_iterative_transformer.{j}``
+    (model.py:71-74 reassigns the ModuleList slice, which registers it
+    as its own submodule); heads are ``_label_embeddings.weight``,
+    ``_merge_layer`` and ``_labelling_layer``. Pure dict→dataclass
+    plumbing, no torch — unit-tested with synthetic arrays."""
+    from .gridmodel import (
+        EmbeddingWeights,
+        GridModelWeights,
+        LayerWeights,
+    )
+
+    def layer_from(prefix: str) -> LayerWeights:
+        return LayerWeights(
+            q_w=arrays[f"{prefix}.attention.self.query.weight"],
+            q_b=arrays[f"{prefix}.attention.self.query.bias"],
+            k_w=arrays[f"{prefix}.attention.self.key.weight"],
+            k_b=arrays[f"{prefix}.attention.self.key.bias"],
+            v_w=arrays[f"{prefix}.attention.self.value.weight"],
+            v_b=arrays[f"{prefix}.attention.self.value.bias"],
+            attn_out_w=arrays[f"{prefix}.attention.output.dense.weight"],
+            attn_out_b=arrays[f"{prefix}.attention.output.dense.bias"],
+            attn_ln_g=arrays[f"{prefix}.attention.output.LayerNorm.weight"],
+            attn_ln_b=arrays[f"{prefix}.attention.output.LayerNorm.bias"],
+            inter_w=arrays[f"{prefix}.intermediate.dense.weight"],
+            inter_b=arrays[f"{prefix}.intermediate.dense.bias"],
+            out_w=arrays[f"{prefix}.output.dense.weight"],
+            out_b=arrays[f"{prefix}.output.dense.bias"],
+            out_ln_g=arrays[f"{prefix}.output.LayerNorm.weight"],
+            out_ln_b=arrays[f"{prefix}.output.LayerNorm.bias"],
+        )
+
+    emb = "_base_model.embeddings"
+    base_prefix = "_base_model.encoder.layer"
+    n_base = 0
+    while f"{base_prefix}.{n_base}.attention.self.query.weight" in arrays:
+        n_base += 1
+    return GridModelWeights(
+        embeddings=EmbeddingWeights(
+            word=arrays[f"{emb}.word_embeddings.weight"],
+            position=arrays[f"{emb}.position_embeddings.weight"],
+            token_type=arrays[f"{emb}.token_type_embeddings.weight"],
+            ln_g=arrays[f"{emb}.LayerNorm.weight"],
+            ln_b=arrays[f"{emb}.LayerNorm.bias"],
+        ),
+        base_layers=[
+            layer_from(f"{base_prefix}.{i}") for i in range(n_base)
+        ],
+        iterative_layers=[
+            layer_from(f"_iterative_transformer.{j}")
+            for j in range(iterative_layers)
+        ],
+        label_emb=arrays["_label_embeddings.weight"],
+        merge_w=arrays["_merge_layer.weight"],
+        merge_b=arrays["_merge_layer.bias"],
+        label_w=arrays["_labelling_layer.weight"],
+        label_b=arrays["_labelling_layer.bias"],
+        num_heads=num_heads,
+    )
 
 
 def default_labeler(seed: int = 777) -> DeterministicLabeler:

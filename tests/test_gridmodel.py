@@ -1,0 +1,306 @@
+"""Unit tests for the numpy grid-model forward path (state/gridmodel.py)
+— the reference model.py:132-209 semantics with random weights, no torch.
+Pure-python module: no Ray session needed."""
+
+import math
+
+import numpy as np
+import pytest
+
+from openie_with_entities_ray.functions.wordpiece import demo_vocab
+from openie_with_entities_ray.state import gridmodel as gm
+from openie_with_entities_ray.state.gridmodel import (
+    GridModel,
+    NumpyGridLabeler,
+    batch_has_valid_ext,
+    depth_confidences,
+    log_softmax,
+    random_grid_weights,
+)
+from openie_with_entities_ray.state.labeler import (
+    TorchGridLabeler,
+    state_dict_to_grid_weights,
+)
+
+
+def small_model(seed=0, **kw) -> GridModel:
+    return GridModel(random_grid_weights(seed=seed, **kw))
+
+
+def encode(sentence, markers=False):
+    from openie_with_entities_ray.functions.wordpiece import encode_words
+
+    vocab = demo_vocab()
+    for i in range(1, 4):
+        vocab.setdefault(f"[unused{i}]", i)
+    words = sentence.split() + (
+        ["[unused1]", "[unused2]", "[unused3]"] if markers else []
+    )
+    ids, starts = encode_words(words, vocab)
+    return words, ids, starts
+
+
+# -- shapes / contract ------------------------------------------------------
+
+
+def test_decode_batch_shapes_and_ranges():
+    model = small_model()
+    w1, i1, s1 = encode("Alice founded Acme Corp in New York .")
+    w2, i2, s2 = encode("Bob is the of a")
+    preds, confs = model.decode_batch([i1, i2], [s1, s2], max_depth=5)
+    b, depths, nw = preds.shape
+    assert b == 2 and 1 <= depths <= 5
+    assert nw == max(len(s1), len(s2))
+    assert confs.shape == (2, depths)
+    assert ((preds >= 0) & (preds < gm.NUM_LABELS)).all()
+    assert ((confs > 0) & (confs <= 1.0)).all()
+
+
+def test_early_stop_when_head_never_labels():
+    # label head ignores inputs and always argmaxes label 0 -> the
+    # valid-ext check fails after depth 1 (model.py:180-188)
+    weights = random_grid_weights(seed=1)
+    weights.label_w = np.zeros_like(weights.label_w)
+    weights.label_b = np.array([10.0, 0, 0, 0, 0, 0])
+    _, ids, starts = encode("Alice founded Acme .")
+    preds, confs = GridModel(weights).decode_batch(
+        [ids], [starts], max_depth=5
+    )
+    assert preds.shape[1] == 1  # stopped after the first depth
+    assert (preds == 0).all()
+    # all-NONE predictions: sro mask is all zeros -> confidence exp(0)=1
+    assert confs[0, 0] == pytest.approx(1.0)
+
+
+def test_early_stop_requires_both_arg1_and_rel():
+    # head always predicts ARG1 (label 1), never REL (label 2) -> stop
+    weights = random_grid_weights(seed=2)
+    weights.label_w = np.zeros_like(weights.label_w)
+    weights.label_b = np.array([0.0, 10.0, 0, 0, 0, 0])
+    _, ids, starts = encode("Alice founded Acme .")
+    preds, _ = GridModel(weights).decode_batch([ids], [starts], max_depth=5)
+    assert preds.shape[1] == 1
+
+
+# -- the reference quirks, bit-for-bit --------------------------------------
+
+
+def test_batch_valid_ext_is_whole_tensor_membership():
+    # model.py:181-188: `1 in predictions and 2 in predictions` checks
+    # the WHOLE batch tensor — sentence A contributing the 1 and
+    # sentence B the 2 counts as valid even though neither alone is
+    a_only_arg1 = np.array([[1, 1, 0]])
+    b_only_rel = np.array([[2, 0, 0]])
+    assert not batch_has_valid_ext(a_only_arg1)
+    assert not batch_has_valid_ext(b_only_rel)
+    assert batch_has_valid_ext(np.vstack([a_only_arg1, b_only_rel]))
+    assert batch_has_valid_ext(np.array([[1, 2, 0]]))
+    assert not batch_has_valid_ext(np.empty((0, 3), dtype=np.int64))
+
+
+def test_confidence_formula_batch_of_one():
+    # batch 1: denominator = indicator + 1, so each labeled word
+    # contributes HALF its max log-prob (model.py:207-208)
+    rng = np.random.default_rng(7)
+    scores = rng.normal(size=(1, 4, 6))
+    confs, preds = depth_confidences(scores)
+    lp = log_softmax(scores, axis=2)
+    expected = 0.0
+    for w in range(4):
+        p = int(preds[0, w])
+        if p != 0:
+            expected += lp[0, w, p] / 2.0
+    assert confs[0] == pytest.approx(math.exp(expected))
+
+
+def test_confidence_depends_on_batch_composition():
+    # the sum(dim=0) quirk: adding a second sentence that labels the
+    # same word columns changes the first sentence's denominator
+    rng = np.random.default_rng(8)
+    s1 = rng.normal(size=(4, 6))
+    s1[:, 2] += 5.0  # all words labeled REL
+    s2 = np.array(s1)  # same labeling pattern
+    alone, _ = depth_confidences(s1[None])
+    together, _ = depth_confidences(np.stack([s1, s2]))
+    # denominator per column grows 2 -> 3, so the shared-batch
+    # confidence is the alone confidence^(2/3) (log scaled by 2/3)
+    assert together[0] == pytest.approx(alone[0] ** (2.0 / 3.0))
+
+
+def test_confidence_pad_mask_excludes_padded_words():
+    rng = np.random.default_rng(9)
+    scores = rng.normal(size=(1, 5, 6))
+    scores[:, :, 3] += 5.0  # everything ARG2
+    full, _ = depth_confidences(scores)
+    masked, _ = depth_confidences(
+        scores, pad_mask=np.array([[1, 1, 1, 0, 0]])
+    )
+    lp = log_softmax(scores, axis=2)
+    expected = sum(lp[0, w, 3] / 2.0 for w in range(3))
+    assert masked[0] == pytest.approx(math.exp(expected))
+    assert masked[0] != pytest.approx(full[0])
+
+
+def test_iterative_layers_cumulative_application(monkeypatch):
+    # depth d must have seen the iterative layers d+1 times
+    # (model.py:153-158 mutate the running hidden state): with the
+    # early stop forced open, layer invocations = base + depth*iter
+    calls = {"n": 0}
+    real = gm.bert_layer
+
+    def counting(x, lw, heads):
+        calls["n"] += 1
+        return real(x, lw, heads)
+
+    monkeypatch.setattr(gm, "bert_layer", counting)
+    monkeypatch.setattr(gm, "batch_has_valid_ext", lambda p: True)
+    model = small_model(num_base_layers=1, num_iterative_layers=2)
+    _, ids, starts = encode("Alice founded Acme .")
+    preds, _ = model.decode_batch([ids], [starts], max_depth=3)
+    assert preds.shape[1] == 3
+    assert calls["n"] == 1 + 3 * 2
+
+
+def test_label_embedding_feedback_changes_later_depths(monkeypatch):
+    # freeze the hidden state (no iterative layers) so depth>0 can only
+    # differ through the label-embedding feedback (model.py:166-170)
+    monkeypatch.setattr(gm, "batch_has_valid_ext", lambda p: True)
+    _, ids, starts = encode("Alice founded Acme Corp in New York .")
+
+    zero = random_grid_weights(seed=3, num_iterative_layers=0)
+    zero.label_emb = np.zeros_like(zero.label_emb)
+    p_zero, c_zero = GridModel(zero).decode_batch(
+        [ids], [starts], max_depth=3
+    )
+    # without feedback or iterative layers every depth is identical
+    assert (p_zero[0, 0] == p_zero[0, 1]).all()
+    assert c_zero[0, 0] == pytest.approx(c_zero[0, 1])
+
+    fed = random_grid_weights(seed=3, num_iterative_layers=0)
+    fed.label_emb = np.random.default_rng(4).normal(
+        0.0, 5.0, size=fed.label_emb.shape
+    )
+    p_fed, c_fed = GridModel(fed).decode_batch([ids], [starts], max_depth=3)
+    # depth 0 is computed before any feedback: must agree exactly
+    assert (p_fed[0, 0] == p_zero[0, 0]).all()
+    # the feedback must reach depth>=1 (scores shift => confidences move)
+    assert not (
+        (p_fed[0, 1] == p_zero[0, 1]).all()
+        and c_fed[0, 1] == pytest.approx(c_zero[0, 1])
+    )
+
+
+# -- labeler adapter --------------------------------------------------------
+
+
+def labeler():
+    vocab = demo_vocab()
+    return NumpyGridLabeler(
+        vocab,
+        oie_model=small_model(seed=5),
+        conj_model=small_model(seed=6),
+    )
+
+
+def test_numpy_grid_labeler_oie_contract():
+    lab = labeler()
+    sent = "Alice founded Acme Corp in New York ."
+    rows, confs = lab.label_oie(sent)
+    n = len(sent.split()) + 3  # markers appended (run.py predict path)
+    assert 1 <= len(rows) <= 5 and len(confs) == len(rows)
+    for row in rows:
+        assert len(row) == n
+        assert all(0 <= x < 6 for x in row)
+    for c in confs:
+        # model.py:477 rounding (a very unconfident depth may round to 0.0)
+        assert 0.0 <= c <= 1.0 and c == round(c, 2)
+
+
+def test_numpy_grid_labeler_feeds_decode():
+    from openie_with_entities_ray.functions.conjunctions import (
+        decode_coordinations,
+    )
+    from openie_with_entities_ray.functions.triples import (
+        decode_sentence_triples,
+    )
+
+    lab = labeler()
+    sent = "Alice founded Acme Corp in New York ."
+    rows, confs = lab.label_oie(sent)
+    for _, triple in decode_sentence_triples(rows, confs, sent):
+        assert triple is not None
+    conj_rows = lab.label_conj(sent)
+    assert all(len(r) == len(sent.split()) for r in conj_rows)
+    decode_coordinations(conj_rows)  # must not raise
+
+
+def test_numpy_labeler_deterministic():
+    sent = "Alice founded Acme Corp ."
+    assert labeler().label_oie(sent) == labeler().label_oie(sent)
+
+
+# -- checkpoint mapping -----------------------------------------------------
+
+
+def synthetic_state_dict(hidden=8, inter=16, n_base=2, n_iter=2,
+                         labelling_dim=6, vocab=2048, max_pos=128):
+    rng = np.random.default_rng(11)
+    d = {}
+
+    def put(name, *shape):
+        d[name] = rng.normal(size=shape)
+        return d[name]
+
+    emb = "_base_model.embeddings"
+    put(f"{emb}.word_embeddings.weight", vocab, hidden)
+    put(f"{emb}.position_embeddings.weight", max_pos, hidden)
+    put(f"{emb}.token_type_embeddings.weight", 2, hidden)
+    put(f"{emb}.LayerNorm.weight", hidden)
+    put(f"{emb}.LayerNorm.bias", hidden)
+    for prefix in [
+        f"_base_model.encoder.layer.{i}" for i in range(n_base)
+    ] + [f"_iterative_transformer.{j}" for j in range(n_iter)]:
+        for lin, (o, i) in {
+            "attention.self.query": (hidden, hidden),
+            "attention.self.key": (hidden, hidden),
+            "attention.self.value": (hidden, hidden),
+            "attention.output.dense": (hidden, hidden),
+            "intermediate.dense": (inter, hidden),
+            "output.dense": (hidden, inter),
+        }.items():
+            put(f"{prefix}.{lin}.weight", o, i)
+            put(f"{prefix}.{lin}.bias", o)
+        for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
+            put(f"{prefix}.{ln}.weight", hidden)
+            put(f"{prefix}.{ln}.bias", hidden)
+    put("_label_embeddings.weight", 100, hidden)
+    put("_merge_layer.weight", labelling_dim, hidden)
+    put("_merge_layer.bias", labelling_dim)
+    put("_labelling_layer.weight", 6, labelling_dim)
+    put("_labelling_layer.bias", 6)
+    return d
+
+
+def test_state_dict_mapping_routes_every_tensor():
+    sd = synthetic_state_dict()
+    w = state_dict_to_grid_weights(sd, iterative_layers=2, num_heads=2)
+    assert len(w.base_layers) == 2 and len(w.iterative_layers) == 2
+    assert w.embeddings.word is sd["_base_model.embeddings.word_embeddings.weight"]
+    assert (
+        w.iterative_layers[1].q_w
+        is sd["_iterative_transformer.1.attention.self.query.weight"]
+    )
+    assert w.base_layers[0].out_ln_b is sd[
+        "_base_model.encoder.layer.0.output.LayerNorm.bias"
+    ]
+    assert w.merge_w is sd["_merge_layer.weight"]
+    assert w.label_b is sd["_labelling_layer.bias"]
+    # the mapped weights drive a real forward
+    _, ids, starts = encode("Alice founded Acme .")
+    preds, confs = GridModel(w).decode_batch([ids], [starts], max_depth=5)
+    assert preds.shape[0] == 1 and confs.shape[0] == 1
+
+
+def test_torch_grid_labeler_import_gate():
+    with pytest.raises(ImportError, match="DeterministicLabeler"):
+        TorchGridLabeler("/nonexistent.ckpt", "/nonexistent/vocab.txt")
