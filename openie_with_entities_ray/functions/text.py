@@ -77,6 +77,38 @@ def split_prose_sentences(text: str):
     return [s for s in (_SENT_SPLIT.split(text.strip())) if s]
 
 
+# --- Arrow-compute normalizer (vectorized O1) ------------------------------
+# RE2 (Arrow's regex engine) has no lookaround and ASCII-only \w/\s, so the
+# kernel's Python classes are spelled out:
+#  - Python re \w over str  ≈ [\p{L}\p{N}_]  (str.isalnum() + underscore)
+#  - Python re \s over str  ≈ ASCII \t-\r + space, \x1c-\x1f, \x85, \p{Z}
+# and the lookaround pattern (?<=\w)([.,;:!?])(?=\s|$) is rewritten to a
+# consuming group form — safe because the whitespace it consumes is
+# re-collapsed by the following \s+ -> ' ' pass. Bit-equality with
+# normalize_sentence is enforced by a differential fuzz test
+# (tests/test_text.py::test_normalize_arrow_matches_python).
+_RE2_W = r"[\p{L}\p{N}_]"
+_RE2_S = r"[\t-\r \x{1C}-\x{1F}\x{85}\p{Z}]"
+
+
+def normalize_sentences_arrow(arr):
+    """Vectorized :func:`normalize_sentence` over an Arrow string array
+    (pc.replace_substring chain; zero Python per-row work). Used by the
+    sentence-explode stage; the scalar kernel remains the oracle."""
+    import pyarrow.compute as pc
+
+    x = pc.replace_substring(arr, pattern="’", replacement="'")
+    x = pc.replace_substring(x, pattern="”", replacement="''")
+    x = pc.replace_substring(x, pattern="“", replacement="''")
+    x = pc.replace_substring_regex(
+        x,
+        pattern=f"({_RE2_W})([.,;:!?])({_RE2_S}|$)",
+        replacement=r"\1 \2\3",
+    )
+    x = pc.replace_substring_regex(x, pattern=f"{_RE2_S}+", replacement=" ")
+    return pc.utf8_trim(x, " ")
+
+
 def extract_comment_text(content: str, lang: str):
     """Source code → candidate natural-language lines.
 

@@ -170,3 +170,66 @@ def test_edge_dedup_combiner_associative(rows, n_chunks):
         [best_edge_per_key(c) for c in chunks if len(c)]
     )
     assert winners(combined) == global_winner
+
+
+# --- Arrow normalizer == Python kernel (O1 vectorization) ------------------
+
+_NORM_ALPHABET = st.sampled_from(
+    list(
+        "abZ9_ .,;:!?\t\n\r\x0b\x0c\x1c\x1f\x85\xa0"
+        "   '’“”\"café①…¿ǅéſ᠎\x00"
+    )
+)
+
+
+@given(st.text(alphabet=_NORM_ALPHABET, max_size=40))
+@settings(max_examples=500, deadline=None)
+def test_normalize_arrow_matches_python(s):
+    """normalize_sentences_arrow (RE2 replace chain) is bit-equal to the
+    scalar normalize_sentence kernel — the sentence-explode stage and the
+    single-process oracle must keep seeing identical strings."""
+    import pyarrow as pa
+
+    from openie_with_entities_ray.functions.text import (
+        normalize_sentence,
+        normalize_sentences_arrow,
+    )
+
+    got = normalize_sentences_arrow(pa.array([s], pa.string())).to_pylist()
+    assert got == [normalize_sentence(s)]
+
+
+def test_explode_batch_matches_scalar_path():
+    """The vectorized explode stage reproduces the scalar kernel's rows
+    (incl. post-filter sent_id numbering and dropped >100-word lines)."""
+    import pyarrow as pa
+
+    from openie_with_entities_ray.functions.text import extract_sentences
+    from openie_with_entities_ray.stages.sentences import _explode_batch
+
+    docs = [
+        ("r0", "a.txt", "c0", "", "One sentence. Two   sentence!  "),
+        ("r1", "b.py", "c1", "py", "# code comment.\nx = 1\n'''Doc line. "
+         + "w " * 120 + "end.'''"),
+        ("r2", "c.txt", "c2", "", "“Curly” stuff’s here. \x1c\x1c"),
+        ("r3", "d.txt", "c3", "", "   "),
+    ]
+    batch = pa.table(
+        {
+            "repo": [d[0] for d in docs],
+            "path": [d[1] for d in docs],
+            "commit": [d[2] for d in docs],
+            "lang": [d[3] for d in docs],
+            "content": [d[4] for d in docs],
+        }
+    )
+    got = _explode_batch(batch).to_pylist()
+    expected = []
+    for repo, path, commit, lang, content in docs:
+        for sid, sent in enumerate(extract_sentences(content, lang)):
+            expected.append((repo, path, commit, sid, sent))
+    assert [
+        (r["repo"], r["path"], r["commit"], r["sent_id"], r["sentence"])
+        for r in got
+    ] == expected
+    assert all(len(r["content_sha256"]) == 64 for r in got)
