@@ -1702,6 +1702,115 @@ SELECT 99, (percentile_disc(0.99) WITHIN GROUP (ORDER BY n))::BIGINT FROM l
 
 
 # ---------------------------------------------------------------------------
+# temporal joins (custom operators Ray Data lacks: stages/joins.py)
+
+
+def q_events_last_order(sf_dir):
+    """As-of join: every event + the most recent order (o_orderdate <=
+    ts) of the same customer; ties on date broken toward the greatest
+    o_orderkey so the surviving witness is deterministic under any
+    partitioning. Exercises stages/joins.py:asof_join (one co-partition
+    shuffle + compiled merge_asof per partition)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .stages.joins import asof_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = asof_join(
+        events, orders, on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        centi = pc.floor(
+            pc.add(pc.multiply(batch.column("o_totalprice"), 100.0), 0.5)
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "price_centi": pc.cast(centi, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_LAST_ORDER = """
+WITH cand AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id, c.o_orderkey,
+       CAST(FLOOR(c.o_totalprice*100 + 0.5) AS BIGINT) AS price_centi
+FROM events e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+"""
+
+
+def q_purchase_followups(sf_dir):
+    """Range join: for every 'purchase' event (the anchor), every event
+    of the same user with ts in [anchor_ts, anchor_ts + 30 min], both
+    bounds inclusive (the anchor matches itself). Exercises
+    stages/joins.py:range_join (co-partition shuffle + two searchsorted
+    calls per key group — no cartesian beyond actual matches)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .stages.joins import range_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    raw_anchors = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def to_anchor(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("event_type"), "purchase")
+        )
+        lo = batch.column("ts")
+        hi = pc.add(lo, pa.scalar(30 * 60 * 1_000_000, pa.duration("us")))
+        return pa.table(
+            {
+                "anchor_id": batch.column("event_id"),
+                "a_user": batch.column("user_id"),
+                "lo": lo,
+                "hi": hi,
+            }
+        )
+
+    anchors = raw_anchors.map_batches(to_anchor, batch_format="pyarrow")
+    return range_join(
+        events, anchors,
+        left_key="user_id", right_key="a_user", left_time="ts",
+        right_lo="lo", right_hi="hi",
+        left_cols=["event_id"], right_cols=["anchor_id"],
+    )
+
+
+SQL_PURCHASE_FOLLOWUPS = """
+SELECT a.event_id AS anchor_id, e.event_id AS event_id
+FROM events a JOIN events e ON a.user_id = e.user_id
+WHERE a.event_type = 'purchase'
+  AND e.ts >= a.ts AND e.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1750,6 +1859,8 @@ def build_queries():
         "clean_corpus": q_clean_corpus,
         "corpus_budget": q_corpus_budget,
         "revenue_by_nation_salted": q_revenue_by_nation_salted,
+        "events_last_order": q_events_last_order,
+        "purchase_followups": q_purchase_followups,
     }
 
 
@@ -1799,4 +1910,6 @@ def build_oracle_sql():
         "clean_corpus": _sql_clean_corpus(),
         "corpus_budget": _sql_corpus_budget(),
         "revenue_by_nation_salted": SQL_REVENUE_BY_NATION,
+        "events_last_order": SQL_EVENTS_LAST_ORDER,
+        "purchase_followups": SQL_PURCHASE_FOLLOWUPS,
     }

@@ -78,3 +78,266 @@ def salted_join(
         right_on=(right_on, _SALT),
     )
     return joined.drop_columns([_SALT])
+
+
+# ---------------------------------------------------------------------------
+# custom temporal joins Ray Data lacks (SURVEY §2 extension surface):
+# as-of join and range join, both expressed as ONE co-partitioning
+# shuffle (hash of the equi-key, ~4x cluster cores parts) + a vectorized
+# per-partition kernel. Partitioning assumption (documented per the
+# task contract): all rows of one equi-key fit in a partition — the
+# same assumption every hash-partitioned groupby makes; a time-skewed
+# corpus would range-partition on time with boundary replication
+# instead.
+
+_SIDE = "__side"
+_PART = "__part"
+
+
+def _key_parts(col: pa.ChunkedArray, num_parts: int):
+    """Deterministic partition of a key column, identical across the two
+    sides (int: value % P; other: crc32 of str)."""
+    import zlib
+
+    import numpy as np
+
+    vals = col.to_pylist()
+    if vals and isinstance(vals[0], (int, np.integer)):
+        return pa.array([int(v) % num_parts for v in vals], pa.int64())
+    return pa.array(
+        [zlib.crc32(str(v).encode("utf-8")) % num_parts for v in vals],
+        pa.int64(),
+    )
+
+
+def _conform_union(left_ds, right_ds, *, left_key: str, right_key: str,
+                   num_parts: int):
+    """Tag each side, null-pad to the shared superset schema (fixed
+    column order + explicit types, so Ray's shuffle sees ONE schema) and
+    co-partition by the equi-key. Returns (union_ds, fields) where
+    fields maps every payload column to its pyarrow type."""
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    overlap = set(lschema.names) & set(rschema.names)
+    if overlap:
+        raise ValueError(
+            f"left/right column names must be disjoint (rename first): "
+            f"{sorted(overlap)}"
+        )
+    fields = [(n, t) for n, t in zip(lschema.names, lschema.types)]
+    fields += [(n, t) for n, t in zip(rschema.names, rschema.types)]
+
+    def conform(side: int, key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in fields:
+                if name in batch.column_names:
+                    cols[name] = batch.column(name)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            cols[_SIDE] = pa.array([side] * n, pa.int64())
+            cols[_PART] = _key_parts(batch.column(key_col), num_parts)
+            return pa.table(cols)
+
+        return fn
+
+    union = left_ds.map_batches(
+        conform(0, left_key), batch_format="pyarrow"
+    ).union(
+        right_ds.map_batches(conform(1, right_key), batch_format="pyarrow")
+    )
+    return union, dict(fields)
+
+
+def _restore_int_dtypes(df, fields, cols):
+    """Null-padding the union makes pandas widen int columns to float64;
+    cast a side's own columns back (they are null-free there)."""
+    for c in cols:
+        t = fields[c]
+        if pa.types.is_integer(t):
+            df[c] = df[c].astype("int64")
+    return df
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    by: str,
+    right_on: str,
+    right_by: str,
+    right_cols: list | None = None,
+    tiebreak: str | None = None,
+    direction: str = "backward",
+    num_parts: int | None = None,
+):
+    """As-of join: every left row + the payload of the single right row
+    with the greatest ``right_on <= on`` (direction='backward'; exact
+    matches allowed) and the same ``by == right_by`` key — null payload
+    when no such row exists (LEFT-join semantics).
+
+    Ties on ``right_on`` are broken toward the greatest ``tiebreak``
+    value (pass a unique right column to make the result deterministic
+    under ANY partitioning — required for the oracle hash gate).
+
+    Shape: one co-partitioning shuffle on the equi-key, then pandas
+    ``merge_asof`` (compiled, sorted-merge) inside each partition —
+    per-left-row output, partition-invariant."""
+    import pandas as pd
+
+    from .dataops import _cluster_parts
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+    if right_cols is None:
+        right_cols = []
+
+    union, fields = _conform_union(
+        left_ds, right_ds, left_key=by, right_key=right_by,
+        num_parts=num_parts,
+    )
+    lnames = list(left_ds.schema().names)
+    rnames = list(right_ds.schema().names)
+    rneed = sorted(
+        set(right_cols) | {right_on, right_by}
+        | ({tiebreak} if tiebreak else set()),
+        key=rnames.index,
+    )
+    out_fields = [(n, fields[n]) for n in lnames] + [
+        (n, fields[n]) for n in right_cols
+    ]
+
+    def empty_out() -> pa.Table:
+        return pa.table(
+            {n: pa.array([], t) for n, t in out_fields}
+        )
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        l = df[df[_SIDE] == 0][lnames]
+        r = df[df[_SIDE] == 1][rneed]
+        if len(l) == 0:
+            return empty_out()
+        l = _restore_int_dtypes(l.copy(), fields, lnames)
+        if len(r) == 0:
+            out = l
+            for c in right_cols:
+                out[c] = None
+        else:
+            r = _restore_int_dtypes(r.copy(), fields, rneed)
+            if tiebreak is not None:
+                r = r.sort_values(tiebreak, kind="mergesort")
+            r = r.sort_values(right_on, kind="mergesort")
+            l = l.sort_values(on, kind="mergesort")
+            out = pd.merge_asof(
+                l, r, left_on=on, right_on=right_on,
+                left_by=by, right_by=right_by,
+                direction=direction, allow_exact_matches=True,
+            )
+        return pa.table(
+            {
+                n: pa.Array.from_pandas(out[n], type=t)
+                for n, t in out_fields
+            }
+        )
+
+    return (
+        union.groupby(_PART).map_groups(kernel, batch_format="pandas")
+    )
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    *,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_lo: str,
+    right_hi: str,
+    left_cols: list,
+    right_cols: list,
+    num_parts: int | None = None,
+):
+    """Inner range join: every (right interval, left row) pair with
+    ``left_key == right_key`` and ``right_lo <= left_time <= right_hi``
+    (both bounds inclusive). Emits ``right_cols + left_cols``.
+
+    Shape: one co-partitioning shuffle on the equi-key; inside each
+    partition the left side is sorted by (key, time) once and each
+    right interval resolves to a contiguous slice via two vectorized
+    ``searchsorted`` calls per key group — no per-pair Python, no
+    cartesian materialization beyond the actual matches."""
+    import numpy as np
+    import pandas as pd
+
+    from .dataops import _cluster_parts
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    union, fields = _conform_union(
+        left_ds, right_ds, left_key=left_key, right_key=right_key,
+        num_parts=num_parts,
+    )
+    lnames = list(left_ds.schema().names)
+    rnames = list(right_ds.schema().names)
+    out_fields = [(n, fields[n]) for n in right_cols] + [
+        (n, fields[n]) for n in left_cols
+    ]
+
+    def kernel(df: pd.DataFrame) -> pa.Table:
+        l = df[df[_SIDE] == 0][lnames]
+        r = df[df[_SIDE] == 1][rnames]
+        if len(l) == 0 or len(r) == 0:
+            return pa.table({n: pa.array([], t) for n, t in out_fields})
+        l = _restore_int_dtypes(l.copy(), fields, lnames)
+        r = _restore_int_dtypes(r.copy(), fields, rnames)
+        l = l.sort_values([left_key, left_time], kind="mergesort")
+        lkeys = l[left_key].to_numpy()
+        ltimes = l[left_time].to_numpy()
+        uk, seg_starts = np.unique(lkeys, return_index=True)
+        seg_ends = np.append(seg_starts[1:], len(lkeys))
+
+        out_l_idx: list = []
+        out_r_idx: list = []
+        r = r.sort_values(right_key, kind="mergesort")
+        rkeys = r[right_key].to_numpy()
+        rlo = r[right_lo].to_numpy()
+        rhi = r[right_hi].to_numpy()
+        ruk, r_starts = np.unique(rkeys, return_index=True)
+        r_ends = np.append(r_starts[1:], len(rkeys))
+        seg_of = {k: i for i, k in enumerate(uk)}
+        for k, rs, re_ in zip(ruk, r_starts, r_ends):
+            si = seg_of.get(k)
+            if si is None:
+                continue
+            ls, le = seg_starts[si], seg_ends[si]
+            times = ltimes[ls:le]
+            lo_pos = np.searchsorted(times, rlo[rs:re_], side="left")
+            hi_pos = np.searchsorted(times, rhi[rs:re_], side="right")
+            lengths = hi_pos - lo_pos
+            total = int(lengths.sum())
+            if total == 0:
+                continue
+            starts_rep = np.repeat(lo_pos, lengths)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(lengths) - lengths, lengths
+            )
+            out_l_idx.append(ls + starts_rep + offs)
+            out_r_idx.append(np.repeat(np.arange(rs, re_), lengths))
+        if not out_l_idx:
+            return pa.table({n: pa.array([], t) for n, t in out_fields})
+        li = np.concatenate(out_l_idx)
+        ri = np.concatenate(out_r_idx)
+        cols = {}
+        for n, t in out_fields:
+            src = r.iloc[ri][n] if n in right_cols else l.iloc[li][n]
+            cols[n] = pa.Array.from_pandas(src.reset_index(drop=True),
+                                           type=t)
+        return pa.table(cols)
+
+    return (
+        union.groupby(_PART).map_groups(kernel, batch_format="pandas")
+    )

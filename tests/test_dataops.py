@@ -937,3 +937,134 @@ def test_near_dedup_corpus_keeps_min_id(ray_session):
         r["doc_id"]
         for r in near_dedup_corpus(docs, pairs_ds=empty).take_all()
     ) == [5, 9, 17, 23, 41]
+
+
+# --- temporal joins (stages/joins.py: asof_join / range_join) --------------
+
+
+def _asof_fixture():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    # user 1: orders at t=10 (k=100), t=20 (k=101, and a DATE TIE k=102)
+    # user 2: one order after every event (no backward match)
+    # user 3: no orders at all
+    ts = lambda x: pd.Timestamp("2024-01-01") + pd.Timedelta(hours=x)
+    events = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([ts(15), ts(25), ts(5), ts(5)],
+                       pa.timestamp("us")),
+    }))
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 200], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array([ts(10), ts(20), ts(20), ts(50)],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+    }))
+    return events, orders
+
+
+def test_asof_join_semantics(ray_session):
+    from openie_with_entities_ray.stages.joins import asof_join
+
+    events, orders = _asof_fixture()
+    out = {
+        r["event_id"]: (r["o_orderkey"], r["o_totalprice"])
+        for r in asof_join(
+            events, orders, on="ts", by="user_id",
+            right_on="o_orderdate", right_by="o_custkey",
+            right_cols=["o_orderkey", "o_totalprice"],
+            tiebreak="o_orderkey",
+        ).take_all()
+    }
+    assert out[1] == (100, 10.0)  # only order <= ts(15)
+    assert out[2] == (102, 30.0)  # date tie at t=20 -> max o_orderkey
+    assert out[3] == (None, None)  # user 2's order is in the future
+    assert out[4] == (None, None)  # user 3 has no orders
+
+
+def test_asof_join_partition_invariant(ray_session):
+    from openie_with_entities_ray.stages.joins import asof_join
+
+    def run(num_parts):
+        events, orders = _asof_fixture()
+        rows = asof_join(
+            events, orders, on="ts", by="user_id",
+            right_on="o_orderdate", right_by="o_custkey",
+            right_cols=["o_orderkey"], tiebreak="o_orderkey",
+            num_parts=num_parts,
+        ).take_all()
+        return sorted((r["event_id"], r["o_orderkey"]) for r in rows)
+
+    assert run(1) == run(7) == run(64)
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(13)
+    n_ev, n_iv = 300, 40
+    base = pd.Timestamp("2024-01-01").value // 1000
+    ev = pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "user_id": rng.integers(0, 8, n_ev),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 10**9, n_ev), unit="us"
+        ),
+    })
+    lo = pd.to_datetime(base + rng.integers(0, 10**9, n_iv), unit="us")
+    iv = pd.DataFrame({
+        "anchor_id": np.arange(n_iv, dtype=np.int64),
+        "a_user": rng.integers(0, 10, n_iv),  # some keys match no event
+        "lo": lo,
+        "hi": lo + pd.to_timedelta(rng.integers(0, 10**8, n_iv), unit="us"),
+    })
+    got = sorted(
+        (r["anchor_id"], r["event_id"])
+        for r in range_join(
+            ray.data.from_pandas(ev), ray.data.from_pandas(iv),
+            left_key="user_id", right_key="a_user", left_time="ts",
+            right_lo="lo", right_hi="hi",
+            left_cols=["event_id"], right_cols=["anchor_id"],
+        ).take_all()
+    )
+    want = sorted(
+        (int(a.anchor_id), int(e.event_id))
+        for _, a in iv.iterrows()
+        for _, e in ev.iterrows()
+        if e.user_id == a.a_user and a.lo <= e.ts <= a.hi
+    )
+    assert got == want and len(want) > 0
+
+
+def test_range_join_empty_sides(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import range_join
+
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")], pa.timestamp("us")),
+    }))
+    iv = ray.data.from_arrow(pa.table({
+        "anchor_id": pa.array([], pa.int64()),
+        "a_user": pa.array([], pa.int64()),
+        "lo": pa.array([], pa.timestamp("us")),
+        "hi": pa.array([], pa.timestamp("us")),
+    }))
+    assert range_join(
+        ev, iv, left_key="user_id", right_key="a_user", left_time="ts",
+        right_lo="lo", right_hi="hi",
+        left_cols=["event_id"], right_cols=["anchor_id"],
+    ).count() == 0
