@@ -1811,6 +1811,203 @@ WHERE a.event_type = 'purchase'
 
 
 # ---------------------------------------------------------------------------
+# grouped top-k / hopping windows / tf-df term scoring
+
+
+def q_top_docs_per_lang(sf_dir):
+    """Top-3 documents per language by (n_chars DESC, doc_id) — drives
+    the generic ``grouped_topk`` operator (per-batch combiner + NUL-safe
+    coarse partition; shuffle moves at most k rows per group per
+    batch)."""
+    import ray.data
+
+    from .stages.dataops import grouped_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return grouped_topk(
+        docs, group_cols=["lang"], sort_cols=["n_chars", "doc_id"],
+        descending=[True, False], k=3,
+    )
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT doc_id, lang, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+        ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+
+def q_hopping_windows(sf_dir):
+    """Hopping-window aggregate (size 1 h, hop 30 min): every event
+    lands in exactly two windows — w = floor(ts/30min) and w-1, where
+    window w covers [w*30min, w*30min + 1h). Same combiner →
+    coarse-partition shape as the tumbling ``events_windows``; the
+    explode is a two-copy concat inside the batch kernel."""
+    import zlib
+
+    import ray.data
+
+    from .stages.dataops import _cluster_parts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    num_parts = _cluster_parts()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].astype("datetime64[ns]").astype("int64")
+        w = ts_ns // (1800 * 10**9)
+        two = pd.concat(
+            [
+                batch.assign(window_id=w),
+                batch.assign(window_id=w - 1),
+            ],
+            ignore_index=True,
+        )
+        g = two.groupby(["event_type", "window_id"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        g["part"] = [
+            (zlib.crc32(t.encode()) + int(wi)) % num_parts
+            for t, wi in zip(g["event_type"], g["window_id"])
+        ]
+        return g
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(
+            ["event_type", "window_id"], as_index=False
+        ).agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        out["sum_value_cents"] = [_cents(v) for v in out.pop("sum_value")]
+        return out
+
+    return (
+        ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_HOPPING_WINDOWS = """
+WITH exploded AS (
+  SELECT event_type, value,
+         CAST(FLOOR(epoch(ts)/1800) AS BIGINT) AS window_id FROM events
+  UNION ALL
+  SELECT event_type, value,
+         CAST(FLOOR(epoch(ts)/1800) AS BIGINT) - 1 AS window_id FROM events
+)
+SELECT event_type, window_id, COUNT(*)::BIGINT AS n_events,
+       CAST(FLOOR(SUM(value)*100 + 0.5) AS BIGINT) AS sum_value_cents
+FROM exploded GROUP BY 1, 2
+"""
+
+
+def q_doc_top_terms(sf_dir):
+    """Most distinctive term per document by an integer-exact tf/df
+    score (score_ppm = tf * 1e6 // df — rational arithmetic, no float
+    rounding to diverge between engines). Fully distributed shape:
+    per-batch tf (each doc's tokens live in its own row), coarse-
+    partitioned df counts, a hash JOIN back on term (never a
+    driver-side vocabulary), grouped_topk for the per-doc argmax.
+    Pandas groupbys key on utf-8 BYTES (NUL-safe discipline)."""
+    import zlib
+
+    import ray.data
+
+    from .stages.dataops import _cluster_parts, grouped_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    num_parts = _cluster_parts()
+
+    def tf_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            batch[["doc_id"]]
+            .assign(term=batch["text"].str.split(" "))
+            .explode("term")
+        )
+        ex = ex[ex["term"].astype(bool)]  # drop '' from double spaces
+        ex["term"] = ex["term"].str.encode("utf-8")
+        tf = (
+            ex.groupby(["doc_id", "term"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        tf["term"] = tf["term"].str.decode("utf-8")
+        return tf
+
+    tokens_tf = docs.map_batches(
+        tf_batch, batch_format="pandas", batch_size=4096
+    )
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # batch rows are (doc_id, term, tf): distinct per doc already
+        b = batch.assign(term_b=batch["term"].str.encode("utf-8"))
+        g = b.groupby("term_b", as_index=False).size().rename(
+            columns={"size": "df"}
+        )
+        g["part"] = [zlib.crc32(t) % num_parts for t in g["term_b"]]
+        return g
+
+    def df_merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("term_b", as_index=False).agg(df=("df", "sum"))
+        out["term"] = out.pop("term_b").str.decode("utf-8")
+        return out[["term", "df"]]
+
+    df_counts = (
+        tokens_tf.map_batches(
+            df_partial, batch_format="pandas", batch_size=65536
+        )
+        .groupby("part")
+        .map_groups(df_merge, batch_format="pandas")
+    )
+
+    from .stages.dataops import cluster_cpus
+
+    joined = tokens_tf.join(
+        df_counts,
+        join_type="inner",
+        num_partitions=max(2, cluster_cpus() // 4),
+        on=("term",),
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["score_ppm"] = (
+            batch["tf"].astype("int64") * 1_000_000
+            // batch["df"].astype("int64")
+        )
+        return batch[["doc_id", "term", "score_ppm"]]
+
+    scored = joined.map_batches(
+        score, batch_format="pandas", batch_size=65536
+    )
+    return grouped_topk(
+        scored, group_cols=["doc_id"], sort_cols=["score_ppm", "term"],
+        descending=[True, False], k=1,
+    )
+
+
+SQL_DOC_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), toks_ne AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks_ne GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks_ne GROUP BY 1
+)
+SELECT tf.doc_id, tf.term, tf.tf * 1000000 // df.df AS score_ppm
+FROM tf JOIN df USING (term)
+QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+        ORDER BY score_ppm DESC, tf.term) <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1861,6 +2058,9 @@ def build_queries():
         "revenue_by_nation_salted": q_revenue_by_nation_salted,
         "events_last_order": q_events_last_order,
         "purchase_followups": q_purchase_followups,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "hopping_windows": q_hopping_windows,
+        "doc_top_terms": q_doc_top_terms,
     }
 
 
@@ -1912,4 +2112,7 @@ def build_oracle_sql():
         "revenue_by_nation_salted": SQL_REVENUE_BY_NATION,
         "events_last_order": SQL_EVENTS_LAST_ORDER,
         "purchase_followups": SQL_PURCHASE_FOLLOWUPS,
+        "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+        "hopping_windows": SQL_HOPPING_WINDOWS,
+        "doc_top_terms": SQL_DOC_TOP_TERMS,
     }

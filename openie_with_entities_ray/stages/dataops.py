@@ -1350,3 +1350,51 @@ def embedding_near_dup_pairs(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return distinct_pairs(pairs, "cosine", how="max")
+
+
+def grouped_topk(ds, *, group_cols, sort_cols, descending, k: int,
+                 num_parts: int | None = None):
+    """Top-k rows per group, the scale shape: a per-batch COMBINER
+    (local sort + head(k) per group — shuffle moves at most k rows per
+    group per input batch) feeding a coarse hash partition
+    (NUL-safe ``composite_key_bytes`` of the group columns, ~4x cluster
+    cores parts) with the identical vectorized kernel as the finisher —
+    never one Ray group per distinct key.
+
+    ``sort_cols``/``descending`` must define a TOTAL order (include a
+    unique column) or the surviving rows depend on partitioning."""
+    if num_parts is None:
+        num_parts = _cluster_parts()
+    ascending = [not d for d in descending]
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # group on the injective bytes key, NOT the str columns — the
+        # str hashtable truncates at embedded NULs and would merge
+        # distinct groups (the measured composite_key_bytes hazard)
+        out = (
+            df.assign(__gk=composite_key_bytes(*[df[c] for c in group_cols]))
+            .sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .groupby("__gk", sort=False)
+            .head(k)
+            .drop(columns="__gk")
+        )
+        return out
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        out = local_topk(df)
+        keys = composite_key_bytes(*[out[c] for c in group_cols])
+        out = out.assign(
+            __part=[zlib.crc32(b) % num_parts for b in keys]
+        )
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return local_topk(df.drop(columns="__part"))
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas", batch_size=65536)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -1068,3 +1068,34 @@ def test_range_join_empty_sides(ray_session):
         right_lo="lo", right_hi="hi",
         left_cols=["event_id"], right_cols=["anchor_id"],
     ).count() == 0
+
+
+def test_grouped_topk_total_order_and_nul_keys(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import grouped_topk
+
+    # two groups whose names differ only after an embedded NUL — a
+    # str-keyed pandas groupby would silently merge them
+    tbl = pa.table({
+        "g": ["a\x00x", "a\x00x", "a", "a", "a", "b\x00", "b\x00"],
+        "v": [5, 3, 9, 9, 1, 2, 8],
+        "id": [1, 2, 3, 4, 5, 6, 7],
+    })
+
+    def run(num_parts, num_blocks):
+        ds = ray.data.from_arrow(tbl).repartition(num_blocks)
+        rows = grouped_topk(
+            ds, group_cols=["g"], sort_cols=["v", "id"],
+            descending=[True, False], k=2, num_parts=num_parts,
+        ).take_all()
+        return sorted((r["g"], r["v"], r["id"]) for r in rows)
+
+    expected = [
+        ("a", 9, 3), ("a", 9, 4),
+        ("a\x00x", 5, 1), ("a\x00x", 3, 2),
+        ("b\x00", 8, 7), ("b\x00", 2, 6),
+    ]
+    assert run(1, 1) == sorted(expected)
+    assert run(64, 3) == sorted(expected)
