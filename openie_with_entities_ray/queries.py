@@ -2007,6 +2007,48 @@ QUALIFY row_number() OVER (PARTITION BY tf.doc_id
 """
 
 
+def q_distinct_token_estimate(sf_dir):
+    """Corpus-wide distinct-token count via the KMV sketch (k=256):
+    per-batch partials are sketch-sized (<= k rows) no matter the corpus
+    size, and the deterministic md5 hash makes the ESTIMATE itself
+    bit-reproducible — the DuckDB oracle computes the identical number
+    from the identical kth-smallest hash."""
+    import ray.data
+
+    from .stages.dataops import kmv_distinct_sketch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch.assign(term=batch["text"].str.split(" ")).explode(
+            "term"
+        )[["term"]]
+        return ex[ex["term"].astype(bool)].drop_duplicates()
+
+    toks = docs.map_batches(tokens, batch_format="pandas", batch_size=4096)
+    return kmv_distinct_sketch(toks, "term", k=256)
+
+
+SQL_DISTINCT_TOKEN_ESTIMATE = """
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents
+), h AS (
+  SELECT DISTINCT md5_number_lower(term) AS hv FROM toks WHERE term <> ''
+), ranked AS (
+  SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h
+)
+SELECT CASE
+  WHEN (SELECT count(*) FROM h) < 256 THEN (SELECT count(*) FROM h)
+  ELSE CAST(LEAST(
+    255 * CAST('18446744073709551616' AS HUGEINT)
+        // CAST((SELECT hv FROM ranked WHERE rn = 256) AS HUGEINT),
+    CAST('9223372036854775807' AS HUGEINT)) AS BIGINT)
+END AS n_distinct_est
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2061,6 +2103,7 @@ def build_queries():
         "top_docs_per_lang": q_top_docs_per_lang,
         "hopping_windows": q_hopping_windows,
         "doc_top_terms": q_doc_top_terms,
+        "distinct_token_estimate": q_distinct_token_estimate,
     }
 
 
@@ -2115,4 +2158,5 @@ def build_oracle_sql():
         "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
         "hopping_windows": SQL_HOPPING_WINDOWS,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
+        "distinct_token_estimate": SQL_DISTINCT_TOKEN_ESTIMATE,
     }

@@ -1398,3 +1398,45 @@ def grouped_topk(ds, *, group_cols, sort_cols, descending, k: int,
         .groupby("__part")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def kmv_distinct_sketch(ds, col: str, *, k: int = 256):
+    """K-minimum-values distinct-count sketch: keep the k smallest
+    DISTINCT md5 hashes of the column; estimate
+    ``(k-1) * 2^64 // h_k`` from the kth smallest, or the exact
+    distinct count when fewer than k hashes survive.
+
+    Unlike probabilistic sketches seeded per run, the hash is the
+    repo-standard deterministic md5 (``_md5_number_lower`` ==
+    DuckDB's ``md5_number_lower``), so the estimate is bit-reproducible
+    across cluster sizes/retries AND SQL-mirrorable — the oracle
+    replicates it exactly. Shape: per-batch partial (<= k rows out per
+    batch, so the merge input is sketch-sized regardless of corpus
+    size) -> one merge group -> a single {n_distinct_est} row.
+    Values are hashed via ``str(v)``; null-free input expected."""
+    from ..functions.textstats import _md5_number_lower
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = set(batch.column(col).to_pylist())
+        hs = sorted(_md5_number_lower(str(v)) for v in vals)[:k]
+        return pa.table(
+            {
+                "hv": pa.array(hs, pa.uint64()),
+                "g": pa.array([0] * len(hs), pa.int64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        hs = sorted(set(int(h) for h in df["hv"]))
+        if len(hs) >= k:
+            est = min((k - 1) * (1 << 64) // hs[k - 1], 2**63 - 1)
+        else:
+            est = len(hs)
+        return pd.DataFrame({"n_distinct_est": [est]}).astype("int64")
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(merge, batch_format="pandas")
+        .select_columns(["n_distinct_est"])
+    )

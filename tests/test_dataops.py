@@ -1099,3 +1099,38 @@ def test_grouped_topk_total_order_and_nul_keys(ray_session):
     ]
     assert run(1, 1) == sorted(expected)
     assert run(64, 3) == sorted(expected)
+
+
+def test_kmv_sketch_estimate_and_exact_paths(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.functions.textstats import (
+        _md5_number_lower,
+    )
+    from openie_with_entities_ray.stages.dataops import kmv_distinct_sketch
+
+    # estimate path: 5000 distinct values >> k; the result must equal
+    # the closed-form number from the kth smallest hash AND be a sane
+    # estimate, identically at any partitioning
+    vals = [f"v{i}" for i in range(5000)] * 2  # duplicates ignored
+    ds = ray.data.from_arrow(
+        pa.table({"term": pa.array(vals, pa.string())})
+    )
+    k = 256
+    hs = sorted({_md5_number_lower(v) for v in set(vals)})
+    expected = (k - 1) * (1 << 64) // hs[k - 1]
+    for blocks in (1, 5):
+        got = kmv_distinct_sketch(
+            ds.repartition(blocks), "term", k=k
+        ).take_all()
+        assert got == [{"n_distinct_est": expected}]
+    assert abs(expected - 5000) / 5000 < 0.15
+
+    # exact path: fewer than k distinct -> exact count
+    small = ray.data.from_arrow(
+        pa.table({"term": pa.array(["a", "b", "c", "a"], pa.string())})
+    )
+    assert kmv_distinct_sketch(small, "term", k=k).take_all() == [
+        {"n_distinct_est": 3}
+    ]
