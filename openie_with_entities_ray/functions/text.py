@@ -86,7 +86,7 @@ def split_prose_sentences(text: str):
 # consuming group form — safe because the whitespace it consumes is
 # re-collapsed by the following \s+ -> ' ' pass. Bit-equality with
 # normalize_sentence is enforced by a differential fuzz test
-# (tests/test_text.py::test_normalize_arrow_matches_python).
+# (tests/test_properties.py::test_normalize_arrow_matches_python).
 _RE2_W = r"[\p{L}\p{N}_]"
 _RE2_S = r"[\t-\r \x{1C}-\x{1F}\x{85}\p{Z}]"
 

@@ -1434,9 +1434,18 @@ def kmv_distinct_sketch(ds, col: str, *, k: int = 256):
             est = len(hs)
         return pd.DataFrame({"n_distinct_est": [est]}).astype("int64")
 
-    return (
+    out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("g")
         .map_groups(merge, batch_format="pandas")
         .select_columns(["n_distinct_est"])
-    )
+    ).materialize()  # sketch-sized (one row, or zero on empty input)
+    if out.count() == 0:
+        # zero input rows: the merge group never ran — still honor the
+        # one-row contract (the SQL oracle's scalar CASE always emits one)
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"n_distinct_est": pa.array([0], pa.int64())})
+        )
+    return out

@@ -89,25 +89,35 @@ def salted_join(
 # same assumption every hash-partitioned groupby makes; a time-skewed
 # corpus would range-partition on time with boundary replication
 # instead.
+#
+# Null semantics mirror SQL comparisons: a null equi-key (or null
+# time) matches nothing — as-of still EMITS such left rows with null
+# payload (LEFT semantics); range drops them (inner semantics). Int
+# columns travel as nullable Int64 end-to-end (never widened through
+# float64, so >2^53 ids survive bit-exact).
 
 _SIDE = "__side"
 _PART = "__part"
 
 
-def _key_parts(col: pa.ChunkedArray, num_parts: int):
+def _key_parts(col, num_parts: int):
     """Deterministic partition of a key column, identical across the two
-    sides (int: value % P; other: crc32 of str)."""
+    sides. Dispatch is on the column TYPE (a value-based dispatch would
+    route the same key differently depending on each batch's first row);
+    null keys all go to partition 0 — the kernels give them SQL
+    comparison semantics there."""
     import zlib
 
-    import numpy as np
-
     vals = col.to_pylist()
-    if vals and isinstance(vals[0], (int, np.integer)):
-        return pa.array([int(v) % num_parts for v in vals], pa.int64())
-    return pa.array(
-        [zlib.crc32(str(v).encode("utf-8")) % num_parts for v in vals],
-        pa.int64(),
-    )
+    if pa.types.is_integer(col.type):
+        parts = [0 if v is None else int(v) % num_parts for v in vals]
+    else:
+        parts = [
+            0 if v is None
+            else zlib.crc32(str(v).encode("utf-8")) % num_parts
+            for v in vals
+        ]
+    return pa.array(parts, pa.int64())
 
 
 def _conform_union(left_ds, right_ds, *, left_key: str, right_key: str,
@@ -150,12 +160,24 @@ def _conform_union(left_ds, right_ds, *, left_key: str, right_key: str,
     return union, dict(fields)
 
 
-def _restore_int_dtypes(df, fields, cols):
-    """Null-padding the union makes pandas widen int columns to float64;
-    cast a side's own columns back (they are null-free there)."""
+def _to_pandas_exact(table: pa.Table):
+    """Arrow → pandas keeping every integer column as nullable Int64:
+    the default conversion widens null-bearing int columns to float64,
+    which silently rounds ids above 2^53."""
+    import pandas as pd
+
+    return table.to_pandas(
+        types_mapper=lambda t: pd.Int64Dtype() if pa.types.is_integer(
+            t
+        ) else None
+    )
+
+
+def _as_numpy_keys(df, fields, cols):
+    """Cast null-free key/time columns to numpy dtypes (merge_asof and
+    searchsorted need them); payload columns stay nullable Int64."""
     for c in cols:
-        t = fields[c]
-        if pa.types.is_integer(t):
+        if pa.types.is_integer(fields[c]):
             df[c] = df[c].astype("int64")
     return df
 
@@ -176,7 +198,8 @@ def asof_join(
     """As-of join: every left row + the payload of the single right row
     with the greatest ``right_on <= on`` (direction='backward'; exact
     matches allowed) and the same ``by == right_by`` key — null payload
-    when no such row exists (LEFT-join semantics).
+    when no such row exists (LEFT-join semantics; a null left key or
+    null ``on`` also yields null payload, as in SQL).
 
     Ties on ``right_on`` are broken toward the greatest ``tiebreak``
     value (pass a unique right column to make the result deterministic
@@ -210,40 +233,54 @@ def asof_join(
     ]
 
     def empty_out() -> pa.Table:
-        return pa.table(
-            {n: pa.array([], t) for n, t in out_fields}
-        )
+        return pa.table({n: pa.array([], t) for n, t in out_fields})
 
-    def kernel(df: pd.DataFrame) -> pa.Table:
+    def to_arrays(frame, null_payload: bool):
+        return [
+            pa.nulls(len(frame), t)
+            if (null_payload and n in right_cols)
+            else pa.Array.from_pandas(frame[n], type=t)
+            for n, t in out_fields
+        ]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        df = _to_pandas_exact(batch)
         l = df[df[_SIDE] == 0][lnames]
         r = df[df[_SIDE] == 1][rneed]
         if len(l) == 0:
             return empty_out()
-        l = _restore_int_dtypes(l.copy(), fields, lnames)
-        if len(r) == 0:
-            out = l
-            for c in right_cols:
-                out[c] = None
-        else:
-            r = _restore_int_dtypes(r.copy(), fields, rneed)
-            if tiebreak is not None:
-                r = r.sort_values(tiebreak, kind="mergesort")
-            r = r.sort_values(right_on, kind="mergesort")
-            l = l.sort_values(on, kind="mergesort")
-            out = pd.merge_asof(
-                l, r, left_on=on, right_on=right_on,
-                left_by=by, right_by=right_by,
-                direction=direction, allow_exact_matches=True,
-            )
-        return pa.table(
-            {
-                n: pa.Array.from_pandas(out[n], type=t)
-                for n, t in out_fields
-            }
-        )
+        l_mask = l[by].isna() | l[on].isna()
+        l_null, l = l[l_mask], l[~l_mask]
+        r = r[~(r[right_by].isna() | r[right_on].isna())]
+        chunks = []
+        if len(l):
+            l = _as_numpy_keys(l.copy(), fields, [by, on])
+            if len(r):
+                r = _as_numpy_keys(r.copy(), fields, [right_by, right_on])
+                if tiebreak is not None:
+                    r = r.sort_values(tiebreak, kind="mergesort")
+                r = r.sort_values(right_on, kind="mergesort")
+                l = l.sort_values(on, kind="mergesort")
+                out = pd.merge_asof(
+                    l, r, left_on=on, right_on=right_on,
+                    left_by=by, right_by=right_by,
+                    direction=direction, allow_exact_matches=True,
+                )
+                chunks.append(to_arrays(out, False))
+            else:
+                chunks.append(to_arrays(l, True))
+        if len(l_null):
+            chunks.append(to_arrays(l_null, True))
+        if not chunks:
+            return empty_out()
+        arrays = [
+            cols[0] if len(cols) == 1 else pa.concat_arrays(list(cols))
+            for cols in zip(*chunks)
+        ]
+        return pa.table(dict(zip([n for n, _ in out_fields], arrays)))
 
     return (
-        union.groupby(_PART).map_groups(kernel, batch_format="pandas")
+        union.groupby(_PART).map_groups(kernel, batch_format="pyarrow")
     )
 
 
@@ -262,7 +299,8 @@ def range_join(
 ):
     """Inner range join: every (right interval, left row) pair with
     ``left_key == right_key`` and ``right_lo <= left_time <= right_hi``
-    (both bounds inclusive). Emits ``right_cols + left_cols``.
+    (both bounds inclusive; null keys/times match nothing). Emits
+    ``right_cols + left_cols``.
 
     Shape: one co-partitioning shuffle on the equi-key; inside each
     partition the left side is sorted by (key, time) once and each
@@ -270,7 +308,6 @@ def range_join(
     ``searchsorted`` calls per key group — no per-pair Python, no
     cartesian materialization beyond the actual matches."""
     import numpy as np
-    import pandas as pd
 
     from .dataops import _cluster_parts
 
@@ -287,13 +324,24 @@ def range_join(
         (n, fields[n]) for n in left_cols
     ]
 
-    def kernel(df: pd.DataFrame) -> pa.Table:
+    def kernel(batch: pa.Table) -> pa.Table:
+        df = _to_pandas_exact(batch)
         l = df[df[_SIDE] == 0][lnames]
         r = df[df[_SIDE] == 1][rnames]
+        l = l[~(l[left_key].isna() | l[left_time].isna())]
+        r = r[
+            ~(
+                r[right_key].isna()
+                | r[right_lo].isna()
+                | r[right_hi].isna()
+            )
+        ]
         if len(l) == 0 or len(r) == 0:
             return pa.table({n: pa.array([], t) for n, t in out_fields})
-        l = _restore_int_dtypes(l.copy(), fields, lnames)
-        r = _restore_int_dtypes(r.copy(), fields, rnames)
+        l = _as_numpy_keys(l.copy(), fields, [left_key, left_time])
+        r = _as_numpy_keys(
+            r.copy(), fields, [right_key, right_lo, right_hi]
+        )
         l = l.sort_values([left_key, left_time], kind="mergesort")
         lkeys = l[left_key].to_numpy()
         ltimes = l[left_time].to_numpy()
@@ -334,10 +382,11 @@ def range_join(
         cols = {}
         for n, t in out_fields:
             src = r.iloc[ri][n] if n in right_cols else l.iloc[li][n]
-            cols[n] = pa.Array.from_pandas(src.reset_index(drop=True),
-                                           type=t)
+            cols[n] = pa.Array.from_pandas(
+                src.reset_index(drop=True), type=t
+            )
         return pa.table(cols)
 
     return (
-        union.groupby(_PART).map_groups(kernel, batch_format="pandas")
+        union.groupby(_PART).map_groups(kernel, batch_format="pyarrow")
     )

@@ -1045,6 +1045,71 @@ def test_range_join_matches_bruteforce(ray_session):
     assert got == want and len(want) > 0
 
 
+def test_asof_join_null_keys_and_bigints(ray_session):
+    # SQL comparison semantics: a null left key/time still EMITS the
+    # left row (LEFT join) with null payload; null right keys/times are
+    # ignored. Payload ids above 2^53 must survive bit-exact (they'd
+    # round if the union null-padding widened ints through float64).
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import asof_join
+
+    ts = lambda x: pd.Timestamp("2024-01-01") + pd.Timedelta(hours=x)
+    big = (1 << 60) + 7  # not representable in float64
+    events = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, None, 1, 1], pa.int64()),
+        "ts": pa.array([ts(15), ts(15), None, ts(30)],
+                       pa.timestamp("us")),
+    }))
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([100, big, 300], pa.int64()),
+        "o_custkey": pa.array([1, 1, None], pa.int64()),
+        "o_orderdate": pa.array([ts(10), ts(20), ts(5)],
+                                pa.timestamp("us")),
+    }))
+    for num_parts in (1, 7):
+        out = {
+            r["event_id"]: r["o_orderkey"]
+            for r in asof_join(
+                events, orders, on="ts", by="user_id",
+                right_on="o_orderdate", right_by="o_custkey",
+                right_cols=["o_orderkey"], tiebreak="o_orderkey",
+                num_parts=num_parts,
+            ).take_all()
+        }
+        assert out == {1: 100, 2: None, 3: None, 4: big}
+
+
+def test_range_join_null_keys_dropped(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import range_join
+
+    ts = lambda x: pd.Timestamp("2024-01-01") + pd.Timedelta(hours=x)
+    ev = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, None, 1], pa.int64()),
+        "ts": pa.array([ts(5), ts(5), None], pa.timestamp("us")),
+    }))
+    iv = ray.data.from_arrow(pa.table({
+        "anchor_id": pa.array([10, 11], pa.int64()),
+        "a_user": pa.array([1, None], pa.int64()),
+        "lo": pa.array([ts(0), ts(0)], pa.timestamp("us")),
+        "hi": pa.array([ts(9), ts(9)], pa.timestamp("us")),
+    }))
+    rows = range_join(
+        ev, iv, left_key="user_id", right_key="a_user", left_time="ts",
+        right_lo="lo", right_hi="hi",
+        left_cols=["event_id"], right_cols=["anchor_id"],
+    ).take_all()
+    assert [(r["anchor_id"], r["event_id"]) for r in rows] == [(10, 1)]
+
+
 def test_range_join_empty_sides(ray_session):
     import pandas as pd
     import pyarrow as pa
@@ -1133,4 +1198,13 @@ def test_kmv_sketch_estimate_and_exact_paths(ray_session):
     )
     assert kmv_distinct_sketch(small, "term", k=k).take_all() == [
         {"n_distinct_est": 3}
+    ]
+
+    # empty input: the merge group never runs, but the one-row contract
+    # (matching the SQL oracle's scalar aggregate) still holds
+    empty = ray.data.from_arrow(
+        pa.table({"term": pa.array([], pa.string())})
+    )
+    assert kmv_distinct_sketch(empty, "term", k=k).take_all() == [
+        {"n_distinct_est": 0}
     ]
