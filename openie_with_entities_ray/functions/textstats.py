@@ -95,6 +95,62 @@ def _md5_number_lower(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
 
 
+def repetition_stats(text: str) -> dict:
+    """Gopher-style repetition signals as exact integers (Rae et al.
+    2021 §A1.1 use duplicate-n-gram and top-n-gram character fractions
+    as boilerplate filters; this is the token-count analogue):
+
+    - ``dup_{2,3}gram_permille``: 1000 * (total - distinct) // total
+      over the doc's n-gram multiset — how much of the doc is verbatim
+      n-gram repetition.
+    - ``top_{2,3}gram_permille``: 1000 * max_count // total — how much
+      a single n-gram dominates.
+
+    Zero for docs shorter than n tokens. Integer permille so a DuckDB
+    oracle reproduces every value exactly.
+    """
+    from collections import Counter
+
+    words = text.split()
+    out = {}
+    for n in (2, 3):
+        grams = [
+            " ".join(words[i : i + n])
+            for i in range(len(words) - n + 1)
+        ]
+        total = len(grams)
+        if total == 0:
+            out[f"dup_{n}gram_permille"] = 0
+            out[f"top_{n}gram_permille"] = 0
+            continue
+        counts = Counter(grams)
+        out[f"dup_{n}gram_permille"] = (
+            1000 * (total - len(counts)) // total
+        )
+        out[f"top_{n}gram_permille"] = (
+            1000 * max(counts.values()) // total
+        )
+    return out
+
+
+# PII scrub patterns: lookaround-free and anchored on literal character
+# classes so Python re and DuckDB's RE2 (regexp_replace ... 'g') match
+# the same spans — both engines use leftmost-first greedy semantics on
+# these shapes. URLs are scrubbed BEFORE emails so a userinfo '@' inside
+# a URL is not double-counted.
+_URL_RE = re.compile(r"https?://[^\s]+")
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+")
+
+
+def redact_pii(text: str) -> tuple:
+    """Replace URLs with ``<URL>`` and email addresses with ``<EMAIL>``;
+    returns ``(scrubbed_text, n_redactions)``. Deterministic and
+    SQL-reproducible (see SQL_SCRUBBED_DOCS in queries.py)."""
+    scrubbed, n_url = _URL_RE.subn("<URL>", text)
+    scrubbed, n_email = _EMAIL_RE.subn("<EMAIL>", scrubbed)
+    return scrubbed, n_url + n_email
+
+
 def rolling_fingerprint(text: str, window: int = 8) -> int:
     """Deterministic rolling-hash document fingerprint: min 63-bit
     md5-number over word-window shingles (a 1-perm MinHash; robust to

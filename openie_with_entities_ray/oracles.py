@@ -347,6 +347,54 @@ QUALIFY row_number() OVER (PARTITION BY src, rel, dst
     )
 
 
+def sql_pagerank(iterations: int = 3, scale: int = 10**12,
+                 edges_sql: str | None = None) -> str:
+    """Integer-exact PageRank oracle: the same floor-division recurrence
+    as stages/graph_algos.py:pagerank_join, unrolled to ``iterations``
+    chained CTEs (no recursive float accumulation; every intermediate is
+    BIGINT so DuckDB and Python agree bit-for-bit). ``edges_sql``
+    defaults to the flagship edge table; tests inject a literal edge
+    list to gate the recurrence itself."""
+    its = []
+    prev = "pr0"
+    for k in range(1, iterations + 1):
+        its.append(f"""it{k} AS (
+  SELECT v.node_id,
+         ((15 * {scale}::HUGEINT) // (100 * (SELECT n FROM nn)))::BIGINT
+         + (85 * COALESCE(s.s, 0)) // 100 AS pr
+  FROM nodes v LEFT JOIN (
+    SELECT ed.dst AS node_id, sum({prev}.pr // outdeg.d)::BIGINT AS s
+    FROM ed
+    JOIN {prev} ON {prev}.node_id = ed.src
+    JOIN outdeg ON outdeg.src = ed.src
+    GROUP BY ed.dst
+  ) s USING (node_id)
+)""")
+        prev = f"it{k}"
+    its_sql = ",\n".join(its)
+    if edges_sql is None:
+        edges_sql = sql_graph_edges()
+    return f"""
+WITH edges AS (
+{edges_sql}
+), ed AS (
+  SELECT DISTINCT src, dst FROM edges
+), nodes AS (
+  SELECT src AS node_id FROM ed UNION SELECT dst AS node_id FROM ed
+), nn AS (
+  SELECT count(*)::HUGEINT AS n FROM nodes
+), outdeg AS (
+  SELECT src, count(*)::BIGINT AS d FROM ed GROUP BY src
+), pr0 AS (
+  SELECT node_id,
+         ({scale}::HUGEINT // (SELECT n FROM nn))::BIGINT AS pr
+  FROM nodes
+),
+{its_sql}
+SELECT node_id, pr::BIGINT AS pr_scaled FROM {prev}
+"""
+
+
 def sql_components() -> str:
     """Connected components of the deduped edge graph: min-reachable-node
     label per node via a recursive CTE — the SQL mirror of

@@ -1012,6 +1012,18 @@ def q_components(sf_dir):
     return connected_components_join(edges, max_iters=100)
 
 
+def q_pagerank(sf_dir):
+    """Integer-exact PageRank (3 rounds, damping 85/100, scale 1e12)
+    over the flagship edge graph via the labels-stay-a-Dataset path
+    (stages/graph_algos.py:pagerank_join) — hash-gated against the
+    unrolled-CTE DuckDB oracle (oracles.sql_pagerank)."""
+    from .pipelines.flagship import build_graph, extract_triples
+    from .stages.graph_algos import pagerank_join
+
+    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    return pagerank_join(edges)
+
+
 def q_predicate_freq(sf_dir):
     from .pipelines.flagship import extract_triples
     from .stages.canonical import predicate_frequencies
@@ -2049,6 +2061,116 @@ END AS n_distinct_est
 """
 
 
+def q_repetition_stats(sf_dir):
+    """Gopher-style repetition/boilerplate signals per document
+    (duplicate- and top-n-gram permille, n in {2,3}) — the standard
+    pretraining-corpus repetition filters, integer-exact so the DuckDB
+    oracle reproduces every value."""
+    from .stages.dataops import add_repetition_stats
+
+    return add_repetition_stats(
+        _docs(sf_dir, num_blocks=_read_blocks())
+    ).select_columns([
+        "doc_id", "dup_2gram_permille", "top_2gram_permille",
+        "dup_3gram_permille", "top_3gram_permille",
+    ])
+
+
+# n-grams via list_transform over range() (range(a,b) is [] when b<=a,
+# so short docs fall out naturally); counts via one unnest+groupby pass
+# (linear, not the quadratic per-doc lambda), LEFT JOIN back so gramless
+# docs keep their zero rows.
+SQL_REPETITION_STATS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+    list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+  FROM base
+), c2 AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nd,
+         max(cnt)::BIGINT AS top
+  FROM (SELECT doc_id, gram, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2)
+  GROUP BY 1
+), c3 AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nd,
+         max(cnt)::BIGINT AS top
+  FROM (SELECT doc_id, gram, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT b.doc_id,
+  COALESCE(1000 * (c2.total - c2.nd) // c2.total, 0)::BIGINT
+    AS dup_2gram_permille,
+  COALESCE(1000 * c2.top // c2.total, 0)::BIGINT AS top_2gram_permille,
+  COALESCE(1000 * (c3.total - c3.nd) // c3.total, 0)::BIGINT
+    AS dup_3gram_permille,
+  COALESCE(1000 * c3.top // c3.total, 0)::BIGINT AS top_3gram_permille
+FROM base b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+"""
+
+
+def q_scrubbed_docs(sf_dir):
+    """PII scrub (URLs → <URL> first, then emails → <EMAIL>) over the
+    corpus. The fixture corpus contains no PII, so this hash-gates the
+    scrub as a faithful pass-through (no corruption); the redaction
+    behavior itself is unit-tested on synthetic PII
+    (tests/test_dataops.py)."""
+    from .stages.dataops import scrub_documents
+
+    return scrub_documents(
+        _docs(sf_dir, num_blocks=_read_blocks())
+    ).select_columns(["doc_id", "text", "n_redactions"])
+
+
+# same two patterns as functions/textstats.py (_URL_RE/_EMAIL_RE):
+# lookaround-free so Python re and DuckDB RE2 agree on match spans
+SQL_SCRUBBED_DOCS = """
+WITH s1 AS (
+  SELECT doc_id,
+         regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t1,
+         len(regexp_extract_all(text, 'https?://[^\\s]+'))::BIGINT
+           AS n_url
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(t1,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+    '<EMAIL>', 'g') AS text,
+  (n_url + len(regexp_extract_all(t1,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')))::BIGINT
+    AS n_redactions
+FROM s1
+"""
+
+
+def q_term_postings(sf_dir):
+    """Sharded inverted index (term → sorted posting list per
+    1000-doc-id bucket). Bucket sharding is the 100-TB shape: no row
+    ever holds more than bucket_size ids, so a stopword's postings are
+    many bounded rows, never one giant one."""
+    from .stages.dataops import term_postings
+
+    return term_postings(_docs(sf_dir, num_blocks=_read_blocks()))
+
+
+SQL_TERM_POSTINGS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+), pairs AS (
+  SELECT doc_id, unnest(list_distinct(words)) AS term FROM base
+)
+SELECT term, (doc_id // 1000)::BIGINT AS bucket,
+       count(*)::BIGINT AS df_bucket,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM pairs WHERE term <> ''
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2104,6 +2226,10 @@ def build_queries():
         "hopping_windows": q_hopping_windows,
         "doc_top_terms": q_doc_top_terms,
         "distinct_token_estimate": q_distinct_token_estimate,
+        "repetition_stats": q_repetition_stats,
+        "scrubbed_docs": q_scrubbed_docs,
+        "term_postings": q_term_postings,
+        "pagerank": q_pagerank,
     }
 
 
@@ -2159,4 +2285,8 @@ def build_oracle_sql():
         "hopping_windows": SQL_HOPPING_WINDOWS,
         "doc_top_terms": SQL_DOC_TOP_TERMS,
         "distinct_token_estimate": SQL_DISTINCT_TOKEN_ESTIMATE,
+        "repetition_stats": SQL_REPETITION_STATS,
+        "scrubbed_docs": SQL_SCRUBBED_DOCS,
+        "term_postings": SQL_TERM_POSTINGS,
+        "pagerank": oracles.sql_pagerank(),
     }

@@ -71,6 +71,111 @@ def add_text_stats(docs_ds, text_col: str = "text"):
     return docs_ds.map_batches(stats, batch_format="pyarrow")
 
 
+def add_repetition_stats(docs_ds, text_col: str = "text"):
+    """Gopher-style repetition/boilerplate signals (duplicate- and
+    top-n-gram permille for n in {2,3}) appended as integer columns —
+    one stateless pass, no shuffle (see
+    functions/textstats.py:repetition_stats)."""
+    from ..functions.textstats import repetition_stats
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        reps = [repetition_stats(t) for t in texts]
+        cols = {name: batch.column(name) for name in batch.column_names}
+        for key in ("dup_2gram_permille", "top_2gram_permille",
+                    "dup_3gram_permille", "top_3gram_permille"):
+            cols[key] = pa.array([r[key] for r in reps], pa.int64())
+        return pa.table(cols)
+
+    return docs_ds.map_batches(stats, batch_format="pyarrow")
+
+
+def scrub_documents(docs_ds, text_col: str = "text"):
+    """PII scrub: URLs → ``<URL>``, emails → ``<EMAIL>`` (URLs first so
+    a userinfo '@' is not double-counted); appends ``n_redactions`` and
+    replaces the text column in place. Stateless single pass."""
+    from ..functions.textstats import redact_pii
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        pairs = [redact_pii(t) for t in texts]
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols[text_col] = pa.array([p[0] for p in pairs], pa.string())
+        cols["n_redactions"] = pa.array(
+            [p[1] for p in pairs], pa.int64()
+        )
+        return pa.table(cols)
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def term_postings(docs_ds, *, text_col: str = "text",
+                  id_col: str = "doc_id", bucket_size: int = 1000,
+                  num_parts: int | None = None):
+    """Sharded inverted index: one row per (term, doc-id bucket) with
+    the bucket's sorted posting list as a comma-joined string and its
+    document frequency.
+
+    100-TB shape: posting lists are sharded by ``id_col // bucket_size``
+    so no row ever exceeds ``bucket_size`` ids — a stopword appearing in
+    a billion docs becomes a million bounded rows, not one giant one.
+    Per-batch kernel emits distinct (term, bucket, partial-postings),
+    the shuffle key is crc32(term)+bucket mod P (cluster-scaled), and
+    the per-part finish is a vectorized pandas groupby on utf-8 BYTES
+    keys (NUL-safe discipline; see composite_key_bytes)."""
+    import zlib
+
+    import pandas as pd
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            batch[[id_col]]
+            .assign(term=batch[text_col].str.split())
+            .explode("term")
+        )
+        ex = ex[ex["term"].notna() & ex["term"].astype(bool)]
+        # encode BEFORE deduplicating: pandas drop_duplicates/factorize
+        # on str keys truncates at an embedded NUL (would merge terms
+        # that differ only after it); bytes keys hash fully
+        ex["term_b"] = ex["term"].str.encode("utf-8")
+        ex = ex.drop_duplicates([id_col, "term_b"])
+        ex["bucket"] = ex[id_col] // bucket_size
+        g = ex.groupby(["term_b", "bucket"], as_index=False).agg(
+            postings=(id_col, lambda s: ",".join(str(i) for i in sorted(s)))
+        )
+        g["part"] = [
+            (zlib.crc32(t) + int(b)) % num_parts
+            for t, b in zip(g["term_b"], g["bucket"])
+        ]
+        return g[["term_b", "bucket", "postings", "part"]]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        def join_sorted(s: pd.Series) -> str:
+            ids = sorted({int(i) for p in s for i in p.split(",")})
+            return ",".join(str(i) for i in ids)
+
+        out = group.groupby(["term_b", "bucket"], as_index=False).agg(
+            postings=("postings", join_sorted)
+        )
+        out["df_bucket"] = pd.Series(
+            [p.count(",") + 1 for p in out["postings"]], dtype="int64"
+        )
+        out["term"] = out.pop("term_b").str.decode("utf-8")
+        out["bucket"] = out["bucket"].astype("int64")
+        return out[["term", "bucket", "df_bucket", "postings"]]
+
+    return (
+        docs_ds.map_batches(
+            partial, batch_format="pandas", batch_size=4096
+        )
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def deterministic_sample(docs_ds, *, rate_permille: int = 100,
                          id_col: str = "doc_id", salt: str = "sample"):
     """Content-addressed sampling: keep a row iff

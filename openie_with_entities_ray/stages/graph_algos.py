@@ -286,3 +286,261 @@ def connected_components_join(
         ),
         batch_format="pyarrow",
     )
+
+
+def pagerank_join(
+    edges_ds, src: str = "src", dst: str = "dst", *,
+    iterations: int = 3, scale: int = 10**12,
+    num_parts: int | None = None,
+):
+    """Integer-exact PageRank (damping 0.85, ``iterations`` fixed
+    rounds) with every table a DATASET — the same 100-TB shape as
+    :func:`connected_components_join`.
+
+    Exact integer recurrence (bit-reproducible by a DuckDB oracle, no
+    float drift):
+
+        pr_0[v]     = scale // N
+        contrib[u]  = pr_k[u] // outdeg[u]          (u with outdeg > 0)
+        pr_{k+1}[v] = (15*scale) // (100*N)
+                      + (85 * sum_in(contrib)) // 100
+
+    over DISTINCT (src, dst) edges; dangling-node mass is dropped (the
+    usual sink-redistribution would need a per-round global scalar — an
+    extra all-reduce — and the oracle mirrors the same choice).
+
+    Shapes: distinct-edges and out-degrees computed once (per-batch
+    combiner → coarse crc32 partition, one Ray group per PART, never per
+    node); per round one hash join (adjacency-with-degree ⋈ pr on src)
+    and one coarse-partitioned per-dst sum; nodes with no in-edges get
+    their base term via a UNION of zero rows instead of an outer join.
+    Returns a Dataset (node_id, pr_scaled)."""
+    import zlib
+
+    import ray.data
+
+    from .dataops import _cluster_parts, cluster_cpus
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    # --- distinct (src, dst): combiner → coarse partition → per-part dedup
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pairs = sorted(
+            set(
+                zip(
+                    batch.column(src).to_pylist(),
+                    batch.column(dst).to_pylist(),
+                )
+            )
+        )
+        return pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.string()),
+                "dst": pa.array([p[1] for p in pairs], pa.string()),
+                "part": pa.array(
+                    [
+                        (zlib.crc32(a.encode()) + zlib.crc32(b.encode()))
+                        % num_parts
+                        for a, b in pairs
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            _k=[
+                (a.encode("utf-8"), b.encode("utf-8"))
+                for a, b in zip(g["src"], g["dst"])
+            ]
+        )
+        return (
+            g.drop_duplicates("_k")[["src", "dst"]].reset_index(drop=True)
+        )
+
+    ed = (
+        edges_ds.select_columns([src, dst])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    empty = pa.table(
+        {
+            "node_id": pa.array([], pa.string()),
+            "pr_scaled": pa.array([], pa.int64()),
+        }
+    )
+    if ed.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    # --- nodes (distinct endpoints) and out-degrees, one pass each
+    def node_partial(batch: pa.Table) -> pa.Table:
+        nodes = sorted(
+            set(batch.column("src").to_pylist())
+            | set(batch.column("dst").to_pylist())
+        )
+        return pa.table(
+            {
+                "node_id": pa.array(nodes, pa.string()),
+                "part": pa.array(
+                    [zlib.crc32(n.encode()) % num_parts for n in nodes],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def node_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[n.encode("utf-8") for n in g["node_id"]])
+        return g.drop_duplicates("_k")[["node_id"]].reset_index(drop=True)
+
+    nodes = (
+        ed.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(node_dedup, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+
+    # ed is already distinct, so a per-batch src count is a valid partial
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts = Counter(batch.column("src").to_pylist())
+        ks = list(counts)
+        return pa.table(
+            {
+                "src": pa.array(ks, pa.string()),
+                "d": pa.array([counts[k] for k in ks], pa.int64()),
+                "part": pa.array(
+                    [zlib.crc32(k.encode()) % num_parts for k in ks],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def deg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[n.encode("utf-8") for n in g["src"]])
+        out = g.groupby("_k", as_index=False).agg(
+            src=("src", "first"), d=("d", "sum")
+        )
+        return out.drop(columns=["_k"])
+
+    outdeg = (
+        ed.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(deg_merge, batch_format="pandas")
+    )
+
+    # adjacency with the degree attached once (outdeg is static):
+    # (src, dst, d) — per-round work is then ONE join on src
+    num_join_parts = max(
+        1, min(max(2, cluster_cpus() // 4), n_nodes // 16 + 1)
+    )
+    adj_deg = ed.join(
+        outdeg.map_batches(
+            lambda b: pa.table(
+                {"__deg_src": b.column("src"), "d": b.column("d")}
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=num_join_parts,
+        on=("src",),
+        right_on=("__deg_src",),
+    ).select_columns(["src", "dst", "d"]).materialize()
+
+    base = (15 * scale) // (100 * n_nodes)
+    pr0 = scale // n_nodes
+
+    pr = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node_id": b.column("node_id"),
+                "pr": pa.array([pr0] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    zeros = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node_id": b.column("node_id"),
+                "s": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contrib_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd_  # local: zero-copy not needed here
+
+        df = batch.select(["dst", "pr", "d"]).to_pandas()
+        df["s"] = df["pr"].to_numpy() // df["d"].to_numpy()
+        g = df.assign(_k=[x.encode("utf-8") for x in df["dst"]]).groupby(
+            "_k", as_index=False
+        ).agg(node_id=("dst", "first"), s=("s", "sum"))
+        g["part"] = [
+            zlib.crc32(k) % num_parts for k in g["_k"]
+        ]
+        return pa.Table.from_pandas(
+            g[["node_id", "s", "part"]], preserve_index=False
+        )
+
+    def sum_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[n.encode("utf-8") for n in g["node_id"]])
+        out = g.groupby("_k", as_index=False).agg(
+            node_id=("node_id", "first"), s=("s", "sum")
+        )
+        out["pr"] = base + (85 * out["s"]) // 100
+        return out[["node_id", "pr"]]
+
+    for _ in range(iterations):
+        contribs = adj_deg.join(
+            pr.map_batches(
+                lambda b: pa.table(
+                    {"__pr_node": b.column("node_id"), "pr": b.column("pr")}
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=num_join_parts,
+            on=("src",),
+            right_on=("__pr_node",),
+        ).map_batches(contrib_partial, batch_format="pyarrow")
+        zero_parted = zeros.map_batches(
+            lambda b: pa.table(
+                {
+                    "node_id": b.column("node_id"),
+                    "s": b.column("s"),
+                    "part": pa.array(
+                        [
+                            zlib.crc32(n.encode()) % num_parts
+                            for n in b.column("node_id").to_pylist()
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        pr = (
+            contribs.union(zero_parted)
+            .groupby("part")
+            .map_groups(sum_per_node, batch_format="pandas")
+            .materialize()
+        )
+
+    return pr.map_batches(
+        lambda b: pa.table(
+            {
+                "node_id": b.column("node_id"),
+                "pr_scaled": b.column("pr").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -1208,3 +1208,216 @@ def test_kmv_sketch_estimate_and_exact_paths(ray_session):
     assert kmv_distinct_sketch(empty, "term", k=k).take_all() == [
         {"n_distinct_est": 0}
     ]
+
+
+# --- repetition stats / PII scrub / inverted index --------------------------
+
+
+def test_repetition_stats_kernel():
+    from openie_with_entities_ray.functions.textstats import (
+        repetition_stats,
+    )
+
+    # "a b a b a": 2-grams = [a b, b a, a b, b a] -> 4 total, 2 distinct,
+    # top count 2; 3-grams = [a b a, b a b, a b a] -> 3 total, 2 distinct
+    r = repetition_stats("a b a b a")
+    assert r == {
+        "dup_2gram_permille": 500, "top_2gram_permille": 500,
+        "dup_3gram_permille": 333, "top_3gram_permille": 666,
+    }
+    # degenerate lengths: no n-grams -> all zeros
+    for text in ("", "one", "one two"):
+        r = repetition_stats(text)
+        assert r["dup_3gram_permille"] == 0
+        assert r["top_3gram_permille"] == 0
+    assert repetition_stats("one")["dup_2gram_permille"] == 0
+    # fully repeated doc
+    r = repetition_stats("x x x x")
+    assert r["dup_2gram_permille"] == 666  # 3 grams, 1 distinct
+    assert r["top_2gram_permille"] == 1000
+
+
+def test_repetition_stats_matches_duckdb_oracle():
+    """The SQL oracle runs over arbitrary-whitespace docs too — gate the
+    kernel against the exact oracle SQL on degenerate shapes the fixture
+    corpus never hits (empty, 1-word, tab/newline whitespace)."""
+    import duckdb
+
+    from openie_with_entities_ray.functions.textstats import (
+        repetition_stats,
+    )
+    from openie_with_entities_ray.queries import SQL_REPETITION_STATS
+
+    docs = [
+        "", "one", "one two", "a b a b a", "x x x x",
+        "a\tb\na  b a", " padded  doc ", "p q r s t u v w",
+    ]
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": range(len(docs)), "text": docs}
+        ).astype({"doc_id": "int64"}),
+    )
+    got = {
+        row[0]: row[1:]
+        for row in con.execute(SQL_REPETITION_STATS).fetchall()
+    }
+    for i, text in enumerate(docs):
+        r = repetition_stats(text)
+        assert got[i] == (
+            r["dup_2gram_permille"], r["top_2gram_permille"],
+            r["dup_3gram_permille"], r["top_3gram_permille"],
+        ), (i, text)
+
+
+def test_redact_pii_matches_duckdb_oracle():
+    """The fixture corpus has no PII, so the scrub's parity on REAL
+    matches is gated here: the Python kernel and the oracle's RE2
+    regexp_replace chain must produce identical text and counts."""
+    import duckdb
+
+    from openie_with_entities_ray.functions.textstats import redact_pii
+    from openie_with_entities_ray.queries import SQL_SCRUBBED_DOCS
+
+    docs = [
+        "mail me at alice.smith+x@example.co.uk today",
+        "see https://a.example.com/p?q=1#frag and http://b.io/x",
+        "url with userinfo https://user@host.example.com/path stays one",
+        "no pii here at all",
+        "two mails a@b.io c.d@e-f.org and a url http://x.ai end",
+        "trailing email edge a@b.co",
+        "",
+        "not-an-email @ spaced and ftp://ignored.example.com",
+    ]
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": range(len(docs)), "text": docs}
+        ).astype({"doc_id": "int64"}),
+    )
+    got = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(SQL_SCRUBBED_DOCS).fetchall()
+    }
+    for i, text in enumerate(docs):
+        scrubbed, n = redact_pii(text)
+        assert got[i] == (scrubbed, n), (i, text)
+    # and the kernel semantics themselves
+    assert redact_pii("a@b.io via https://c.d/e") == (
+        "<EMAIL> via <URL>", 2
+    )
+    assert redact_pii("https://user@host.example.com/p")[1] == 1
+
+
+def test_term_postings_buckets_and_partitions(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import term_postings
+
+    # doc_ids straddle the bucket boundary; 'dup dup' checks per-doc
+    # term dedup; doc 2001 is empty (no postings rows at all); the two
+    # NUL-bearing terms differ only after the NUL — a str-keyed pandas
+    # groupby would silently merge them (bytes keys must not)
+    tbl = pa.table({
+        "doc_id": pa.array([999, 1000, 1001, 2001, 2002], pa.int64()),
+        "text": pa.array(
+            ["alpha beta", "alpha dup dup", "beta  alpha", "",
+             "n\x00a n\x00b n\x00a"],
+            pa.string(),
+        ),
+    })
+
+    def run(num_parts, num_blocks):
+        ds = ray.data.from_arrow(tbl).repartition(num_blocks)
+        rows = term_postings(ds, num_parts=num_parts).take_all()
+        return sorted(
+            (r["term"], r["bucket"], r["df_bucket"], r["postings"])
+            for r in rows
+        )
+
+    expected = sorted([
+        ("alpha", 0, 1, "999"),
+        ("alpha", 1, 2, "1000,1001"),
+        ("beta", 0, 1, "999"),
+        ("beta", 1, 1, "1001"),
+        ("dup", 1, 1, "1000"),
+        ("n\x00a", 2, 1, "2002"),
+        ("n\x00b", 2, 1, "2002"),
+    ])
+    assert run(1, 1) == expected
+    assert run(64, 3) == expected
+
+
+# --- PageRank (stages/graph_algos.py:pagerank_join) -------------------------
+
+
+def _ref_pagerank(pairs, iterations=3, scale=10**12):
+    """Reference implementation of the exact integer recurrence."""
+    from collections import Counter
+
+    ed = sorted(set(pairs))
+    nodes = sorted({u for u, _ in ed} | {v for _, v in ed})
+    n = len(nodes)
+    outdeg = Counter(u for u, _ in ed)
+    pr = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iterations):
+        s = dict.fromkeys(nodes, 0)
+        for u, v in ed:
+            s[v] += pr[u] // outdeg[u]
+        pr = {v: base + (85 * s[v]) // 100 for v in nodes}
+    return pr
+
+
+_PR_EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "sink"),  # 'sink' is dangling (no out-edges)
+    ("a", "b"),  # duplicate edge: must count once
+    ("loop", "loop"),  # self-loop feeds itself
+]
+
+
+def test_pagerank_sql_oracle_matches_reference():
+    """Gate the DuckDB oracle's unrolled recurrence against the pure
+    Python reference on a literal edge list (dangling node, self-loop,
+    duplicate edge)."""
+    import duckdb
+
+    from openie_with_entities_ray.oracles import sql_pagerank
+
+    values = ", ".join(f"('{u}', '{v}')" for u, v in _PR_EDGES)
+    sql = sql_pagerank(
+        edges_sql=f"SELECT * FROM (VALUES {values}) AS t(src, dst)"
+    )
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == _ref_pagerank(_PR_EDGES)
+
+
+def test_pagerank_join_matches_reference(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import pagerank_join
+
+    expected = _ref_pagerank(_PR_EDGES)
+
+    def run(num_blocks, num_parts):
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array([u for u, _ in _PR_EDGES], pa.string()),
+            "dst": pa.array([v for _, v in _PR_EDGES], pa.string()),
+        })).repartition(num_blocks)
+        rows = pagerank_join(ds, num_parts=num_parts).take_all()
+        return {r["node_id"]: r["pr_scaled"] for r in rows}
+
+    assert run(1, 1) == expected
+    assert run(3, 64) == expected
+    # mass sanity: every rank positive, dangling sink below the hub
+    assert all(v > 0 for v in expected.values())
+    assert expected["sink"] < expected["c"]
