@@ -151,6 +151,33 @@ def redact_pii(text: str) -> tuple:
     return scrubbed, n_url + n_email
 
 
+def winnow_fingerprints(text: str, k: int = 4, w: int = 5) -> list:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-gram of words, then
+    keep the MINIMUM hash of each sliding window of ``w`` consecutive
+    k-gram hashes; the distinct minima are the fingerprint set. The
+    guarantee: any shared run of ``w + k - 1`` words between two docs
+    yields at least one shared fingerprint.
+
+    Returns the sorted distinct fingerprint values. Degenerate inputs
+    mirror :func:`rolling_fingerprint`: fewer than k words → one
+    fingerprint of the whole word string ('' included for the empty
+    doc); fewer than w k-grams → the single min over all of them.
+    md5-based so a DuckDB oracle reproduces every value bit-for-bit."""
+    words = text.split()
+    if len(words) < k:
+        return [_md5_number_lower(" ".join(words)) & _FP_MASK]
+    hashes = [
+        _md5_number_lower(" ".join(words[i : i + k])) & _FP_MASK
+        for i in range(len(words) - k + 1)
+    ]
+    if len(hashes) <= w:
+        return [min(hashes)]
+    return sorted(
+        {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+    )
+
+
 def rolling_fingerprint(text: str, window: int = 8) -> int:
     """Deterministic rolling-hash document fingerprint: min 63-bit
     md5-number over word-window shingles (a 1-perm MinHash; robust to

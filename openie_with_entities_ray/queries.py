@@ -2171,6 +2171,47 @@ GROUP BY 1, 2
 """
 
 
+def q_winnow_fingerprints(sf_dir):
+    """Winnowing (MOSS) fingerprints per document, k=4-gram hashes
+    winnowed over w=5 windows — any shared 8-word run between two docs
+    shares a fingerprint. md5-number hashing keeps the DuckDB oracle
+    bit-exact."""
+    from .stages.dataops import winnow_docs
+
+    return winnow_docs(_docs(sf_dir, num_blocks=_read_blocks()))
+
+
+# list slices are 1-based inclusive (w[i:i+3] = 4 words); range(a, b) is
+# [] when b <= a, so the three degenerate arms mirror the kernel's
+_SQL_FP = (
+    "((md5_number_lower({expr}) & 9223372036854775807::UBIGINT))::BIGINT"
+)
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+), h AS (
+  SELECT doc_id, w, len(w) AS nw,
+    list_transform(range(1, len(w) - 2),
+      i -> {_SQL_FP.format(expr="array_to_string(w[i:i+3], ' ')")}) AS hs
+  FROM base
+), fps AS (
+  SELECT doc_id,
+    CASE
+      WHEN nw < 4 THEN
+        [{_SQL_FP.format(
+            expr="COALESCE(array_to_string(w, ' '), '')"
+        )}]
+      WHEN len(hs) <= 5 THEN [list_min(hs)]
+      ELSE list_distinct(list_transform(range(1, len(hs) - 3),
+                                        i -> list_min(hs[i:i+4])))
+    END AS fp_list
+  FROM h
+)
+SELECT doc_id, unnest(fp_list) AS fingerprint FROM fps
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2230,6 +2271,7 @@ def build_queries():
         "scrubbed_docs": q_scrubbed_docs,
         "term_postings": q_term_postings,
         "pagerank": q_pagerank,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -2289,4 +2331,5 @@ def build_oracle_sql():
         "scrubbed_docs": SQL_SCRUBBED_DOCS,
         "term_postings": SQL_TERM_POSTINGS,
         "pagerank": oracles.sql_pagerank(),
+        "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     }

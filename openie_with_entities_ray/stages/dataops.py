@@ -109,6 +109,35 @@ def scrub_documents(docs_ds, text_col: str = "text"):
     return docs_ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def winnow_docs(docs_ds, *, k: int = 4, w: int = 5,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Explode each document into its winnowing fingerprint set
+    (functions/textstats.py:winnow_fingerprints — the MOSS code-
+    plagiarism fingerprinting scheme). One stateless pass; output rows
+    (id, fingerprint) are distinct by construction (the kernel returns
+    a per-doc set)."""
+    from ..functions.textstats import winnow_fingerprints
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        fps: list = []
+        for d, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            for f in winnow_fingerprints(t, k, w):
+                ids.append(d)
+                fps.append(f)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "fingerprint": pa.array(fps, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(explode, batch_format="pyarrow")
+
+
 def term_postings(docs_ds, *, text_col: str = "text",
                   id_col: str = "doc_id", bucket_size: int = 1000,
                   num_parts: int | None = None):

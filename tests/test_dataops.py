@@ -1421,3 +1421,58 @@ def test_pagerank_join_matches_reference(ray_session):
     # mass sanity: every rank positive, dangling sink below the hub
     assert all(v > 0 for v in expected.values())
     assert expected["sink"] < expected["c"]
+
+
+def test_winnow_fingerprints_kernel_and_guarantee():
+    from openie_with_entities_ray.functions.textstats import (
+        _FP_MASK,
+        _md5_number_lower,
+        winnow_fingerprints,
+    )
+
+    # degenerate arms mirror rolling_fingerprint's conventions
+    assert winnow_fingerprints("") == [_md5_number_lower("") & _FP_MASK]
+    assert winnow_fingerprints("a b c") == [
+        _md5_number_lower("a b c") & _FP_MASK
+    ]
+    # 4..8 words (k=4 -> 1..5 k-grams <= w=5): single min over all
+    fp6 = winnow_fingerprints("a b c d e f")
+    assert len(fp6) == 1
+    # winnowing guarantee: any shared run of w+k-1=8 words yields at
+    # least one shared fingerprint
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    a = winnow_fingerprints(f"one two {shared} three four five six")
+    b = winnow_fingerprints(f"nine {shared} ten eleven twelve")
+    assert set(a) & set(b)
+    # sets are sorted and deduplicated
+    long = winnow_fingerprints("w1 w2 w3 " * 30)
+    assert long == sorted(set(long))
+
+
+def test_winnow_sql_matches_kernel():
+    import duckdb
+    import pandas as pd
+
+    from openie_with_entities_ray.functions.textstats import (
+        winnow_fingerprints,
+    )
+    from openie_with_entities_ray.queries import SQL_WINNOW_FINGERPRINTS
+
+    docs = [
+        "", "a", "a b c", "a b c d", "a b c d e f g h",
+        "a b c d e f g h i j", "w1 w2 w3 " * 30,
+        "one two alpha beta gamma delta epsilon zeta eta theta x",
+        "padded\t doc with  odd   whitespace runs here now ok fine",
+    ]
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": range(len(docs)), "text": docs}
+        ).astype({"doc_id": "int64"}),
+    )
+    got: dict = {}
+    for did, fp in con.execute(SQL_WINNOW_FINGERPRINTS).fetchall():
+        got.setdefault(did, []).append(fp)
+    for i, text in enumerate(docs):
+        assert sorted(got[i]) == winnow_fingerprints(text), (i, text)
