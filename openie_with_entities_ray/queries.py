@@ -2212,6 +2212,762 @@ SELECT doc_id, unnest(fp_list) AS fingerprint FROM fps
 """
 
 
+def q_duplicate_spans(sf_dir):
+    """Cross-document duplicated spans: winnowing fingerprints shared by
+    >=2 docs (a shared fingerprint witnesses a shared >=8-word run, the
+    Lee et al. 2022 substring-dedup signal). Combiner → coarse partition;
+    see stages/dataops.py:duplicate_spans for the 100-TB shape."""
+    from .stages.dataops import duplicate_spans
+
+    return duplicate_spans(_docs(sf_dir, num_blocks=_read_blocks()))
+
+
+def q_order_priority_counts(sf_dir):
+    """TPC-H Q4 shape: orders in a date window that have at least one
+    discounted lineitem, counted by priority. The EXISTS is a native
+    ``left_semi`` hash join (each order at most once however many
+    lineitems match); both sides are column-pruned and pre-filtered
+    BEFORE the shuffle, and the count is a per-batch combiner into a
+    5-group aggregate."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.dataops import cluster_cpus
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lo = datetime(1996, 1, 1)
+    hi = datetime(1998, 1, 1)
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, type=d.type)),
+            pc.less(d, pa.scalar(hi, type=d.type)),
+        )
+        return batch.filter(mask).select(["o_orderkey", "o_orderpriority"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_discount"]
+    )
+
+    def discounted(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch.column("l_discount"), pa.scalar(0.05))
+        return batch.filter(mask).select(["l_orderkey"])
+
+    semi = orders.map_batches(in_window, batch_format="pyarrow").join(
+        li.map_batches(discounted, batch_format="pyarrow"),
+        join_type="left_semi",
+        num_partitions=max(2, cluster_cpus() // 4),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_orderpriority", as_index=False).agg(
+            order_count=("o_orderkey", "size")
+        )
+
+    return (
+        semi.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY_COUNTS = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q_returnflag_priority(sf_dir):
+    """TPC-H Q12 shape: lineitems shipped in a window joined to their
+    orders (large-large native hash join, both sides column-pruned and
+    the lineitem side date-filtered pre-shuffle), then a conditional
+    aggregate — high- vs low-priority line counts per return flag —
+    as a per-batch combiner into a 3-group Sum."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.dataops import cluster_cpus
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+    lo = datetime(1997, 1, 1)
+    hi = datetime(1998, 1, 1)
+
+    def shipped(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, type=d.type)),
+            pc.less(d, pa.scalar(hi, type=d.type)),
+        )
+        return batch.filter(mask).select(["l_orderkey", "l_returnflag"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = li.map_batches(shipped, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=max(2, cluster_cpus() // 4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        high = batch["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        batch["high_line_count"] = high.astype("int64")
+        batch["low_line_count"] = (~high).astype("int64")
+        return batch.groupby("l_returnflag", as_index=False).agg(
+            high_line_count=("high_line_count", "sum"),
+            low_line_count=("low_line_count", "sum"),
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+
+
+SQL_RETURNFLAG_PRIORITY = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_customers_without_events(sf_dir):
+    """EXACT anti-join via Bloom prefilter (stages/joins.py:
+    bloom_anti_join): customers with no event activity. The events side
+    folds into a fixed-size bit array (one pass, driver ORs per-batch
+    partials), Bloom misses stream straight to the output, and only the
+    candidate slice pays the ``left_anti`` hash shuffle."""
+    import ray.data
+
+    from .stages.joins import bloom_anti_join
+
+    def customers():
+        return ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        )
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return bloom_anti_join(customers, events, on="c_custkey",
+                           right_on="user_id")
+
+
+SQL_CUSTOMERS_WITHOUT_EVENTS = """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+SQL_DUPLICATE_SPANS = f"""
+SELECT fingerprint, count(*)::BIGINT AS ndocs,
+       min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+FROM ({SQL_WINNOW_FINGERPRINTS}) fp
+GROUP BY fingerprint HAVING count(*) >= 2
+"""
+
+
+def q_running_revenue(sf_dir):
+    """SQL window function: per-customer running revenue —
+    ``SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+    o_orderkey)``. ONE coarse hash shuffle on the customer key, one
+    vectorized sort+cumsum per part (stages/windows.py:running_sum);
+    integer cents per row summed in int64 so every prefix is exact."""
+    import ray.data
+
+    from .stages.windows import running_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["date_us"] = (
+            batch["o_orderdate"].astype("datetime64[us]").astype("int64")
+        )
+        batch["cents"] = (
+            np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
+            .astype("int64")
+        )
+        return batch[["o_custkey", "o_orderkey", "date_us", "cents"]]
+
+    return running_sum(
+        orders.map_batches(prep, batch_format="pandas"),
+        part_col="o_custkey",
+        order_cols=["date_us", "o_orderkey"],
+        value_col="cents",
+        out_col="running_cents",
+        keep_cols=["o_custkey", "o_orderkey"],
+    )
+
+
+SQL_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents
+FROM orders
+"""
+
+
+def q_event_gaps(sf_dir):
+    """SQL LAG window: microseconds between consecutive events per user
+    (``ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)``), first event per user dropped so the gap column stays
+    exact int64. Same one-shuffle window shape
+    (stages/windows.py:lag_delta)."""
+    import ray.data
+
+    from .stages.windows import lag_delta
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["ts_us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+        return batch[["user_id", "event_id", "ts_us"]]
+
+    return lag_delta(
+        ev.map_batches(prep, batch_format="pandas"),
+        part_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        value_col="ts_us",
+        out_col="gap_us",
+        keep_cols=["user_id", "event_id"],
+    )
+
+
+SQL_EVENT_GAPS = """
+WITH g AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, event_id, gap_us::BIGINT AS gap_us
+FROM g WHERE gap_us IS NOT NULL
+"""
+
+
+def q_order_count_distribution(sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers. No row-level join at all: a
+    per-batch combiner over orders collapses to (custkey, c_count)
+    inside cluster-scaled parts, the SAME map_groups immediately folds
+    to (c_count, custdist) partials, and a tiny groupby finishes. The
+    c_count=0 row is total customers (parquet metadata count) minus the
+    customers seen in orders — computed from the final few-dozen-row
+    aggregate, so the driver never touches row-scale data."""
+    import zlib
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.dataops import _cluster_parts
+
+    num_parts = _cluster_parts()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_custkey", as_index=False).agg(
+            c_count=("o_custkey", "size")
+        )
+        g["part"] = g["o_custkey"].astype("int64") % num_parts
+        return g
+
+    def per_part(group: pd.DataFrame) -> pd.DataFrame:
+        per_cust = group.groupby("o_custkey", as_index=False).agg(
+            c_count=("c_count", "sum")
+        )
+        out = per_cust.groupby("c_count", as_index=False).agg(
+            custdist=("c_count", "size")
+        )
+        return out[["c_count", "custdist"]]
+
+    dist = (
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()  # few dozen rows: one per distinct order count
+    )
+    total_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = total_customers - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return dist.sort_values("c_count").reset_index(drop=True)
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q_revenue_rollup(sf_dir):
+    """GROUP BY ROLLUP(region, nation): revenue subtotals at nation,
+    region and grand-total level ('ALL' sentinels). Orders is the only
+    table that moves: customer→nation→region are broadcast lookups
+    inside the combiner; the rollup levels are derived from the final
+    25-row nation aggregate (pre-aggregate at the finest level once,
+    roll up from the smallest table — never re-scan the fact table per
+    level). Cents are per-row integers so every level is exact."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    cust_map = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_nationkey").to_pylist())
+    )
+    region_names = dict(
+        zip(region.column("r_regionkey").to_pylist(),
+            region.column("r_name").to_pylist())
+    )
+    nation_map = {
+        nk: (region_names[rk], nm)
+        for nk, nm, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    }
+    maps_ref = ray.put((cust_map, nation_map))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cmap, nmap = ray.get(maps_ref)
+        rn = [nmap[cmap[c]] for c in batch["o_custkey"].to_list()]
+        batch["region"] = [x[0] for x in rn]
+        batch["nation"] = [x[1] for x in rn]
+        batch["cents"] = (
+            np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
+            .astype("int64")
+        )
+        return batch.groupby(["region", "nation"], as_index=False).agg(
+            revenue_cents=("cents", "sum")
+        )
+
+    per_nation = (
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["region", "nation"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def rollup(batch: pd.DataFrame) -> pd.DataFrame:
+        fine = batch[["region", "nation", "revenue_cents"]]
+        by_region = fine.groupby("region", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+        by_region["nation"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "region": ["ALL"],
+                "nation": ["ALL"],
+                "revenue_cents": [fine["revenue_cents"].sum()],
+            }
+        )
+        return pd.concat(
+            [fine, by_region[["region", "nation", "revenue_cents"]], total],
+            ignore_index=True,
+        )
+
+    # 25 nation rows: the rollup needs all of them together
+    return per_nation.repartition(1).map_batches(
+        rollup, batch_format="pandas"
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       SUM(cents)::BIGINT AS revenue_cents
+FROM (SELECT r_name, n_name,
+             CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey)
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_doc_length_histogram(sf_dir):
+    """Fixed-width histogram over document length (200-char bins) with
+    per-bin min/max: per-batch combiner → tiny groupby over the bin
+    count (bounded by max doc length / 200, not corpus size)."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["bin"] = batch["n_chars"].astype("int64") // 200
+        return batch.groupby("bin", as_index=False).agg(
+            n_docs=("n_chars", "size"),
+            min_chars=("n_chars", "min"),
+            max_chars=("n_chars", "max"),
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("bin")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+    )
+
+
+SQL_DOC_LENGTH_HISTOGRAM = """
+SELECT (n_chars // 200)::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+       min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_lineitem_profile(sf_dir):
+    """Column profiler (data-validation op): one streaming pass emits
+    per-column stats — non-null count, integer-cents sum/min/max — for
+    every numeric lineitem measure. Per-batch partial produces 4 rows
+    per batch; the final aggregate has 4 groups."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = batch[c].dropna()
+            cents = np.floor(v.to_numpy() * 100 + 0.5).astype("int64")
+            rows.append(
+                {
+                    "col_name": c,
+                    "n": int(len(v)),
+                    "sum_cents": int(cents.sum()) if len(v) else 0,
+                    "min_cents": int(cents.min()) if len(v) else 2**62,
+                    "max_cents": int(cents.max()) if len(v) else -(2**62),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        li.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("col_name")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Min("min_cents", alias_name="min_cents"),
+            Max("max_cents", alias_name="max_cents"),
+        )
+    )
+
+
+SQL_LINEITEM_PROFILE = """
+SELECT 'l_quantity' AS col_name, count(l_quantity)::BIGINT AS n,
+       SUM(CAST(FLOOR(l_quantity*100+0.5) AS BIGINT))::BIGINT AS sum_cents,
+       MIN(CAST(FLOOR(l_quantity*100+0.5) AS BIGINT))::BIGINT AS min_cents,
+       MAX(CAST(FLOOR(l_quantity*100+0.5) AS BIGINT))::BIGINT AS max_cents
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT,
+       SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT))::BIGINT,
+       MIN(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT))::BIGINT,
+       MAX(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT))::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(l_discount)::BIGINT,
+       SUM(CAST(FLOOR(l_discount*100+0.5) AS BIGINT))::BIGINT,
+       MIN(CAST(FLOOR(l_discount*100+0.5) AS BIGINT))::BIGINT,
+       MAX(CAST(FLOOR(l_discount*100+0.5) AS BIGINT))::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(l_tax)::BIGINT,
+       SUM(CAST(FLOOR(l_tax*100+0.5) AS BIGINT))::BIGINT,
+       MIN(CAST(FLOOR(l_tax*100+0.5) AS BIGINT))::BIGINT,
+       MAX(CAST(FLOOR(l_tax*100+0.5) AS BIGINT))::BIGINT
+FROM lineitem
+"""
+
+
+def q_new_docs_vs_snapshot(sf_dir):
+    """Incremental-ingestion dedup: documents in the incoming batch
+    (odd doc_ids) whose content md5 does NOT appear in the previous
+    snapshot (even doc_ids) — the Bloom-prefiltered exact anti-join
+    (stages/joins.py:bloom_anti_join) keyed on the fingerprint, so the
+    snapshot folds to a fixed-size bit array however many TB it spans
+    and only Bloom hits pay the hash shuffle."""
+    import hashlib
+
+    import ray.data
+
+    from .stages.joins import bloom_anti_join
+
+    def with_md5(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint_md5": pa.array(
+                    [
+                        hashlib.md5(t.encode()).hexdigest()
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def side(parity: int):
+        import pyarrow.compute as pc
+
+        def read():
+            ds = ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            return ds.map_batches(
+                lambda b: b.filter(
+                    pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), parity)
+                ),
+                batch_format="pyarrow",
+            ).map_batches(with_md5, batch_format="pyarrow")
+
+        return read
+
+    survivors = bloom_anti_join(
+        side(1),
+        side(0)(),
+        on="fingerprint_md5",
+        right_on="fingerprint_md5",
+    )
+    return survivors.select_columns(["doc_id"])
+
+
+SQL_NEW_DOCS_VS_SNAPSHOT = """
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id % 2 = 0 AND md5(s.text) = md5(d.text))
+"""
+
+
+def q_heavy_hitters(sf_dir):
+    """Count-min-sketch heavy hitters over the corpus token stream:
+    terms whose CMS estimate of total occurrences >= 500. The sketch is
+    a fixed depth*width=4096-cell aggregate however large the corpus;
+    see stages/dataops.py:cms_heavy_hitters for the scale shape and the
+    md5-bucket rule the DuckDB oracle reproduces bit-for-bit."""
+    from .stages.dataops import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _docs(sf_dir, num_blocks=_read_blocks()), threshold=500
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_WORDS}) AS term FROM documents
+), tc AS (
+  SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term
+), cells AS (
+  SELECT j,
+         (md5_number_lower('cms' || CAST(j AS VARCHAR) || '|' || term)
+          % 1024)::BIGINT AS bucket,
+         SUM(c)::BIGINT AS cnt
+  FROM tc, range(4) r(j) GROUP BY 1, 2
+), est AS (
+  SELECT t.term, MIN(cells.cnt)::BIGINT AS cms_estimate
+  FROM tc t
+  JOIN cells ON cells.bucket =
+       (md5_number_lower('cms' || CAST(cells.j AS VARCHAR) || '|' || t.term)
+        % 1024)::BIGINT
+  GROUP BY t.term
+)
+SELECT term, cms_estimate FROM est WHERE cms_estimate >= 500
+"""
+
+
+def q_orders_checksum(sf_dir):
+    """Order-invariant table checksum (migration / resumable-write
+    validation): one row (n_rows, checksum) over the orders table's
+    exact-typed columns. Commutative addition of per-row md5 values →
+    the result is identical under any partitioning, task order or
+    retry; see stages/dataops.py:table_checksum."""
+    import ray.data
+
+    from .stages.dataops import table_checksum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"],
+    )
+    return table_checksum(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"]
+    )
+
+
+SQL_ORDERS_CHECKSUM = """
+WITH h AS (
+  SELECT (md5_number_lower(
+            CAST(o_orderkey AS VARCHAR) || '|' ||
+            CAST(o_custkey AS VARCHAR) || '|' ||
+            o_orderstatus || '|' || o_orderpriority)
+          & 9223372036854775807::UBIGINT)::BIGINT AS v
+  FROM orders)
+SELECT count(*)::BIGINT AS n_rows,
+       (SUM(v::HUGEINT) % 999999999989)::BIGINT AS checksum
+FROM h
+"""
+
+
+def q_conversion_funnel(sf_dir):
+    """Strict-order 3-step funnel (view → click → purchase): users with
+    a view, users whose earliest click is after their earliest view,
+    users whose earliest purchase is after that click. ONE coarse hash
+    shuffle on user_id; inside each part the three steps are vectorized
+    pandas min-merges (never a Python loop per user). Output
+    (step, n_users)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.dataops import _cluster_parts
+
+    num_parts = _cluster_parts()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["event_type"].isin(["view", "click", "purchase"])]
+        batch = batch.copy()
+        batch["ts_us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+        batch["part"] = batch["user_id"].astype("int64") % num_parts
+        return batch[["user_id", "ts_us", "event_type", "part"]]
+
+    def funnel(group: pd.DataFrame) -> pd.DataFrame:
+        def first_after(etype: str, prev: pd.DataFrame) -> pd.DataFrame:
+            e = group[group["event_type"] == etype][["user_id", "ts_us"]]
+            m = e.merge(prev, on="user_id", how="inner")
+            m = m[m["ts_us"] > m["prev_us"]]
+            out = m.groupby("user_id", as_index=False).agg(
+                prev_us=("ts_us", "min")
+            )
+            return out
+
+        views = (
+            group[group["event_type"] == "view"]
+            .groupby("user_id", as_index=False)
+            .agg(prev_us=("ts_us", "min"))
+        )
+        clicks = first_after("click", views)
+        purchases = first_after("purchase", clicks)
+        return pd.DataFrame(
+            {
+                "step": pd.Series([1, 2, 3], dtype="int64"),
+                "n_users": pd.Series(
+                    [len(views), len(clicks), len(purchases)], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(funnel, batch_format="pandas")
+        .groupby("step")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_CONVERSION_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 1::BIGINT AS step, count(*)::BIGINT AS n_users FROM v
+UNION ALL SELECT 2, count(*) FROM c
+UNION ALL SELECT 3, count(*) FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2272,6 +3028,20 @@ def build_queries():
         "term_postings": q_term_postings,
         "pagerank": q_pagerank,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "duplicate_spans": q_duplicate_spans,
+        "customers_without_events": q_customers_without_events,
+        "order_priority_counts": q_order_priority_counts,
+        "returnflag_priority": q_returnflag_priority,
+        "running_revenue": q_running_revenue,
+        "event_gaps": q_event_gaps,
+        "order_count_distribution": q_order_count_distribution,
+        "revenue_rollup": q_revenue_rollup,
+        "doc_length_histogram": q_doc_length_histogram,
+        "lineitem_profile": q_lineitem_profile,
+        "new_docs_vs_snapshot": q_new_docs_vs_snapshot,
+        "heavy_hitters": q_heavy_hitters,
+        "orders_checksum": q_orders_checksum,
+        "conversion_funnel": q_conversion_funnel,
     }
 
 
@@ -2332,4 +3102,18 @@ def build_oracle_sql():
         "term_postings": SQL_TERM_POSTINGS,
         "pagerank": oracles.sql_pagerank(),
         "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+        "duplicate_spans": SQL_DUPLICATE_SPANS,
+        "customers_without_events": SQL_CUSTOMERS_WITHOUT_EVENTS,
+        "order_priority_counts": SQL_ORDER_PRIORITY_COUNTS,
+        "returnflag_priority": SQL_RETURNFLAG_PRIORITY,
+        "running_revenue": SQL_RUNNING_REVENUE,
+        "event_gaps": SQL_EVENT_GAPS,
+        "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+        "revenue_rollup": SQL_REVENUE_ROLLUP,
+        "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
+        "lineitem_profile": SQL_LINEITEM_PROFILE,
+        "new_docs_vs_snapshot": SQL_NEW_DOCS_VS_SNAPSHOT,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
+        "orders_checksum": SQL_ORDERS_CHECKSUM,
+        "conversion_funnel": SQL_CONVERSION_FUNNEL,
     }

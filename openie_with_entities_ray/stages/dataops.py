@@ -138,6 +138,52 @@ def winnow_docs(docs_ds, *, k: int = 4, w: int = 5,
     return docs_ds.map_batches(explode, batch_format="pyarrow")
 
 
+def duplicate_spans(docs_ds, *, k: int = 4, w: int = 5,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_parts: int | None = None):
+    """Cross-document duplicated-span detection (the Lee et al. 2022
+    "Deduplicating Training Data" shape at fingerprint granularity):
+    every winnowing fingerprint shared by >=2 documents, with how many
+    documents share it and the min/max sharing doc id.
+
+    100-TB shape: :func:`winnow_docs` explodes each doc into a bounded
+    fingerprint set (stateless pass), a per-batch combiner collapses to
+    (fingerprint, partial ndocs/min/max), and the only shuffle is a
+    coarse ``hash(fingerprint) % num_parts`` partition with a vectorized
+    pandas merge inside each part — never one Ray group per fingerprint.
+    Correct because winnow_docs emits per-doc DISTINCT fingerprints and
+    a doc's rows never split across batches, so partial counts are doc
+    counts."""
+    if num_parts is None:
+        num_parts = _cluster_parts()
+    fps = winnow_docs(docs_ds, k=k, w=w, text_col=text_col, id_col=id_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby("fingerprint", as_index=False).agg(
+            ndocs=(id_col, "size"),
+            first_doc=(id_col, "min"),
+            last_doc=(id_col, "max"),
+        )
+        # winnow fingerprints are masked non-negative int64
+        agg["part"] = agg["fingerprint"].to_numpy() % num_parts
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("fingerprint", as_index=False).agg(
+            ndocs=("ndocs", "sum"),
+            first_doc=("first_doc", "min"),
+            last_doc=("last_doc", "max"),
+        )
+        return out[out["ndocs"] >= 2]
+
+    return (
+        fps.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def term_postings(docs_ds, *, text_col: str = "text",
                   id_col: str = "doc_id", bucket_size: int = 1000,
                   num_parts: int | None = None):
@@ -1583,3 +1629,161 @@ def kmv_distinct_sketch(ds, col: str, *, k: int = 256):
             pa.table({"n_distinct_est": pa.array([0], pa.int64())})
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+
+
+def cms_heavy_hitters(docs_ds, *, threshold: int, depth: int = 4,
+                      width: int = 1024, text_col: str = "text",
+                      num_parts: int | None = None):
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan
+    2005): terms whose CMS ESTIMATE of total occurrences is >=
+    ``threshold``. Estimates never undercount, so the output is a
+    superset of the true heavy hitters with error bounded by
+    corpus_size * e/width per the usual CMS bound.
+
+    Deterministic and oracle-reproducible: row j's bucket for a term is
+    ``md5_number_lower(f"cms{j}|{term}") % width`` (DuckDB computes the
+    identical value).
+
+    100-TB shape: the sketch is the WHOLE reduction — per-batch local
+    term counts fold into (cell, count) partials with at most
+    depth*width distinct cells, the final aggregate has depth*width
+    (fixed, e.g. 4096) groups, and the finished sketch is broadcast via
+    ``ray.put`` for the estimate pass. The only term-cardinality shuffle
+    is the distinct-term dedup (coarse crc32 partition, vectorized
+    per-part drop_duplicates)."""
+    import zlib
+    from collections import Counter
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _md5_number_lower
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            counts.update(t.split())
+        cells: Counter = Counter()
+        for term, c in counts.items():
+            for j in range(depth):
+                b = _md5_number_lower(f"cms{j}|{term}") % width
+                cells[j * width + b] += c
+        ks = sorted(cells)
+        return pa.table(
+            {
+                "cell": pa.array(ks, pa.int64()),
+                "cnt": pa.array([cells[k] for k in ks], pa.int64()),
+            }
+        )
+
+    sketch_rows = (
+        docs_ds.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded: at most depth*width rows
+    )
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    for r in sketch_rows:
+        sketch[r["cell"]] = r["cnt"]
+    sketch_ref = ray.put(sketch)
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        terms = set()
+        for t in batch.column(text_col).to_pylist():
+            terms.update(t.split())
+        ts = sorted(terms)
+        return pa.table(
+            {
+                "term": pa.array(ts, pa.string()),
+                "part": pa.array(
+                    [zlib.crc32(w.encode()) % num_parts for w in ts],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def dedup(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.assign(_k=[w.encode("utf-8") for w in group["term"]])
+        return group.drop_duplicates("_k")[["term"]].reset_index(drop=True)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        sk = ray.get(sketch_ref)
+        terms = batch.column("term").to_pylist()
+        est = [
+            int(
+                min(
+                    sk[j * width + _md5_number_lower(f"cms{j}|{t}") % width]
+                    for j in range(depth)
+                )
+            )
+            for t in terms
+        ]
+        out = pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "cms_estimate": pa.array(est, pa.int64()),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return out.filter(
+            pc.greater_equal(out.column("cms_estimate"), threshold)
+        )
+
+    return (
+        docs_ds.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup, batch_format="pandas")
+        .map_batches(estimate, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# order-invariant table checksum
+
+_CHECKSUM_MOD = 999999999989  # prime < 2^40: per-batch partials stay
+# far below int64 even when the final Sum folds ~2^20 block partials
+
+
+def table_checksum(ds, cols: list, *, num_blocks: int | None = None):
+    """Order-invariant content checksum for migration / resumable-write
+    validation: ``SUM(md5_number_lower(col1||'|'||col2...) & (2^63-1))
+    % 999999999989`` plus the row count, one row out. Addition is
+    commutative so the result is independent of partitioning, task
+    order and retries; per-batch partials are reduced mod a <2^40 prime
+    so the final int64 Sum cannot overflow at any block count."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _FP_MASK, _md5_number_lower
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arrays = [batch.column(c).to_pylist() for c in cols]
+        s = 0
+        for vals in zip(*arrays):
+            key = "|".join("" if v is None else str(v) for v in vals)
+            s += _md5_number_lower(key) & _FP_MASK
+        return pa.table(
+            {
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "checksum": pa.array([s % _CHECKSUM_MOD], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("checksum", alias_name="checksum"),
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [int(agg["n_rows"] or 0)],
+            "checksum": [int(agg["checksum"] or 0) % _CHECKSUM_MOD],
+        }
+    )

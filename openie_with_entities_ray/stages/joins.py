@@ -390,3 +390,182 @@ def range_join(
     return (
         union.groupby(_PART).map_groups(kernel, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered anti-join
+
+
+_BLOOM_SEED_A = 0x9E3779B97F4A7C15
+_BLOOM_SEED_B = 0xBF58476D1CE4E5B9
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over a uint64 numpy array."""
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(_BLOOM_SEED_A)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_BLOOM_SEED_B)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def _bloom_positions(keys, num_bits: int, num_hashes: int):
+    """Kirsch–Mitzenmacher double hashing: k bit positions per key from
+    two splitmix64-derived hashes. ``keys`` is a Python list; integer
+    keys hash vectorized, anything else via md5 of the utf-8 repr."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    if keys and all(isinstance(k, (int, np.integer)) for k in keys):
+        raw = np.array(keys, dtype=np.int64).view(np.uint64)
+    else:
+        raw = np.array(
+            [
+                int.from_bytes(
+                    _hl.md5(str(k).encode("utf-8")).digest()[:8], "little"
+                )
+                for k in keys
+            ],
+            dtype=np.uint64,
+        )
+    h1 = _splitmix64(raw)
+    h2 = _splitmix64(raw ^ np.uint64(_BLOOM_SEED_B)) | np.uint64(1)
+    m = np.uint64(num_bits)
+    with np.errstate(over="ignore"):
+        return [
+            ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+            for i in range(num_hashes)
+        ]
+
+
+def build_bloom_bits(ds, key: str, *, num_bits: int = 1 << 20,
+                     num_hashes: int = 4):
+    """Fold a dataset's key column into a Bloom bit array: one stateless
+    pass emits a packed ``num_bits/8``-byte partial filter per batch and
+    the driver ORs the partials (rows = number of batches, each a fixed
+    few hundred KB — bounded regardless of corpus size). Returns a
+    ``numpy.uint8`` array of length ``num_bits``."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(num_bits, dtype=bool)
+        keys = batch.column(key).to_pylist()
+        if keys:
+            for pos in _bloom_positions(keys, num_bits, num_hashes):
+                bits[pos] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()])})
+
+    packed = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    acc = np.zeros(num_bits // 8, dtype=np.uint8)
+    for row in packed:
+        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return np.unpackbits(acc).astype(np.uint8)
+
+
+def bloom_anti_join(
+    big_ds_fn,
+    build_ds,
+    *,
+    on: str,
+    right_on: str | None = None,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    num_partitions: int | None = None,
+):
+    """EXACT anti-join (rows of the big side whose key has no match in
+    the build side; NULL keys never match, so NULL-keyed probe rows
+    survive — SQL NOT EXISTS semantics), with a Bloom prefilter pruning
+    the probe side before the shuffle — the canonical 100-TB anti-join
+    shape: the filter is fixed-size (num_bits/8 bytes) however large
+    the build side, Bloom misses are DEFINITE non-matches (no false
+    negatives) and stream straight to the output without touching the
+    shuffle, and only the Bloom-hit candidate slice pays the
+    co-partitioning exchange, where a per-part vectorized ``isin``
+    removes the false positives exactly. The exchange is the module's
+    tagged co-group, not Ray's native hash join: the candidate slice is
+    routinely tiny (pure fp-rate when the sides are disjoint) and the
+    native join builds schemaless partitions when a side's partition is
+    empty (see graph_algos.py's partition-cap note); the co-group kernel
+    handles empty sides explicitly.
+
+    ``big_ds_fn`` is a zero-arg callable returning the probe Dataset —
+    called twice (once per branch) so each branch re-reads the source
+    lazily instead of pinning the whole probe side in the object store;
+    at production scale two pruned column reads are cheaper than a
+    corpus-sized ``materialize()``.
+    """
+    import ray
+
+    import numpy as np
+
+    from .dataops import _cluster_parts
+
+    if right_on is None:
+        right_on = on
+    if num_partitions is None:
+        num_partitions = _cluster_parts()
+
+    bits = build_bloom_bits(
+        build_ds, right_on, num_bits=num_bits, num_hashes=num_hashes
+    )
+    if not bits.any():  # empty build side: every probe row survives
+        return big_ds_fn()
+    bits_ref = ray.put(bits)
+
+    def flag(keep_maybe: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = ray.get(bits_ref)
+            keys = batch.column(on).to_pylist()
+            if not keys:
+                return batch
+            maybe = np.ones(len(keys), dtype=bool)
+            for pos in _bloom_positions(keys, num_bits, num_hashes):
+                maybe &= b[pos].astype(bool)
+            return batch.filter(pa.array(maybe if keep_maybe else ~maybe))
+
+        return fn
+
+    definite = big_ds_fn().map_batches(flag(False), batch_format="pyarrow")
+
+    # build side projected to ONE renamed key column — nothing else
+    # ships, and the name can't collide with a probe column
+    build_keys = build_ds.map_batches(
+        lambda b: pa.table({"__bloom_key": b.column(right_on)}),
+        batch_format="pyarrow",
+    )
+    cands = big_ds_fn().map_batches(flag(True), batch_format="pyarrow")
+    union, fields = _conform_union(
+        cands, build_keys, left_key=on, right_key="__bloom_key",
+        num_parts=num_partitions,
+    )
+    out_fields = [
+        (n, t) for n, t in fields.items() if n != "__bloom_key"
+    ]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        df = _to_pandas_exact(batch)
+        left = df[df[_SIDE] == 0]
+        rkeys = set(df.loc[df[_SIDE] == 1, "__bloom_key"].dropna())
+        keep = left[on].isna() | ~left[on].isin(rkeys)
+        out = left[keep]
+        return pa.table(
+            {
+                n: pa.Array.from_pandas(
+                    out[n].reset_index(drop=True), type=t
+                )
+                for n, t in out_fields
+            }
+        )
+
+    survivors = union.groupby(_PART).map_groups(
+        kernel, batch_format="pyarrow"
+    )
+    return definite.union(survivors)

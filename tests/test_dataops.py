@@ -1476,3 +1476,301 @@ def test_winnow_sql_matches_kernel():
         got.setdefault(did, []).append(fp)
     for i, text in enumerate(docs):
         assert sorted(got[i]) == winnow_fingerprints(text), (i, text)
+
+
+# --- Bloom-prefiltered anti-join (stages/joins.py: bloom_anti_join) --------
+
+
+def test_bloom_bits_no_false_negatives(ray_session):
+    """Every inserted key must find all its positions set (the Bloom
+    no-false-negative guarantee) — on the vectorized int path and the
+    md5 string path (incl. NUL bytes and the empty string)."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import (
+        _bloom_positions,
+        build_bloom_bits,
+    )
+
+    for keys in ([1, 7, 42, -3, 2**40], ["a", "hot", "k\x00x", ""]):
+        bits = build_bloom_bits(
+            ray.data.from_arrow(pa.table({"k": keys})),
+            "k", num_bits=1 << 12, num_hashes=4,
+        )
+        for pos in _bloom_positions(keys, 1 << 12, 4):
+            assert bits[pos].all()
+
+
+def test_bloom_anti_join_exact_under_false_positives(ray_session):
+    """bloom_anti_join is EXACT even with a deliberately tiny filter
+    (num_bits=64 over 67 build keys -> the filter is near-saturated, so
+    most probes are false positives and must be removed by the
+    left_anti stage): the result must equal the NOT EXISTS set, on int
+    keys and on string keys."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import bloom_anti_join
+
+    for typ in ("int", "str"):
+        if typ == "int":
+            big_keys = list(range(200))
+            build_keys = [k for k in range(0, 200, 3)]
+        else:
+            big_keys = [f"u{i}" for i in range(200)]
+            build_keys = [f"u{i}" for i in range(0, 200, 3)]
+        big = pa.table({"k": big_keys, "v": list(range(200))})
+        build = pa.table({"rk": build_keys})
+
+        got = sorted(
+            (r["k"], r["v"])
+            for r in bloom_anti_join(
+                lambda: ray.data.from_arrow(big),
+                ray.data.from_arrow(build),
+                on="k",
+                right_on="rk",
+                num_bits=64,
+                num_hashes=2,
+                num_partitions=2,
+            ).take_all()
+        )
+        dropped = set(build_keys)
+        want = sorted(
+            (k, v) for v, k in enumerate(big_keys) if k not in dropped
+        )
+        assert got == want
+
+
+def test_bloom_anti_join_empty_build_side(ray_session):
+    """An empty build side must pass the probe side through unchanged
+    (the all-zero filter short-circuit; no join partition ever sees an
+    empty schemaless side)."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import bloom_anti_join
+
+    big = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    build = pa.table({"rk": pa.array([], pa.int64())})
+    got = sorted(
+        (r["k"], r["v"])
+        for r in bloom_anti_join(
+            lambda: ray.data.from_arrow(big),
+            ray.data.from_arrow(build),
+            on="k",
+            right_on="rk",
+        ).take_all()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+# --- cross-document duplicated spans (stages/dataops.py) -------------------
+
+
+def test_duplicate_spans_matches_bruteforce(ray_session):
+    """duplicate_spans must equal the brute-force groupby over each
+    doc's DISTINCT winnow fingerprints, and be partition-invariant
+    (num_parts 1 vs 7 vs many input blocks)."""
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.functions.textstats import (
+        winnow_fingerprints,
+    )
+    from openie_with_entities_ray.stages.dataops import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = {
+        1: f"one two {shared} three four five six",
+        2: f"nine {shared} ten eleven twelve",
+        3: "completely different content with no shared run at all ok",
+        4: f"prefix words {shared} suffix words here",
+        5: "",
+        6: f"one two {shared} three four five six",  # exact dup of 1
+    }
+    want = defaultdict(list)
+    for did, text in docs.items():
+        for fp in set(winnow_fingerprints(text)):
+            want[fp].append(did)
+    expected = sorted(
+        (fp, len(ds), min(ds), max(ds))
+        for fp, ds in want.items()
+        if len(ds) >= 2
+    )
+    assert expected  # fixture actually exercises the >=2 arm
+
+    table = pa.table(
+        {"doc_id": list(docs), "text": [docs[d] for d in docs]}
+    )
+
+    def run(num_parts, num_blocks):
+        ds = ray.data.from_arrow(table).repartition(num_blocks)
+        return sorted(
+            (r["fingerprint"], r["ndocs"], r["first_doc"], r["last_doc"])
+            for r in duplicate_spans(ds, num_parts=num_parts).take_all()
+        )
+
+    assert run(1, 1) == expected
+    assert run(7, 4) == expected
+
+
+def test_bloom_anti_join_null_probe_keys_survive(ray_session):
+    """SQL NOT EXISTS semantics: a NULL probe key matches nothing, so
+    the row must survive; NULL build keys are ignored."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import bloom_anti_join
+
+    big = pa.table(
+        {"k": pa.array([1, None, 3], pa.int64()), "v": ["a", "b", "c"]}
+    )
+    build = pa.table({"rk": pa.array([1, None], pa.int64())})
+    got = sorted(
+        [
+            (r["k"], r["v"])
+            for r in bloom_anti_join(
+                lambda: ray.data.from_arrow(big),
+                ray.data.from_arrow(build),
+                on="k",
+                right_on="rk",
+                num_bits=1 << 10,
+            ).take_all()
+        ],
+        key=lambda t: t[1],
+    )
+    assert got == [(None, "b"), (3, "c")]
+
+
+# --- partitioned window functions (stages/windows.py) ----------------------
+
+
+def test_running_sum_matches_bruteforce_and_partitions(ray_session):
+    """running_sum must equal the pandas window brute force and be
+    invariant to num_parts / input block count; ties broken by the
+    unique order column."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.windows import running_sum
+
+    keys = [1, 1, 1, 2, 2, 3] * 4
+    order = list(range(24))
+    vals = [(i * 7) % 11 for i in range(24)]
+    t = pa.table({"k": keys, "o": order, "v": vals})
+
+    df = t.to_pandas().sort_values(["k", "o"])
+    df["rs"] = df.groupby("k")["v"].cumsum()
+    expected = sorted(zip(df["k"], df["o"], df["rs"]))
+
+    def run(num_parts, num_blocks):
+        ds = ray.data.from_arrow(t).repartition(num_blocks)
+        out = running_sum(
+            ds, part_col="k", order_cols=["o"], value_col="v",
+            out_col="rs", keep_cols=["k", "o"], num_parts=num_parts,
+        )
+        return sorted((r["k"], r["o"], r["rs"]) for r in out.take_all())
+
+    assert run(1, 1) == expected
+    assert run(5, 6) == expected
+
+
+def test_lag_delta_int64_exact_past_2_53(ray_session):
+    """lag_delta must stay integer-exact on values past 2**53 (e.g.
+    nanosecond timestamps): a float64 round-trip would corrupt the
+    diffs. Also: each key's first row is dropped."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.windows import lag_delta
+
+    base = 2**60
+    t = pa.table(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "o": [0, 1, 2, 0, 1],
+            "v": pa.array(
+                [base, base + 3, base + 4, base + 1, base + 8], pa.int64()
+            ),
+        }
+    )
+    out = lag_delta(
+        ray.data.from_arrow(t), part_col="k", order_cols=["o"],
+        value_col="v", out_col="d", keep_cols=["k", "o"], num_parts=3,
+    )
+    got = sorted((r["k"], r["o"], r["d"]) for r in out.take_all())
+    assert got == [(1, 1, 3), (1, 2, 1), (2, 1, 7)]
+
+
+def test_table_checksum_partition_and_order_invariant(ray_session):
+    """table_checksum must be identical under any block layout and
+    equal the single-process brute force; NULLs fold as ''."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.functions.textstats import (
+        _FP_MASK,
+        _md5_number_lower,
+    )
+    from openie_with_entities_ray.stages.dataops import (
+        _CHECKSUM_MOD,
+        table_checksum,
+    )
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, None, 4, 5], pa.int64()),
+            "b": ["x", None, "y", "z|w", ""],
+        }
+    )
+    rows = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+    brute = sum(
+        _md5_number_lower(
+            "|".join("" if v is None else str(v) for v in r)
+        )
+        & _FP_MASK
+        for r in rows
+    ) % _CHECKSUM_MOD
+
+    for blocks in (1, 5):
+        out = table_checksum(
+            ray.data.from_arrow(t).repartition(blocks), ["a", "b"]
+        )
+        assert out["n_rows"].iloc[0] == 5
+        assert out["checksum"].iloc[0] == brute
+
+
+def test_cms_heavy_hitters_never_undercounts(ray_session):
+    """CMS estimates are >= true counts always, and with a wide sketch
+    (no collisions on a tiny vocab) the thresholded output equals the
+    exact heavy-hitter set."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import cms_heavy_hitters
+
+    texts = [
+        "aa bb aa cc", "aa bb", "dd dd dd dd dd", "aa", "", "ee ff ee",
+    ] * 3
+    true = Counter()
+    for t in texts:
+        true.update(t.split())
+
+    docs = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = {
+        r["term"]: r["cms_estimate"]
+        for r in cms_heavy_hitters(
+            ray.data.from_arrow(docs).repartition(4),
+            threshold=6, width=4096, num_parts=3,
+        ).take_all()
+    }
+    for term, est in out.items():
+        assert est >= true[term]
+    assert set(out) == {t for t, c in true.items() if c >= 6}
+    # wide sketch + tiny vocab: estimates are exact
+    assert all(out[t] == true[t] for t in out)
