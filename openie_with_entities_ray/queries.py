@@ -2968,6 +2968,57 @@ UNION ALL SELECT 3, count(*) FROM p
 """
 
 
+def q_length_quantiles_by_lang(sf_dir):
+    """Exact per-language word-length quantiles (p50/p90,
+    percentile_disc semantics) via the bounded-domain histogram — the
+    only aggregate is O(langs × distinct lengths) cells, never a
+    per-group value shuffle. stages/dataops.py:grouped_length_quantiles."""
+    from .stages.dataops import grouped_length_quantiles
+
+    return grouped_length_quantiles(
+        _docs(sf_dir, num_blocks=_read_blocks())
+    )
+
+
+SQL_LENGTH_QUANTILES_BY_LANG = f"""
+WITH l AS (
+  SELECT lang, len({_SQL_WORDS})::BIGINT AS n FROM documents
+)
+SELECT lang, 50::BIGINT AS q_percent,
+       (percentile_disc(0.5) WITHIN GROUP (ORDER BY n))::BIGINT AS n_words
+FROM l GROUP BY lang
+UNION ALL
+SELECT lang, 90,
+       (percentile_disc(0.9) WITHIN GROUP (ORDER BY n))::BIGINT
+FROM l GROUP BY lang
+"""
+
+
+def q_doc_percentile_rank(sf_dir):
+    """Global window function Ray Data lacks natively:
+    ``percent_rank() OVER (ORDER BY n_chars)`` as exact integer
+    permille, computed with a broadcast cumulative histogram instead of
+    a global sort (stages/dataops.py:percent_rank_by_value)."""
+    import ray.data
+
+    from .stages.dataops import percent_rank_by_value
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return percent_rank_by_value(
+        docs, value_col="n_chars", keep_cols=["doc_id"]
+    )
+
+
+SQL_DOC_PERCENTILE_RANK = """
+SELECT doc_id,
+       ((1000 * (rank() OVER (ORDER BY n_chars) - 1))
+        // GREATEST(count(*) OVER () - 1, 1))::BIGINT AS pct_permille
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3042,6 +3093,8 @@ def build_queries():
         "heavy_hitters": q_heavy_hitters,
         "orders_checksum": q_orders_checksum,
         "conversion_funnel": q_conversion_funnel,
+        "length_quantiles_by_lang": q_length_quantiles_by_lang,
+        "doc_percentile_rank": q_doc_percentile_rank,
     }
 
 
@@ -3116,4 +3169,6 @@ def build_oracle_sql():
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "orders_checksum": SQL_ORDERS_CHECKSUM,
         "conversion_funnel": SQL_CONVERSION_FUNNEL,
+        "length_quantiles_by_lang": SQL_LENGTH_QUANTILES_BY_LANG,
+        "doc_percentile_rank": SQL_DOC_PERCENTILE_RANK,
     }

@@ -1787,3 +1787,125 @@ def table_checksum(ds, cols: list, *, num_blocks: int | None = None):
             "checksum": [int(agg["checksum"] or 0) % _CHECKSUM_MOD],
         }
     )
+
+
+def grouped_length_quantiles(docs_ds, *, group_col: str = "lang",
+                             quantiles=(0.5, 0.9), text_col: str = "text"):
+    """EXACT per-group word-length quantiles (percentile_disc semantics,
+    matching DuckDB: smallest value whose in-group cumulative count
+    reaches ceil(q*N)) via the bounded-domain histogram trick: the only
+    aggregate is over (group, n_words) — O(groups × distinct lengths)
+    cells regardless of corpus size — and the quantile walk runs on that
+    small table. No per-group value shuffle, no corpus sort, no skew
+    exposure on hot groups."""
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter(
+            (g, len(t.split()))
+            for g, t in zip(
+                batch.column(group_col).to_pylist(),
+                batch.column(text_col).to_pylist(),
+            )
+        )
+        ks = sorted(counts)
+        return pa.table(
+            {
+                group_col: pa.array([k[0] for k in ks], pa.string()),
+                "n_words": pa.array([k[1] for k in ks], pa.int64()),
+                "n": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    hist = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "n_words"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort([group_col, "n_words"])
+        .take_all()  # O(groups × distinct lengths): a true small result
+    )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append((r["n_words"], r["n"]))
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(by_group):
+        rows = by_group[g]
+        total = sum(n for _, n in rows)
+        for q in quantiles:
+            target = max(1, math.ceil(q * total))
+            cum = 0
+            val = rows[-1][0]
+            for v, n in rows:
+                cum += n
+                if cum >= target:
+                    val = v
+                    break
+            out_g.append(g)
+            out_q.append(int(round(q * 100)))
+            out_v.append(int(val))
+    return pa.table(
+        {
+            group_col: pa.array(out_g, pa.string()),
+            "q_percent": pa.array(out_q, pa.int64()),
+            "n_words": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+def percent_rank_by_value(ds, *, value_col: str, keep_cols: list,
+                          out_col: str = "pct_permille",
+                          scale: int = 1000):
+    """Global SQL ``percent_rank() OVER (ORDER BY value_col)`` as exact
+    integer permille — a window over the WHOLE dataset, which Ray Data
+    has no native operator for. Shape: the bounded-domain histogram of
+    ``value_col`` (per-batch value-counts → one small groupby) is walked
+    into a cumulative count-of-smaller map, broadcast via ``ray.put``,
+    and a stateless second pass maps every row —
+    ``scale * count_smaller // max(N-1, 1)`` (rank()-1 == count of
+    strictly smaller values, so ties share the min rank exactly as SQL).
+    Requires a bounded value domain (lengths, buckets, scores); the
+    histogram, not the corpus, is the only driver-side object."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter(batch.column(value_col).to_pylist())
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "v": pa.array(ks, pa.int64()),
+                "n": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("v")
+        .take_all()
+    )
+    total = sum(r["n"] for r in hist)
+    denom = max(total - 1, 1)
+    smaller: dict = {}
+    cum = 0
+    for r in hist:
+        smaller[r["v"]] = cum
+        cum += r["n"]
+    smaller_ref = ray.put(smaller)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        sm = ray.get(smaller_ref)
+        vals = batch.column(value_col).to_pylist()
+        cols = {c: batch.column(c) for c in keep_cols}
+        cols[out_col] = pa.array(
+            [scale * sm[v] // denom for v in vals], pa.int64()
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(rank, batch_format="pyarrow")

@@ -410,3 +410,73 @@ def test_dedup_job_emit_survivors(tmp_path):
     rep2 = json.loads(second.stdout.strip().splitlines()[-1])
     assert rep2["survivor_shards_skipped"] == 2
     assert rep2["survivor_shards_written"] == 0
+
+
+def test_curate_job_end_to_end_and_resumable(tmp_path):
+    """jobs/curate_job.py: quality filter -> global exact dedup ->
+    survivors + budget report, manifest-resumable at every stage. A
+    cross-shard duplicate keeps only the min doc_id; low-quality docs
+    never reach the keepers; a re-run writes nothing."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def prose(tag):
+        # 22 words, stopword-heavy, punctuation-free: passes the
+        # default C4-style thresholds
+        return (f"the {tag} sat on the mat and the dog lay by the door "
+                f"while the sun was high in the sky today")
+
+    dup = prose("cat")
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    # shard 0: dup + unique passing + too-short reject
+    pq.write_table(
+        pa.table({"doc_id": [2, 3, 4],
+                  "text": [dup, prose("owl"), "x"],
+                  "lang": ["en"] * 3}),
+        shard_dir / "s0.parquet",
+    )
+    # shard 1: the SAME text (cross-shard dup, higher id) + unique
+    pq.write_table(
+        pa.table({"doc_id": [10, 11],
+                  "text": [dup, prose("fox")],
+                  "lang": ["en"] * 2}),
+        shard_dir / "s1.parquet",
+    )
+    out = tmp_path / "curate"
+
+    def run_job():
+        return subprocess.run(
+            [sys.executable, "jobs/curate_job.py",
+             "--input", str(shard_dir / "*.parquet"), "--out", str(out)],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    first = run_job()
+    assert first.returncode == 0, first.stderr[-800:]
+    rep1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert rep1 == {
+        "shards": 2, "clean_written": 2, "keepers_written": 16,
+        "survivors_written": 2, "curated_docs": 3,
+    }
+
+    surv_files = sorted((out / "survivors").glob("part=*/*.parquet"))
+    ids = sorted(
+        i for f in surv_files
+        for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+    )
+    assert ids == [2, 3, 11]  # dup keeper is min id; reject never appears
+
+    report = json.loads((out / "report.json").read_text())
+    assert report["total_docs"] == 3
+    assert report["langs"][0]["lang"] == "en"
+    assert report["langs"][0]["n_words"] == 3 * 22
+
+    second = run_job()
+    rep2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert rep2["clean_written"] == 0
+    assert rep2["keepers_written"] == 0
+    assert rep2["survivors_written"] == 0
+    assert rep2["curated_docs"] == 3

@@ -1774,3 +1774,81 @@ def test_cms_heavy_hitters_never_undercounts(ray_session):
     assert set(out) == {t for t, c in true.items() if c >= 6}
     # wide sketch + tiny vocab: estimates are exact
     assert all(out[t] == true[t] for t in out)
+
+
+def test_grouped_length_quantiles_matches_duckdb(ray_session):
+    """Per-group histogram quantiles must match DuckDB percentile_disc,
+    including tie-heavy and single-doc groups."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        grouped_length_quantiles,
+    )
+
+    texts = (
+        ["a b c"] * 5 + ["a b"] * 3 + ["a b c d e f"] * 2,  # lang x: ties
+        ["one"],                                            # lang y: single
+        ["w " * k for k in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)],  # lang z
+    )
+    rows = [(lang, t) for lang, ts in zip("xyz", texts) for t in ts]
+    t = pa.table(
+        {"lang": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    )
+    got = sorted(
+        (r["lang"], r["q_percent"], r["n_words"])
+        for r in grouped_length_quantiles(
+            ray.data.from_arrow(t).repartition(3)
+        ).to_pylist()
+    )
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = sorted(
+        con.sql(
+            """
+            WITH l AS (SELECT lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n
+                       FROM documents)
+            SELECT lang, 50 AS q, percentile_disc(0.5)
+                   WITHIN GROUP (ORDER BY n) FROM l GROUP BY lang
+            UNION ALL
+            SELECT lang, 90, percentile_disc(0.9)
+                   WITHIN GROUP (ORDER BY n) FROM l GROUP BY lang
+            """
+        ).fetchall()
+    )
+    assert got == [(g, q, v) for g, q, v in want]
+
+
+def test_percent_rank_matches_sql_semantics(ray_session):
+    """percent_rank_by_value must reproduce SQL percent_rank (ties share
+    the min rank; single-row input hits the denom guard)."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        percent_rank_by_value,
+    )
+
+    vals = [10, 20, 20, 30, 5, 20]
+    t = pa.table({"id": list(range(6)), "v": pa.array(vals, pa.int64())})
+    got = {
+        r["id"]: r["pct_permille"]
+        for r in percent_rank_by_value(
+            ray.data.from_arrow(t).repartition(3),
+            value_col="v", keep_cols=["id"],
+        ).take_all()
+    }
+    n = len(vals)
+    want = {
+        i: 1000 * sum(1 for w in vals if w < v) // (n - 1)
+        for i, v in enumerate(vals)
+    }
+    assert got == want
+
+    single = pa.table({"id": [0], "v": pa.array([7], pa.int64())})
+    out = percent_rank_by_value(
+        ray.data.from_arrow(single), value_col="v", keep_cols=["id"]
+    ).take_all()
+    assert out == [{"id": 0, "pct_permille": 0}]
