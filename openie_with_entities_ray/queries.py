@@ -3019,6 +3019,36 @@ FROM documents
 """
 
 
+def q_triangle_count(sf_dir):
+    """Exact triangle count of the flagship's deduped edge graph via
+    degree-ordered wedge generation (each node's out-degree bounded by
+    ~sqrt(2m) after orientation, so wedges are O(m^1.5) under any hub
+    skew) — stages/graph_algos.py:triangle_count; counted against a
+    three-way self-join DuckDB oracle."""
+    from .pipelines.flagship import build_graph, extract_triples
+    from .stages.graph_algos import triangle_count
+
+    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    return triangle_count(edges)
+
+
+def _sql_triangle_count() -> str:
+    from . import oracles
+
+    return f"""
+WITH edges AS (
+{oracles.sql_graph_edges()}
+), e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3095,6 +3125,7 @@ def build_queries():
         "conversion_funnel": q_conversion_funnel,
         "length_quantiles_by_lang": q_length_quantiles_by_lang,
         "doc_percentile_rank": q_doc_percentile_rank,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -3171,4 +3202,5 @@ def build_oracle_sql():
         "conversion_funnel": SQL_CONVERSION_FUNNEL,
         "length_quantiles_by_lang": SQL_LENGTH_QUANTILES_BY_LANG,
         "doc_percentile_rank": SQL_DOC_PERCENTILE_RANK,
+        "triangle_count": _sql_triangle_count(),
     }

@@ -1852,3 +1852,38 @@ def test_percent_rank_matches_sql_semantics(ray_session):
         ray.data.from_arrow(single), value_col="v", keep_cols=["id"]
     ).take_all()
     assert out == [{"id": 0, "pct_permille": 0}]
+
+
+def test_triangle_count_known_graphs(ray_session):
+    """triangle_count on hand-checkable graphs: K4 has 4 triangles; a
+    triangle plus a pendant edge has 1; duplicate/reversed/self-loop
+    edges must not change the count; a triangle-free star has 0 (the
+    empty-wedge arm); partition-invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import triangle_count
+
+    def count(edges, num_parts=4, num_blocks=3):
+        t = pa.table(
+            {
+                "src": [e[0] for e in edges],
+                "dst": [e[1] for e in edges],
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(num_blocks)
+        return triangle_count(ds, num_parts=num_parts).take_all()[0][
+            "n_triangles"
+        ]
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    assert count(k4) == 4
+    assert count(k4, num_parts=1, num_blocks=1) == 4
+
+    tri_pendant = [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")]
+    assert count(tri_pendant) == 1
+    # noise: duplicates, reversed direction, self-loop
+    assert count(tri_pendant + [("y", "x"), ("x", "x"), ("z", "x")]) == 1
+
+    star = [("hub", f"leaf{i}") for i in range(6)]
+    assert count(star) == 0
