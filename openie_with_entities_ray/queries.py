@@ -3049,6 +3049,209 @@ JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 """
 
 
+def q_shipping_priority(sf_dir):
+    """TPC-H Q3 shape: top-10 open orders by in-window revenue for one
+    market segment. The segment's custkeys are a broadcast set (dims
+    never shuffle), both fact tables are date-filtered and
+    column-pruned BEFORE the hash join, the per-order revenue sum is a
+    per-batch combiner → coarse orderkey partition with a per-part
+    top-10 prune, and only parts×10 rows reach the final sort."""
+    import zlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .stages.dataops import _cluster_parts, cluster_cpus
+
+    num_parts = _cluster_parts()
+    cutoff = pd.Timestamp("1997-06-01")
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_keys = set(
+        cust.filter(
+            pc.equal(cust.column("c_mktsegment"), "BUILDING")
+        ).column("c_custkey").to_pylist()
+    )
+    seg_ref = ray.put(seg_keys)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def open_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(seg_ref)
+        batch = batch[batch["o_orderdate"] < cutoff]
+        batch = batch[[c in keys for c in batch["o_custkey"]]]
+        return batch[["o_orderkey"]]
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def shipped_late(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] > cutoff]
+        batch = batch.copy()
+        batch["cents"] = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1 - batch["l_discount"].to_numpy()) * 100 + 0.5
+        ).astype("int64")
+        return batch[["l_orderkey", "cents"]]
+
+    joined = li.map_batches(shipped_late, batch_format="pandas").join(
+        orders.map_batches(open_orders, batch_format="pandas"),
+        join_type="inner",
+        num_partitions=max(2, cluster_cpus() // 4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("cents", "sum")
+        )
+        g["part"] = g["l_orderkey"].astype("int64") % num_parts
+        return g
+
+    def per_part_top(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("l_orderkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+        return g.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part_top, batch_format="pandas")
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey,
+       SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l.l_orderkey
+ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10
+"""
+
+
+def q_distinct_users_by_type(sf_dir):
+    """Per-group KMV distinct-count sketch: estimated distinct users per
+    event type (exact below k=256 per group, as on the fixture) —
+    deterministic md5 hashing, bit-reproducible and SQL-mirrored.
+    stages/dataops.py:kmv_distinct_by_group."""
+    import ray.data
+
+    from .stages.dataops import kmv_distinct_by_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return kmv_distinct_by_group(
+        ev, group_col="event_type", col="user_id"
+    )
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+  FROM events
+), ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS c
+  FROM h
+)
+SELECT event_type,
+  CASE WHEN max(c) < 256 THEN max(c)::BIGINT
+  ELSE CAST(LEAST(
+    255 * CAST('18446744073709551616' AS HUGEINT)
+        // CAST(max(CASE WHEN rn = 256 THEN hv END) AS HUGEINT),
+    CAST('9223372036854775807' AS HUGEINT)) AS BIGINT)
+  END AS n_distinct_est
+FROM ranked GROUP BY event_type
+"""
+
+
+def q_event_type_cooccurrence(sf_dir):
+    """Co-occurrence matrix over user behavior: for every unordered pair
+    of event types, how many users did both. ONE coarse shuffle on
+    user_id; per part a vectorized distinct + in-memory pair expansion
+    (pair domain is types², bounded); final aggregate over ≤ C(T,2)
+    groups."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.dataops import _cluster_parts
+
+    num_parts = _cluster_parts()
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.drop_duplicates(["user_id", "event_type"])
+        batch = batch.copy()
+        batch["part"] = batch["user_id"].astype("int64") % num_parts
+        return batch
+
+    def pair_counts(group: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        from itertools import combinations
+
+        g = group.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"]
+        )
+        counts: Counter = Counter()
+        for _, grp in g.groupby("user_id", sort=False):
+            for a, b in combinations(grp["event_type"], 2):
+                counts[(a, b)] += 1
+        ks = sorted(counts)
+        return pd.DataFrame(
+            {
+                "type_a": [k[0] for k in ks],
+                "type_b": [k[1] for k in ks],
+                "n_users": [counts[k] for k in ks],
+            }
+        )
+
+    return (
+        ev.map_batches(add_part, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(pair_counts, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_EVENT_TYPE_COOCCURRENCE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3126,6 +3329,9 @@ def build_queries():
         "length_quantiles_by_lang": q_length_quantiles_by_lang,
         "doc_percentile_rank": q_doc_percentile_rank,
         "triangle_count": q_triangle_count,
+        "shipping_priority": q_shipping_priority,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "event_type_cooccurrence": q_event_type_cooccurrence,
     }
 
 
@@ -3203,4 +3409,7 @@ def build_oracle_sql():
         "length_quantiles_by_lang": SQL_LENGTH_QUANTILES_BY_LANG,
         "doc_percentile_rank": SQL_DOC_PERCENTILE_RANK,
         "triangle_count": _sql_triangle_count(),
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
+        "event_type_cooccurrence": SQL_EVENT_TYPE_COOCCURRENCE,
     }

@@ -1909,3 +1909,54 @@ def percent_rank_by_value(ds, *, value_col: str, keep_cols: list,
         return pa.table(cols)
 
     return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def kmv_distinct_by_group(ds, *, group_col: str, col: str, k: int = 256):
+    """Per-group KMV distinct-count sketch: :func:`kmv_distinct_sketch`
+    with one sketch per group. Deterministic md5 hashing (DuckDB
+    ``md5_number_lower``) — bit-reproducible across cluster sizes and
+    SQL-mirrorable; exact below k distinct per group.
+
+    Group cardinality is assumed BOUNDED (event types, languages,
+    buckets — not user ids): the merge is one Ray group per key over
+    sketch-sized partials (≤ k rows per group per batch). For unbounded
+    keys use the coarse-partition idiom instead."""
+    from ..functions.textstats import _md5_number_lower
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per: dict = {}
+        for g, v in zip(
+            batch.column(group_col).to_pylist(),
+            batch.column(col).to_pylist(),
+        ):
+            per.setdefault(g, set()).add(_md5_number_lower(str(v)))
+        gs, hs = [], []
+        for g in sorted(per):
+            for h in sorted(per[g])[:k]:
+                gs.append(g)
+                hs.append(h)
+        return pa.table(
+            {
+                group_col: pa.array(gs, pa.string()),
+                "hv": pa.array(hs, pa.uint64()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        hs = sorted(set(int(h) for h in df["hv"]))
+        if len(hs) >= k:
+            est = min((k - 1) * (1 << 64) // hs[k - 1], 2**63 - 1)
+        else:
+            est = len(hs)
+        return pd.DataFrame(
+            {
+                group_col: [df[group_col].iloc[0]],
+                "n_distinct_est": [est],
+            }
+        ).astype({"n_distinct_est": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )

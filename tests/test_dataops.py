@@ -1887,3 +1887,42 @@ def test_triangle_count_known_graphs(ray_session):
 
     star = [("hub", f"leaf{i}") for i in range(6)]
     assert count(star) == 0
+
+
+def test_kmv_by_group_exact_and_estimate_paths(ray_session):
+    """kmv_distinct_by_group: exact below k per group, KMV-estimate
+    formula above k (brute-forced with the same deterministic hash),
+    invariant to block layout."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.functions.textstats import (
+        _md5_number_lower,
+    )
+    from openie_with_entities_ray.stages.dataops import (
+        kmv_distinct_by_group,
+    )
+
+    k = 64
+    small_vals = [f"s{i}" for i in range(10)] * 3        # 10 distinct
+    big_vals = [f"b{i}" for i in range(500)]             # 500 distinct > k
+    t = pa.table(
+        {
+            "g": ["small"] * len(small_vals) + ["big"] * len(big_vals),
+            "v": small_vals + big_vals,
+        }
+    )
+    hs = sorted({_md5_number_lower(str(v)) for v in big_vals})
+    want_big = min((k - 1) * (1 << 64) // hs[k - 1], 2**63 - 1)
+
+    for blocks in (1, 5):
+        got = {
+            r["g"]: r["n_distinct_est"]
+            for r in kmv_distinct_by_group(
+                ray.data.from_arrow(t).repartition(blocks),
+                group_col="g", col="v", k=k,
+            ).take_all()
+        }
+        assert got == {"small": 10, "big": want_big}
+    # the estimate is within 30% of truth on this input
+    assert abs(want_big - 500) / 500 < 0.3
