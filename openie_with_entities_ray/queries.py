@@ -3252,6 +3252,45 @@ GROUP BY 1, 2
 """
 
 
+def q_normalized_dedup_docs(sf_dir):
+    """Fuzzy-exact dedup: dedup groups keyed on the NORMALIZED text
+    (lowercase, whitespace collapsed to single spaces, trimmed) — the
+    standard curation step between byte-exact and near-dup removal.
+    Same coarse-partition shape as exact dedup; ASCII-equivalent
+    normalization on both sides (Python ``' '.join(lower().split())``
+    == the oracle's ``regexp_replace(lower(trim(..)), '\\s+', ' ')``
+    for this corpus's ASCII whitespace)."""
+    from .stages.dataops import exact_dedup_groups
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_text": pa.array(
+                    [
+                        " ".join(t.lower().split())
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    norm = _docs(sf_dir, num_blocks=_read_blocks()).map_batches(
+        normalize, batch_format="pyarrow"
+    )
+    return exact_dedup_groups(norm, text_col="norm_text")
+
+
+SQL_NORMALIZED_DEDUP_DOCS = """
+SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS content_sha256,
+       min(doc_id)::BIGINT AS keeper_id,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3332,6 +3371,7 @@ def build_queries():
         "shipping_priority": q_shipping_priority,
         "distinct_users_by_type": q_distinct_users_by_type,
         "event_type_cooccurrence": q_event_type_cooccurrence,
+        "normalized_dedup_docs": q_normalized_dedup_docs,
     }
 
 
@@ -3412,4 +3452,5 @@ def build_oracle_sql():
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
         "event_type_cooccurrence": SQL_EVENT_TYPE_COOCCURRENCE,
+        "normalized_dedup_docs": SQL_NORMALIZED_DEDUP_DOCS,
     }
