@@ -3291,6 +3291,104 @@ FROM documents GROUP BY 1
 """
 
 
+def q_quality_buckets(sf_dir):
+    """CCNet-style per-language quality tiers (head/middle/tail by
+    stopword-ratio quartiles within each language) — bounded-domain
+    histogram thresholds + a stateless tagging pass, never a per-group
+    value shuffle. stages/dataops.py:quality_buckets."""
+    from .stages.dataops import quality_buckets
+
+    return quality_buckets(_docs(sf_dir, num_blocks=_read_blocks()))
+
+
+SQL_QUALITY_BUCKETS = """
+WITH s AS (
+  SELECT doc_id, lang,
+         ((1000 * len(list_filter(regexp_split_to_array(trim(text), ' +'),
+             x -> lower(x) IN ('the','a','an','and','of','to','in','is','on','for'))))
+           // len(regexp_split_to_array(trim(text), ' +')))::BIGINT
+           AS stopword_permille
+  FROM documents
+), t AS (
+  SELECT lang,
+         (percentile_disc(0.25) WITHIN GROUP
+            (ORDER BY stopword_permille))::BIGINT AS t_low,
+         (percentile_disc(0.75) WITHIN GROUP
+            (ORDER BY stopword_permille))::BIGINT AS t_high
+  FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.stopword_permille,
+       CASE WHEN s.stopword_permille >= t.t_high THEN 'head'
+            WHEN s.stopword_permille >= t.t_low THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN t USING (lang)
+"""
+
+
+def q_kmeans_clusters(sf_dir):
+    """Lloyd's k-means over the embeddings table in exact integer
+    arithmetic — bit-identical under any batching or cluster size, so
+    it gets the (weaker) rows-only driver check plus a differential
+    test against the single-array numpy mirror
+    (tests/test_dataops.py). stages/dataops.py:kmeans_embeddings."""
+    import ray.data
+
+    from .stages.dataops import kmeans_embeddings
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_embeddings(emb, k=8, iters=5)
+
+
+def q_doc_chunks(sf_dir):
+    """Fixed-length training-sequence chunking (32-token windows,
+    remainder kept, whitespace tokens) — a stateless flat map with no
+    cross-doc state. stages/dataops.py:chunk_documents."""
+    from .stages.dataops import chunk_documents
+
+    return chunk_documents(
+        _docs(sf_dir, num_blocks=_read_blocks()), seq_len=32
+    )
+
+
+SQL_DOC_CHUNKS = """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, words,
+         unnest(range(0, CAST(ceil(len(words) / 32.0) AS BIGINT)))
+           AS chunk_id
+  FROM w
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       least(32, len(words) - chunk_id * 32)::BIGINT AS n_tokens,
+       array_to_string(
+         words[(chunk_id * 32 + 1):least(len(words), (chunk_id + 1) * 32)],
+         ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_semantic_dedup(sf_dir):
+    """SemDeDup: k-means-partitioned embedding near-dup removal —
+    quadratic cosine work confined to within-cluster blocks, one
+    groupby exchange. Iterative k-means core ⇒ rows-only driver check
+    plus the differential test vs the numpy mirror
+    (tests/test_dataops.py). stages/dataops.py:semantic_dedup."""
+    import ray.data
+
+    from .stages.dataops import semantic_dedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(emb, k=8, iters=3, threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3372,6 +3470,10 @@ def build_queries():
         "distinct_users_by_type": q_distinct_users_by_type,
         "event_type_cooccurrence": q_event_type_cooccurrence,
         "normalized_dedup_docs": q_normalized_dedup_docs,
+        "quality_buckets": q_quality_buckets,
+        "kmeans_clusters": q_kmeans_clusters,
+        "doc_chunks": q_doc_chunks,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3453,4 +3555,6 @@ def build_oracle_sql():
         "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
         "event_type_cooccurrence": SQL_EVENT_TYPE_COOCCURRENCE,
         "normalized_dedup_docs": SQL_NORMALIZED_DEDUP_DOCS,
+        "quality_buckets": SQL_QUALITY_BUCKETS,
+        "doc_chunks": SQL_DOC_CHUNKS,
     }

@@ -1855,6 +1855,360 @@ def grouped_length_quantiles(docs_ds, *, group_col: str = "lang",
     )
 
 
+def quality_buckets(docs_ds, *, lang_col: str = "lang",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    q_low: float = 0.25, q_high: float = 0.75):
+    """CCNet-style per-language quality tiers: tag every document
+    head / middle / tail by where its stopword ratio sits in its
+    language's distribution (CCNet buckets corpora by per-language
+    perplexity quantiles; stopword_permille is this repo's
+    model-free quality score, functions/textstats.py:quality_stats).
+
+    Scale shape — two streaming passes, no per-group value shuffle:
+    pass 1 builds the bounded-domain (lang × permille ∈ [0, 1000])
+    histogram — O(langs × 1001) cells regardless of corpus size —
+    and walks it for the per-language percentile_disc thresholds
+    (same exact semantics as grouped_length_quantiles); pass 2
+    re-scores each doc statelessly and tags it against the
+    closure-captured threshold map (tiny: one pair per language).
+    Re-scoring beats materializing pass-1 scores: the kernel is
+    cheap and both passes stay fully streaming.
+
+    ``q_low`` / ``q_high`` must be exact binary fractions (.25/.75
+    default) so ``ceil(q * N)`` cannot float-drift vs the oracle's
+    ``percentile_disc``."""
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import quality_stats
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter(
+            (g, quality_stats(t)["stopword_permille"])
+            for g, t in zip(
+                batch.column(lang_col).to_pylist(),
+                batch.column(text_col).to_pylist(),
+            )
+        )
+        ks = sorted(counts)
+        return pa.table(
+            {
+                lang_col: pa.array([k[0] for k in ks], pa.string()),
+                "stopword_permille": pa.array(
+                    [k[1] for k in ks], pa.int64()
+                ),
+                "n": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    hist = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([lang_col, "stopword_permille"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort([lang_col, "stopword_permille"])
+        .take_all()  # O(langs × 1001): a true small result
+    )
+    by_lang: dict = {}
+    for r in hist:
+        by_lang.setdefault(r[lang_col], []).append(
+            (r["stopword_permille"], r["n"])
+        )
+    thresholds: dict = {}
+    for g, rows in by_lang.items():
+        total = sum(n for _, n in rows)
+        vals = []
+        for q in (q_low, q_high):
+            target = max(1, math.ceil(q * total))
+            cum = 0
+            val = rows[-1][0]
+            for v, n in rows:
+                cum += n
+                if cum >= target:
+                    val = v
+                    break
+            vals.append(int(val))
+        thresholds[g] = (vals[0], vals[1])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        langs = batch.column(lang_col).to_pylist()
+        sp = [
+            quality_stats(t)["stopword_permille"]
+            for t in batch.column(text_col).to_pylist()
+        ]
+        buckets = []
+        for g, s in zip(langs, sp):
+            t_lo, t_hi = thresholds[g]
+            buckets.append(
+                "head" if s >= t_hi else "middle" if s >= t_lo else "tail"
+            )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                lang_col: batch.column(lang_col),
+                "stopword_permille": pa.array(sp, pa.int64()),
+                "bucket": pa.array(buckets, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def chunk_documents(docs_ds, *, seq_len: int = 128,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Training-sequence prep: split each document's whitespace tokens
+    into fixed-length windows of ``seq_len`` (the last window keeps
+    the remainder; empty documents emit no chunks). Doc-LEVEL
+    chunking on purpose — each chunk is a pure function of its own
+    document, so the op is a stateless flat map, reproducible under
+    any partitioning; greedy cross-doc packing is order-dependent by
+    construction and belongs in a final single-writer sink, not here.
+    Output: (id, chunk_id, n_tokens, chunk_text)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids_out, cidx, ntok, ctext = [], [], [], []
+        for did, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            words = t.split()
+            for i in range(0, len(words), seq_len):
+                sl = words[i:i + seq_len]
+                ids_out.append(did)
+                cidx.append(i // seq_len)
+                ntok.append(len(sl))
+                ctext.append(" ".join(sl))
+        return pa.table(
+            {
+                id_col: pa.array(
+                    ids_out, batch.schema.field(id_col).type
+                ),
+                "chunk_id": pa.array(cidx, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "chunk_text": pa.array(ctext, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _kmeans_kernels(scale: int):
+    """Shared exact-integer k-means primitives: quantizer, column
+    stacker, and the integer squared-distance expansion."""
+
+    def _quant(mat) -> np.ndarray:
+        return np.rint(
+            np.asarray(mat, dtype=np.float64) * scale
+        ).astype(np.int64)
+
+    def _stack(col) -> np.ndarray:
+        return np.stack(col.to_numpy(zero_copy_only=False))
+
+    def _d2(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+        return (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+
+    return _quant, _stack, _d2
+
+
+def _kmeans_centroids(emb_ds, *, k: int, iters: int, id_col: str,
+                      vec_col: str, scale: int) -> np.ndarray:
+    """Lloyd iterations of :func:`kmeans_embeddings`, returning the
+    final k×d int64 centroid matrix. One streaming pass per round;
+    the driver merge sees ≤ k × num_batches partial rows."""
+    import ray
+
+    _quant, _stack, _d2 = _kmeans_kernels(scale)
+
+    def partial_mink(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        return batch.take(pa.array(np.argsort(ids)[:k]))
+
+    cand = (
+        emb_ds.map_batches(partial_mink, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+        .head(k)
+    )
+    cents = _quant(np.stack(cand[vec_col].to_numpy()))
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            x = _quant(_stack(batch.column(vec_col)))
+            assign = np.argmin(_d2(x, c), axis=1)
+            cids = np.unique(assign)
+            return pa.table(
+                {
+                    "cluster": pa.array(cids.astype(np.int64), pa.int64()),
+                    "vec_sum": pa.array(
+                        [x[assign == cid].sum(axis=0).tolist()
+                         for cid in cids],
+                        pa.list_(pa.int64()),
+                    ),
+                    "n": pa.array(
+                        [int((assign == cid).sum()) for cid in cids],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        parts = emb_ds.map_batches(
+            partial_sums, batch_format="pyarrow"
+        ).to_pandas()
+        new = cents.copy()
+        for cid in range(k):
+            sel = parts[parts["cluster"] == cid]
+            if not len(sel):
+                continue  # empty cluster keeps its centroid
+            s = np.sum(np.stack(sel["vec_sum"].to_numpy()),
+                       axis=0, dtype=np.int64)
+            new[cid] = s // int(sel["n"].sum())
+        cents = new
+    return cents
+
+
+def kmeans_embeddings(emb_ds, *, k: int = 8, iters: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      scale: int = 1_000_000):
+    """Lloyd's k-means over an embedding column — the curation
+    primitive behind cluster-balanced sampling and semantic dedup —
+    in EXACT integer arithmetic so the result is bit-identical under
+    any batching, partitioning, or cluster size (integer sums are
+    associative; float reductions are not). Vectors are quantized to
+    int64 micros, distances use the integer expansion
+    ``|x|² - 2x·c + |c|²``, centroid updates are ``sum // n`` floor
+    division, and argmin ties go to the lowest cluster index.
+
+    Scale shape: centroids are k×d int64 (a few KB) broadcast via
+    ``ray.put`` each round; every round is ONE streaming
+    ``map_batches`` pass emitting ≤k partial (sum_vec, count) rows
+    per batch, so the driver merge handles k × num_batches rows —
+    never the corpus. Init is the k smallest ids' vectors, found
+    with a per-batch partial min-k (no global sort). Each round
+    re-executes the (column-pruned) read; callers looping many
+    rounds over hot storage may pass a materialized dataset instead.
+    Integer bound: |value| ≤ ~2·scale ⇒ per-cluster sums stay inside
+    int64 up to ~10^12 rows at the default scale."""
+    import ray
+
+    cents = _kmeans_centroids(
+        emb_ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        scale=scale,
+    )
+    final_ref = ray.put(cents)
+    _quant, _stack, _d2 = _kmeans_kernels(scale)
+
+    def assign_final(batch: pa.Table, *, _ref=final_ref) -> pa.Table:
+        c = ray.get(_ref)
+        x = _quant(_stack(batch.column(vec_col)))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(
+                    np.argmin(_d2(x, c), axis=1).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return emb_ds.map_batches(assign_final, batch_format="pyarrow")
+
+
+def kmeans_reference(ids: np.ndarray, vecs: np.ndarray, *, k: int = 8,
+                     iters: int = 5, scale: int = 1_000_000) -> np.ndarray:
+    """Single-array numpy mirror of :func:`kmeans_embeddings` for the
+    differential test — same quantization, same integer ops, same
+    tie-breaks, no Ray. Returns the cluster id per input row."""
+    q = np.rint(np.asarray(vecs, dtype=np.float64) * scale).astype(np.int64)
+    cents = q[np.argsort(ids)[:k]].copy()
+
+    def d2(x, c):
+        return ((x * x).sum(1, keepdims=True) - 2 * (x @ c.T)
+                + (c * c).sum(1)[None, :])
+
+    for _ in range(iters):
+        assign = np.argmin(d2(q, cents), axis=1)
+        for cid in range(k):
+            sel = q[assign == cid]
+            if len(sel):
+                cents[cid] = sel.sum(axis=0, dtype=np.int64) // len(sel)
+    return np.argmin(d2(q, cents), axis=1).astype(np.int64)
+
+
+def semantic_dedup(emb_ds, *, k: int = 8, iters: int = 3,
+                   threshold: float = 0.3, id_col: str = "vec_id",
+                   vec_col: str = "embedding", scale: int = 1_000_000):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then look for near-duplicates ONLY
+    within each cluster — the quadratic cosine work drops from O(N²)
+    to Σ O(|cluster|²), and ``k`` scales with the corpus so cluster
+    sizes stay bounded (the paper's trade: cross-cluster pairs are
+    never examined).
+
+    Shape: exact-integer k-means centroids (:func:`_kmeans_centroids`,
+    broadcast per round) → ONE assignment pass that carries the
+    embedding → ONE ``groupby(cluster)`` exchange → per-cluster
+    vectorized cosine matmul. A row is dropped iff a LOWER-id row in
+    its cluster matches at ≥ threshold on the centi-rounded cosine
+    (``floor(cos*100 + 0.5)``, the repo's reproducibility rule — see
+    embedding_dup_pairs_exact). Deterministic end-to-end: integer
+    k-means + centi cosine + min-id keeper. Returns survivors
+    ``(id, cluster)``."""
+    import ray
+
+    cents = _kmeans_centroids(
+        emb_ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        scale=scale,
+    )
+    ref = ray.put(cents)
+    _quant, _stack, _d2 = _kmeans_kernels(scale)
+    thr_centi = int(round(threshold * 100))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _quant(_stack(batch.column(vec_col)))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+                "cluster": pa.array(
+                    np.argmin(_d2(x, c), axis=1).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(df[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        centi = np.floor((mat @ mat.T) / np.outer(norms, norms) * 100 + 0.5)
+        dup = np.triu(centi >= thr_centi, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: ids[~dup],
+                "cluster": np.full(int((~dup).sum()),
+                                   df["cluster"].iloc[0], dtype=np.int64),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pandas")
+    )
+
+
 def percent_rank_by_value(ds, *, value_col: str, keep_cols: list,
                           out_col: str = "pct_permille",
                           scale: int = 1000):

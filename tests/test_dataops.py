@@ -1926,3 +1926,95 @@ def test_kmv_by_group_exact_and_estimate_paths(ray_session):
         assert got == {"small": 10, "big": want_big}
     # the estimate is within 30% of truth on this input
     assert abs(want_big - 500) / 500 < 0.3
+
+
+def test_kmeans_matches_numpy_reference_any_partitioning(ray_session):
+    """kmeans_embeddings is exact-integer, so the distributed result
+    must be BIT-identical to the single-array numpy mirror under any
+    block structure."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        kmeans_embeddings,
+        kmeans_reference,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.stack(t.column("embedding").to_numpy(zero_copy_only=False))
+    want = dict(zip(ids.tolist(), kmeans_reference(ids, vecs, k=6, iters=4)))
+
+    for blocks in (1, 7):
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_embeddings(
+                ray.data.from_arrow(t).repartition(blocks), k=6, iters=4
+            ).take_all()
+        }
+        assert got == want
+    # sanity: more than one cluster is actually populated
+    assert len(set(want.values())) > 1
+
+
+def test_semantic_dedup_matches_numpy_mirror(ray_session):
+    """semantic_dedup survivors must equal the single-array mirror:
+    kmeans_reference assignment + per-cluster centi-cosine min-id
+    keeper — under any block structure."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        kmeans_reference,
+        semantic_dedup,
+    )
+
+    import pyarrow as pa
+
+    base = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    # inject exact duplicates (cos = 1.0) under fresh higher ids so the
+    # min-id keeper provably drops them
+    dup = pa.table(
+        {
+            "vec_id": pa.array(
+                [100000 + i for i in range(5)], pa.int64()
+            ),
+            "embedding": base.column("embedding").slice(0, 5),
+        }
+    )
+    t = pa.concat_tables([base, dup])
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.stack(t.column("embedding").to_numpy(zero_copy_only=False))
+    assign = kmeans_reference(ids, vecs, k=6, iters=3)
+
+    thr_centi = 90
+    want = set()
+    for cid in set(assign.tolist()):
+        sel = np.where(assign == cid)[0]
+        sel = sel[np.argsort(ids[sel])]
+        mat = vecs[sel].astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        centi = np.floor(
+            (mat @ mat.T) / np.outer(norms, norms) * 100 + 0.5
+        )
+        dup = np.triu(centi >= thr_centi, k=1).any(axis=0)
+        want.update(ids[sel][~dup].tolist())
+
+    for blocks in (1, 7):
+        got = {
+            r["vec_id"]
+            for r in semantic_dedup(
+                ray.data.from_arrow(t).repartition(blocks),
+                k=6, iters=3, threshold=0.9,
+            ).take_all()
+        }
+        assert got == want
+    # the fixture embeddings contain exact duplicates: some row drops
+    assert len(want) < len(ids)
