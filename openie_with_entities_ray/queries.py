@@ -3389,6 +3389,30 @@ def q_semantic_dedup(sf_dir):
     return semantic_dedup(emb, k=8, iters=3, threshold=0.9)
 
 
+def q_bpe_merges(sf_dir):
+    """Distributed BPE tokenizer training over the documents table —
+    pair statistics on the frequency-weighted distinct-word vocab,
+    coarse-partitioned pair argmax per round. Iterative ⇒ rows-only
+    driver check plus a differential test vs the single-process
+    mirror. stages/dataops.py:bpe_train."""
+    from .stages.dataops import bpe_train
+
+    return bpe_train(
+        _docs(sf_dir, num_blocks=_read_blocks()), num_merges=12
+    )
+
+
+def q_bpe_token_counts(sf_dir):
+    """Train 12 BPE merges on the corpus, then tokenize the same corpus
+    with them and count tokens per doc — the full tokenizer
+    train→apply loop. stages/dataops.py:bpe_token_counts."""
+    from .stages.dataops import bpe_token_counts, bpe_train
+
+    docs = _docs(sf_dir, num_blocks=_read_blocks())
+    merges = bpe_train(docs, num_merges=12)
+    return bpe_token_counts(docs, merges)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3474,6 +3498,8 @@ def build_queries():
         "kmeans_clusters": q_kmeans_clusters,
         "doc_chunks": q_doc_chunks,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 

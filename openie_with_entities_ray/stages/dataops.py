@@ -1955,6 +1955,261 @@ def quality_buckets(docs_ds, *, lang_col: str = "lang",
     return docs_ds.map_batches(assign, batch_format="pyarrow")
 
 
+def bpe_train(docs_ds, *, num_merges: int = 16, text_col: str = "text",
+              num_parts: int | None = None) -> pa.Table:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): learn ``num_merges`` merge rules from corpus
+    pair statistics.
+
+    Scale trick (the paper's own): pair counts are computed over the
+    DISTINCT-WORD table weighted by word frequency, never the raw
+    corpus — one corpus pass builds (word, n); every merge round
+    touches only the vocabulary working set (materialized per round:
+    bounded by distinct words, not corpus size). Ray shape: word
+    counts via per-batch Counter combiner → coarse ``hash(word)``
+    partition → in-part pandas sum (never one Ray group per word);
+    each round is one streaming pass over the vocab emitting pair
+    partials, coarse-partitioned by the length-prefixed pair key so
+    each pair lands whole in one part; only ≤num_parts per-part argmax
+    rows reach the driver, which picks the global best under the
+    total-order tie-break (count desc, then (left, right) ascending).
+    The winner is applied leftmost-first non-overlapping (the
+    reference semantics) and the next round runs. Deterministic under
+    any partitioning: integer counts + total-order tie-break.
+
+    Returns the merge table (rank, left, right, n)."""
+    import zlib
+    from collections import Counter
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def _pair_part(a: str, b: str) -> int:
+        enc_a = a.encode("utf-8")
+        key = len(enc_a).to_bytes(4, "big") + enc_a + b.encode("utf-8")
+        return zlib.crc32(key) % num_parts
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(t.split())
+        ks = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(ks, pa.string()),
+                "n": pa.array([c[k] for k in ks], pa.int64()),
+                "part": pa.array(
+                    [zlib.crc32(k.encode("utf-8")) % num_parts
+                     for k in ks],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def word_merge(g: pd.DataFrame) -> pd.DataFrame:
+        # bytes key: pandas str hashtables truncate at embedded NULs
+        g = g.assign(_k=[w.encode("utf-8") for w in g["word"]])
+        agg = g.groupby("_k", as_index=False).agg(
+            word=("word", "first"), n=("n", "sum")
+        )
+        return agg[["word", "n"]]
+
+    def to_syms(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "syms": pa.array(
+                    [list(w) for w in batch.column("word").to_pylist()],
+                    pa.list_(pa.string()),
+                ),
+                "n": batch.column("n"),
+            }
+        )
+
+    vocab = (
+        docs_ds.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(word_merge, batch_format="pandas")
+        .map_batches(to_syms, batch_format="pyarrow")
+        .materialize()
+    )
+
+    out_rank, out_left, out_right, out_n = [], [], [], []
+    for rank in range(num_merges):
+
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            for syms, n in zip(
+                batch.column("syms").to_pylist(),
+                batch.column("n").to_pylist(),
+            ):
+                for a, b in zip(syms, syms[1:]):
+                    c[(a, b)] += n
+            ks = sorted(c)
+            return pa.table(
+                {
+                    "left": pa.array([k[0] for k in ks], pa.string()),
+                    "right": pa.array([k[1] for k in ks], pa.string()),
+                    "n": pa.array([c[k] for k in ks], pa.int64()),
+                    "part": pa.array(
+                        [_pair_part(*k) for k in ks], pa.int64()
+                    ),
+                }
+            )
+
+        def part_best(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.assign(_k=composite_key_bytes(g["left"], g["right"]))
+            agg = g.groupby("_k", as_index=False).agg(
+                left=("left", "first"), right=("right", "first"),
+                n=("n", "sum"),
+            )
+            agg = agg.sort_values(
+                ["n", "left", "right"], ascending=[False, True, True]
+            ).head(1)
+            return agg[["left", "right", "n"]]
+
+        best_rows = (
+            vocab.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(part_best, batch_format="pandas")
+            .take_all()  # ≤ num_parts rows
+        )
+        if not best_rows:
+            break  # every word is a single symbol: nothing to merge
+        best = min(
+            best_rows, key=lambda r: (-r["n"], r["left"], r["right"])
+        )
+        a, b = best["left"], best["right"]
+        out_rank.append(rank)
+        out_left.append(a)
+        out_right.append(b)
+        out_n.append(int(best["n"]))
+
+        def apply_merge(batch: pa.Table, *, _a=a, _b=b) -> pa.Table:
+            out = []
+            for syms in batch.column("syms").to_pylist():
+                res, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == _a
+                            and syms[i + 1] == _b):
+                        res.append(_a + _b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pa.table(
+                {
+                    "syms": pa.array(out, pa.list_(pa.string())),
+                    "n": batch.column("n"),
+                }
+            )
+
+        vocab = vocab.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            "left": pa.array(out_left, pa.string()),
+            "right": pa.array(out_right, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def bpe_reference(texts, num_merges: int = 16) -> list:
+    """Single-process mirror of :func:`bpe_train` for the differential
+    test — same pair statistics, tie-break, and leftmost-first merge
+    application, no Ray. Returns [(rank, left, right, n), ...]."""
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        vocab.update(t.split())
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(num_merges):
+        pc: Counter = Counter()
+        for w, n in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, int(n)))
+        for w, s in syms.items():
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            syms[w] = res
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list:
+    """Encode one word with trained BPE merges: repeatedly apply the
+    LOWEST-rank merge present (leftmost-first within a pass) until no
+    trained pair remains — the standard greedy BPE encode. ``ranks``
+    maps (left, right) → merge rank. Pure function; shared by the
+    distributed tokenizer and any mirror."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, a, b)
+        if best is None:
+            break
+        _, a, b = best
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                res.append(a + b)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
+def bpe_token_counts(docs_ds, merges: pa.Table, *,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Apply trained BPE merges to a corpus and count tokens per doc —
+    the train→apply half of the tokenizer-budgeting loop. The ranks
+    dict is tiny (one entry per merge) and closure-captured; the pass
+    is stateless. Output: (id, n_bpe_tokens)."""
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(
+            merges.column("rank").to_pylist(),
+            merges.column("left").to_pylist(),
+            merges.column("right").to_pylist(),
+        )
+    }
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        counts = [
+            sum(len(bpe_encode_word(w, ranks)) for w in t.split())
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bpe_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def chunk_documents(docs_ds, *, seq_len: int = 128,
                     id_col: str = "doc_id", text_col: str = "text"):
     """Training-sequence prep: split each document's whitespace tokens

@@ -2018,3 +2018,109 @@ def test_semantic_dedup_matches_numpy_mirror(ray_session):
         assert got == want
     # the fixture embeddings contain exact duplicates: some row drops
     assert len(want) < len(ids)
+
+
+def test_bpe_train_matches_reference_any_partitioning(ray_session):
+    """bpe_train's merge sequence must equal the single-process mirror
+    bit-for-bit under any block structure (integer counts +
+    total-order tie-break)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        bpe_reference,
+        bpe_train,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    want = bpe_reference(t.column("text").to_pylist(), num_merges=10)
+    assert len(want) == 10  # the fixture corpus has at least 10 merges
+
+    for blocks in (1, 7):
+        got = [
+            (r["rank"], r["left"], r["right"], r["n"])
+            for r in ray.data.from_arrow(
+                bpe_train(
+                    ray.data.from_arrow(t).repartition(blocks),
+                    num_merges=10,
+                )
+            ).take_all()
+        ]
+        assert got == want
+    # merged tokens grow: the last merge's parts include a prior merge
+    assert any(len(left) > 1 or len(right) > 1 for _, left, right, _ in want)
+
+
+def test_bpe_reference_known_corpus():
+    """Classic BPE hand-check: 'aaab' x3 — first merge is ('a','a')."""
+    from openie_with_entities_ray.stages.dataops import bpe_reference
+
+    merges = bpe_reference(["aaab aaab", "aaab"], num_merges=2)
+    assert merges[0][1:3] == ("a", "a")
+    # second round: 'aa a b' pairs ('aa','a') and ('a','b') tie at 3;
+    # tie-break is lexicographic → ('a','b')
+    assert merges[1][1:3] == ("a", "b")
+
+
+def test_bpe_encode_word_greedy_rank_order():
+    """Encode applies the LOWEST-rank merge first, not textual order."""
+    from openie_with_entities_ray.stages.dataops import bpe_encode_word
+
+    # rank 0: ('b','c'); rank 1: ('a','b') — 'abc' must become a ['a','bc']
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert bpe_encode_word("abc", ranks) == ["a", "bc"]
+    # with the priorities flipped, 'ab' wins and 'c' is stranded
+    ranks = {("b", "c"): 1, ("a", "b"): 0}
+    assert bpe_encode_word("abc", ranks) == ["ab", "c"]
+    # chained merges: ('a','b') then ('ab','c')
+    ranks = {("a", "b"): 0, ("ab", "c"): 1}
+    assert bpe_encode_word("abc", ranks) == ["abc"]
+    assert bpe_encode_word("", ranks) == []
+    assert bpe_encode_word("x", ranks) == ["x"]
+
+
+def test_bpe_token_counts_matches_per_word_encode(ray_session):
+    """Distributed token counts equal the pure per-word encode mirror."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        bpe_encode_word,
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    merges = bpe_train(ds, num_merges=8)
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(
+            merges.column("rank").to_pylist(),
+            merges.column("left").to_pylist(),
+            merges.column("right").to_pylist(),
+        )
+    }
+    want = {
+        did: sum(len(bpe_encode_word(w, ranks)) for w in txt.split())
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+    }
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(ds, merges).take_all()
+    }
+    assert got == want
+    # merges actually compress: every doc has fewer BPE tokens than chars
+    total_chars = sum(len(x.replace(" ", ""))
+                      for x in t.column("text").to_pylist())
+    assert sum(got.values()) < total_chars
