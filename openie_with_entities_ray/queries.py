@@ -3413,6 +3413,38 @@ def q_bpe_token_counts(sf_dir):
     return bpe_token_counts(docs, merges)
 
 
+def q_jaccard_join_exact(sf_dir):
+    """EXACT set-similarity self-join (PPJoin prefix filtering): ALL
+    document pairs with distinct-word Jaccard ≥ 0.5, no LSH recall
+    loss — gated against the exhaustive SQL join.
+    stages/dataops.py:jaccard_join_exact."""
+    from .stages.dataops import jaccard_join_exact
+
+    return jaccard_join_exact(
+        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5
+    )
+
+
+SQL_JACCARD_JOIN_EXACT = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_WORDS})) AS word
+  FROM documents
+), sz AS (
+  SELECT doc_id, count(*) AS s FROM tok GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       (1000 * i // (sa.s + sb.s - i))::BIGINT AS jaccard_permille
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE 1000 * i // (sa.s + sb.s - i) >= 500
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3500,6 +3532,7 @@ def build_queries():
         "semantic_dedup": q_semantic_dedup,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "jaccard_join_exact": q_jaccard_join_exact,
     }
 
 
@@ -3583,4 +3616,5 @@ def build_oracle_sql():
         "normalized_dedup_docs": SQL_NORMALIZED_DEDUP_DOCS,
         "quality_buckets": SQL_QUALITY_BUCKETS,
         "doc_chunks": SQL_DOC_CHUNKS,
+        "jaccard_join_exact": SQL_JACCARD_JOIN_EXACT,
     }

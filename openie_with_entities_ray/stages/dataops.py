@@ -1955,6 +1955,134 @@ def quality_buckets(docs_ds, *, lang_col: str = "lang",
     return docs_ds.map_batches(assign, batch_format="pyarrow")
 
 
+def jaccard_join_exact(docs_ds, *, threshold: float = 0.5,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_parts: int | None = None):
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family, Xiao et al. 2008): every pair of documents whose
+    DISTINCT whitespace-token sets have Jaccard ≥ threshold — no LSH
+    recall loss, provably no false negatives.
+
+    Candidate rule: token sets are canonically ordered rare-first
+    (ascending document frequency, then token); a set of size s keeps
+    a prefix of ``s - ceil(t·s) + 1`` tokens (integer ceil — no float
+    drift). J(A,B) ≥ t ⇒ |A∩B| ≥ ceil(t·max(|A|,|B|)) ⇒ qualifying
+    pairs share a token in BOTH prefixes, so bucketing by emitted
+    prefix tokens finds them all; prefix tokens are the rarest by
+    construction, so buckets stay small under any stopword skew.
+
+    Shape: pass 1 = df counts (per-batch combiner → coarse hash(word)
+    partition → in-part pandas sum); the df order is broadcast via
+    ``ray.put`` (vocab-sized — for an unbounded vocab substitute the
+    md5-hash order: still exact, weaker pruning). pass 2 emits
+    (prefix_token, id, token_list) coarse-partitioned by hash(token);
+    in-part pandas buckets per token (NUL-safe bytes keys),
+    pairwise-verifies INSIDE each bucket with integer
+    ``jaccard_permille = 1000·|A∩B| // |A∪B|`` (membership decided on
+    the integer, the repo's reproducibility rule), and cross-bucket
+    duplicates collapse through :func:`distinct_pairs`."""
+    import zlib
+    from collections import Counter
+
+    import ray
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+    thr_permille = int(round(threshold * 1000))
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update(set(t.split()))
+        ks = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(ks, pa.string()),
+                "df": pa.array([c[k] for k in ks], pa.int64()),
+                "part": pa.array(
+                    [zlib.crc32(k.encode("utf-8")) % num_parts
+                     for k in ks],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[w.encode("utf-8") for w in g["word"]])
+        agg = g.groupby("_k", as_index=False).agg(
+            word=("word", "first"), df=("df", "sum")
+        )
+        return agg[["word", "df"]]
+
+    df_tbl = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(df_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    df_ref = ray.put(
+        dict(zip(df_tbl["word"], (int(x) for x in df_tbl["df"])))
+    )
+
+    def emit_prefix(batch: pa.Table) -> pa.Table:
+        dfd = ray.get(df_ref)
+        o_tok, o_id, o_set, o_part = [], [], [], []
+        for did, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = sorted(set(t.split()), key=lambda w: (dfd[w], w))
+            s = len(toks)
+            if s == 0:
+                continue
+            plen = s - (-(-thr_permille * s // 1000)) + 1
+            for w in toks[:plen]:
+                o_tok.append(w)
+                o_id.append(did)
+                o_set.append(toks)
+                o_part.append(
+                    zlib.crc32(w.encode("utf-8")) % num_parts
+                )
+        return pa.table(
+            {
+                "token": pa.array(o_tok, pa.string()),
+                "id": pa.array(o_id, pa.int64()),
+                "toks": pa.array(o_set, pa.list_(pa.string())),
+                "part": pa.array(o_part, pa.int64()),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        g = g.assign(_k=[w.encode("utf-8") for w in g["token"]])
+        for _, grp in g.groupby("_k", sort=False):
+            ids = grp["id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            sets = [set(x) for x in grp["toks"].to_numpy()[order]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i] | sets[j])
+                    jp = 1000 * inter // union
+                    if jp >= thr_permille:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                        out_j.append(jp)
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "jaccard_permille": out_j}
+        )
+
+    pairs = (
+        docs_ds.map_batches(emit_prefix, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return distinct_pairs(
+        pairs, "jaccard_permille", how="max", num_parts=num_parts
+    )
+
+
 def bpe_train(docs_ds, *, num_merges: int = 16, text_col: str = "text",
               num_parts: int | None = None) -> pa.Table:
     """Distributed BPE tokenizer training (Sennrich et al. 2016,

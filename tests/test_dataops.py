@@ -2124,3 +2124,50 @@ def test_bpe_token_counts_matches_per_word_encode(ray_session):
     total_chars = sum(len(x.replace(" ", ""))
                       for x in t.column("text").to_pylist())
     assert sum(got.values()) < total_chars
+
+
+def test_jaccard_join_exact_no_false_negatives(ray_session):
+    """PPJoin prefix filtering must return EXACTLY the brute-force pair
+    set — including under stopword skew (a token shared by every doc)
+    and any block structure."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import jaccard_join_exact
+
+    texts = [
+        "the quick brown fox jumps",          # 0
+        "the quick brown fox leaps",          # 1: J=4/6 with 0
+        "the quick brown fox jumps high",     # 2: J=5/6 with 0
+        "the slow green turtle crawls",       # 3
+        "the slow green turtle crawls on",    # 4: J=5/6 with 3
+        "completely unrelated words here",    # 5
+        "the",                                # 6: skew probe
+        "",                                   # 7: empty
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    def brute():
+        sets = [set(x.split()) for x in texts]
+        out = {}
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            if not sets[a] or not sets[b]:
+                continue
+            jp = 1000 * len(sets[a] & sets[b]) // len(sets[a] | sets[b])
+            if jp >= 500:
+                out[(a, b)] = jp
+        return out
+
+    want = brute()
+    assert want  # the fixture has qualifying pairs
+
+    for blocks in (1, 4):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard_permille"]
+            for r in jaccard_join_exact(
+                ray.data.from_arrow(t).repartition(blocks), threshold=0.5
+            ).take_all()
+        }
+        assert got == want
