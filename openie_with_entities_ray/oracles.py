@@ -395,6 +395,47 @@ SELECT node_id, pr::BIGINT AS pr_scaled FROM {prev}
 """
 
 
+def sql_label_propagation(iterations: int = 3,
+                          edges_sql: str | None = None) -> str:
+    """Deterministic synchronous label propagation oracle: the same
+    most-frequent-neighbor-label update (ties → smallest label, binary
+    collation) as stages/graph_algos.py:label_propagation_join,
+    unrolled to ``iterations`` chained CTEs. ``edges_sql`` defaults to
+    the flagship edge table; tests inject literal edge lists to gate
+    the update rule itself."""
+    its = []
+    prev = "l0"
+    for k in range(1, iterations + 1):
+        its.append(f"""v{k} AS (
+  SELECT u.dst AS node_id, l.label, count(*) AS c
+  FROM und u JOIN {prev} l ON l.node_id = u.src
+  GROUP BY 1, 2
+), l{k} AS (
+  SELECT node_id, label FROM (
+    SELECT node_id, label,
+           row_number() OVER (PARTITION BY node_id
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{k}) WHERE rn = 1
+)""")
+        prev = f"l{k}"
+    its_sql = ",\n".join(its)
+    if edges_sql is None:
+        edges_sql = sql_graph_edges()
+    return f"""
+WITH edges AS (
+{edges_sql}
+), d AS (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+), und AS (
+  SELECT src, dst FROM d UNION SELECT dst, src FROM d
+), l0 AS (
+  SELECT DISTINCT src AS node_id, src AS label FROM und
+),
+{its_sql}
+SELECT node_id, label FROM {prev}
+"""
+
+
 def sql_components() -> str:
     """Connected components of the deduped edge graph: min-reachable-node
     label per node via a recursive CTE — the SQL mirror of

@@ -3445,6 +3445,24 @@ WHERE 1000 * i // (sa.s + sb.s - i) >= 500
 """
 
 
+def q_communities(sf_dir):
+    """Deterministic synchronous label propagation (3 rounds) over the
+    flagship edge graph — most-frequent-neighbor-label update with a
+    total-order tie-break so the unrolled-CTE DuckDB oracle mirrors it
+    bit-for-bit. stages/graph_algos.py:label_propagation_join."""
+    from .pipelines.flagship import build_graph, extract_triples
+    from .stages.graph_algos import label_propagation_join
+
+    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    return label_propagation_join(edges, iterations=3)
+
+
+def _sql_communities() -> str:
+    from . import oracles
+
+    return oracles.sql_label_propagation(iterations=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3533,6 +3551,7 @@ def build_queries():
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "jaccard_join_exact": q_jaccard_join_exact,
+        "communities": q_communities,
     }
 
 
@@ -3617,4 +3636,5 @@ def build_oracle_sql():
         "quality_buckets": SQL_QUALITY_BUCKETS,
         "doc_chunks": SQL_DOC_CHUNKS,
         "jaccard_join_exact": SQL_JACCARD_JOIN_EXACT,
+        "communities": _sql_communities(),
     }

@@ -546,6 +546,188 @@ def pagerank_join(
     )
 
 
+def label_propagation_join(
+    edges_ds, src: str = "src", dst: str = "dst", *,
+    iterations: int = 3, num_parts: int | None = None,
+):
+    """Deterministic SYNCHRONOUS label propagation (community
+    detection, Raghavan et al. 2007) over the undirected distinct
+    neighbor graph, every table a Dataset — the same 100-TB shape as
+    :func:`pagerank_join`.
+
+    The classic algorithm's async visit order and random tie-breaks
+    are replaced by a total order so a SQL oracle can mirror it
+    bit-for-bit:
+
+        label_0[v]     = v
+        label_{k+1}[v] = most frequent label among v's DISTINCT
+                         neighbors; ties → smallest label
+                         (utf-8 byte order — DuckDB's binary collation)
+
+    Self-loops are dropped (a node voting its own label is not a
+    neighbor vote); nodes with only self-loops vanish with them.
+    Fixed ``iterations`` rounds; returns (node_id, label).
+
+    Shapes: distinct both-direction neighbor pairs once (combiner →
+    coarse crc32 partition); per round ONE hash join (neighbors ⋈
+    labels on src) and one coarse-partitioned per-dst vote count —
+    never one Ray group per node. Both directions are materialized, so
+    every node appears as dst and the inner join covers all nodes (no
+    zero-row union needed)."""
+    import zlib
+
+    import ray.data
+
+    from .dataops import _cluster_parts, cluster_cpus
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pairs = set()
+        for a, b in zip(
+            batch.column(src).to_pylist(), batch.column(dst).to_pylist()
+        ):
+            if a == b:
+                continue
+            pairs.add((a, b))
+            pairs.add((b, a))
+        ps = sorted(pairs)
+        return pa.table(
+            {
+                "src": pa.array([p[0] for p in ps], pa.string()),
+                "dst": pa.array([p[1] for p in ps], pa.string()),
+                "part": pa.array(
+                    [
+                        (zlib.crc32(a.encode()) + zlib.crc32(b.encode()))
+                        % num_parts
+                        for a, b in ps
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            _k=[
+                (a.encode("utf-8"), b.encode("utf-8"))
+                for a, b in zip(g["src"], g["dst"])
+            ]
+        )
+        return (
+            g.drop_duplicates("_k")[["src", "dst"]].reset_index(drop=True)
+        )
+
+    und = (
+        edges_ds.select_columns([src, dst])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_dedup, batch_format="pandas")
+        .materialize()
+    )
+    if und.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node_id": pa.array([], pa.string()),
+                    "label": pa.array([], pa.string()),
+                }
+            )
+        )
+
+    # both directions exist, so distinct src IS the node set
+    def node_partial(batch: pa.Table) -> pa.Table:
+        nodes = sorted(set(batch.column("src").to_pylist()))
+        return pa.table(
+            {
+                "node_id": pa.array(nodes, pa.string()),
+                "part": pa.array(
+                    [zlib.crc32(n.encode()) % num_parts for n in nodes],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def node_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[n.encode("utf-8") for n in g["node_id"]])
+        return g.drop_duplicates("_k")[["node_id"]].reset_index(drop=True)
+
+    nodes = (
+        und.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(node_dedup, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    num_join_parts = max(
+        1, min(max(2, cluster_cpus() // 4), n_nodes // 16 + 1)
+    )
+
+    labels = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node_id": b.column("node_id"),
+                "label": b.column("node_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def vote_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["dst", "label"]).to_pandas()
+        g = df.assign(
+            _kn=[x.encode("utf-8") for x in df["dst"]],
+            _kl=[x.encode("utf-8") for x in df["label"]],
+        ).groupby(["_kn", "_kl"], as_index=False).agg(
+            node_id=("dst", "first"), label=("label", "first"),
+            c=("label", "size"),
+        )
+        g["part"] = [zlib.crc32(k) % num_parts for k in g["_kn"]]
+        return pa.Table.from_pandas(
+            g[["node_id", "label", "c", "part"]], preserve_index=False
+        )
+
+    def vote_finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            _kn=[x.encode("utf-8") for x in g["node_id"]],
+            _kl=[x.encode("utf-8") for x in g["label"]],
+        )
+        agg = g.groupby(["_kn", "_kl"], as_index=False).agg(
+            node_id=("node_id", "first"), label=("label", "first"),
+            c=("c", "sum"),
+        )
+        agg = agg.sort_values(
+            ["_kn", "c", "_kl"], ascending=[True, False, True]
+        )
+        return agg.drop_duplicates("_kn")[["node_id", "label"]]
+
+    for _ in range(iterations):
+        labels = (
+            und.join(
+                labels.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "__lp_node": b.column("node_id"),
+                            "label": b.column("label"),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=num_join_parts,
+                on=("src",),
+                right_on=("__lp_node",),
+            )
+            .map_batches(vote_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(vote_finish, batch_format="pandas")
+            .materialize()
+        )
+
+    return labels
+
+
 def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
                    num_parts: int | None = None):
     """Exact triangle count of the undirected graph, via degree-ordered

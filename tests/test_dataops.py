@@ -2171,3 +2171,74 @@ def test_jaccard_join_exact_no_false_negatives(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+# --- Label propagation (stages/graph_algos.py:label_propagation_join) -------
+
+
+def _ref_label_prop(pairs, iterations=3):
+    """Pure-Python reference of the deterministic sync update."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in pairs:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    labels = {v: v for v in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for v in nbrs:
+            c = Counter(labels[u] for u in nbrs[v])
+            new[v] = min(c, key=lambda l: (-c[l], l.encode("utf-8")))
+        labels = new
+    return labels
+
+
+_LP_EDGES = [
+    # two triangles joined by one bridge, plus noise
+    ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+    ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+    ("a3", "b1"),                       # bridge
+    ("a1", "a2"),                       # duplicate edge: one vote
+    ("loop", "loop"),                   # self-loop only: drops out
+    ("z", "a1"),                        # pendant
+]
+
+
+def test_label_propagation_sql_oracle_matches_reference():
+    import duckdb
+
+    from openie_with_entities_ray.oracles import sql_label_propagation
+
+    values = ", ".join(f"('{u}', '{v}')" for u, v in _LP_EDGES)
+    sql = sql_label_propagation(
+        edges_sql=f"SELECT * FROM (VALUES {values}) AS t(src, dst)"
+    )
+    got = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == _ref_label_prop(_LP_EDGES)
+
+
+def test_label_propagation_join_matches_reference(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import (
+        label_propagation_join,
+    )
+
+    expected = _ref_label_prop(_LP_EDGES)
+    assert "loop" not in expected  # self-loop-only node vanishes
+
+    def run(num_blocks, num_parts):
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array([u for u, _ in _LP_EDGES], pa.string()),
+            "dst": pa.array([v for _, v in _LP_EDGES], pa.string()),
+        })).repartition(num_blocks)
+        rows = label_propagation_join(ds, num_parts=num_parts).take_all()
+        return {r["node_id"]: r["label"] for r in rows}
+
+    assert run(1, 1) == expected
+    assert run(3, 64) == expected
+    # communities form: the two triangles don't all share one label
+    assert len(set(expected.values())) > 1
