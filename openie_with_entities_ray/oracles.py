@@ -395,6 +395,65 @@ SELECT node_id, pr::BIGINT AS pr_scaled FROM {prev}
 """
 
 
+def sql_edge_provenance(k: int = 3) -> str:
+    """Lineage oracle: per (src, rel, dst) witness count + first-k
+    sorted ``repo:path:sent_id`` refs — mirror of
+    stages/graph.py:edge_provenance (binary-collation sort on both
+    sides)."""
+    return (
+        _triples_cte()
+        + f"""
+, edges AS (
+  SELECT {_node_expr('arg1')} AS src, {_node_expr('arg2')} AS dst,
+         rel, repo, path, sent_id
+  FROM triples
+)
+SELECT src, rel, dst, count(*)::BIGINT AS n_witnesses,
+       array_to_string(
+         (list_sort(list(repo || ':' || path || ':' || sent_id::VARCHAR)))
+           [1:{k}],
+         ',') AS witnesses
+FROM edges GROUP BY 1, 2, 3
+"""
+    )
+
+
+def sql_kg_snapshot_diff() -> str:
+    """Snapshot-diff oracle: max-conf deduped edges over the even-commit
+    half vs the full corpus, full-joined on the edge key, only the
+    differing rows — mirror of stages/graph.py:kg_snapshot_diff over
+    queries.q_kg_snapshot_diff's snapshot split."""
+    return (
+        _triples_cte()
+        + f"""
+, raw AS (
+  SELECT {_node_expr('arg1')} AS src, rel, {_node_expr('arg2')} AS dst,
+         conf_centi, cmt
+  FROM triples
+), ea AS (
+  SELECT src, rel, dst, max(conf_centi) AS conf_centi FROM raw
+  WHERE right(cmt, 1) IN ('0','2','4','6','8','a','c','e')
+  GROUP BY 1, 2, 3
+), eb AS (
+  SELECT src, rel, dst, max(conf_centi) AS conf_centi FROM raw
+  GROUP BY 1, 2, 3
+)
+SELECT coalesce(ea.src, eb.src) AS src,
+       coalesce(ea.rel, eb.rel) AS rel,
+       coalesce(ea.dst, eb.dst) AS dst,
+       CASE WHEN ea.src IS NULL THEN 'added'
+            WHEN eb.src IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       coalesce(ea.conf_centi, -1)::BIGINT AS conf_a,
+       coalesce(eb.conf_centi, -1)::BIGINT AS conf_b
+FROM ea FULL JOIN eb
+  ON ea.src = eb.src AND ea.rel = eb.rel AND ea.dst = eb.dst
+WHERE ea.src IS NULL OR eb.src IS NULL
+   OR ea.conf_centi <> eb.conf_centi
+"""
+    )
+
+
 def sql_label_propagation(iterations: int = 3,
                           edges_sql: str | None = None) -> str:
     """Deterministic synchronous label propagation oracle: the same

@@ -3463,6 +3463,65 @@ def _sql_communities() -> str:
     return oracles.sql_label_propagation(iterations=3)
 
 
+def q_edge_provenance(sf_dir):
+    """Per-edge lineage: witness count + first-3 sorted
+    repo:path:sent_id refs per (src, rel, dst) over the UNDEDUPED edge
+    table — bounded output per edge however hot the edge.
+    stages/graph.py:edge_provenance."""
+    from .pipelines.flagship import build_graph, extract_triples
+    from .stages.graph import edge_provenance
+
+    _, edges = build_graph(
+        extract_triples(_source_docs(sf_dir)), deduped=False
+    )
+    return edge_provenance(edges, k=3)
+
+
+def _sql_edge_provenance() -> str:
+    from . import oracles
+
+    return oracles.sql_edge_provenance(k=3)
+
+
+def q_kg_snapshot_diff(sf_dir):
+    """Incremental KG maintenance: diff the deduped edge snapshot built
+    from HALF the corpus (even last commit hex digit) against the full
+    corpus's — which edges the other half adds or rescores. One
+    co-partitioned exchange. stages/graph.py:kg_snapshot_diff."""
+    from .pipelines.flagship import build_graph, extract_triples
+    from .stages.graph import kg_snapshot_diff
+
+    def even_edges():
+        def keep_even(batch: pa.Table) -> pa.Table:
+            mask = [
+                c[-1] in "02468ace"
+                for c in batch.column("commit").to_pylist()
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        triples = extract_triples(_source_docs(sf_dir)).map_batches(
+            keep_even, batch_format="pyarrow"
+        )
+        _, edges = build_graph(triples)
+        return _conf_to_centi(edges).select_columns(
+            ["src", "rel", "dst", "conf_centi"]
+        )
+
+    def full_edges():
+        _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+        return _conf_to_centi(edges).select_columns(
+            ["src", "rel", "dst", "conf_centi"]
+        )
+
+    return kg_snapshot_diff(even_edges(), full_edges())
+
+
+def _sql_kg_snapshot_diff() -> str:
+    from . import oracles
+
+    return oracles.sql_kg_snapshot_diff()
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3552,6 +3611,8 @@ def build_queries():
         "bpe_token_counts": q_bpe_token_counts,
         "jaccard_join_exact": q_jaccard_join_exact,
         "communities": q_communities,
+        "edge_provenance": q_edge_provenance,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
     }
 
 
@@ -3637,4 +3698,6 @@ def build_oracle_sql():
         "doc_chunks": SQL_DOC_CHUNKS,
         "jaccard_join_exact": SQL_JACCARD_JOIN_EXACT,
         "communities": _sql_communities(),
+        "edge_provenance": _sql_edge_provenance(),
+        "kg_snapshot_diff": _sql_kg_snapshot_diff(),
     }

@@ -144,6 +144,167 @@ def dedup_edges(edges_ds, num_parts: int | None = None):
     )
 
 
+def edge_provenance(edges_ds, *, k: int = 3, num_parts: int | None = None):
+    """Per-edge lineage aggregation (the north rule's per-partition
+    lineage surface): for every (src, rel, dst), the total witness
+    count plus the first-k sorted witness refs ``repo:path:sent_id`` —
+    output is BOUNDED per edge however hot it is (a 10^9-witness
+    stopword edge still emits one row carrying k refs).
+
+    Combiner shape: within-batch partial (count + k-smallest witness
+    strings per edge) → coarse crc32(edge key) partition → in-part
+    pandas merge (sum counts; union the ≤ k·batches candidate refs,
+    re-sort, slice k). k-min of a union of per-batch k-mins is the
+    global k-min, so the result is partition-invariant."""
+    from .dataops import _cluster_parts, composite_key_bytes
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for s, r, d, rp, pt, si in zip(
+            batch.column("src").to_pylist(),
+            batch.column("rel").to_pylist(),
+            batch.column("dst").to_pylist(),
+            batch.column("repo").to_pylist(),
+            batch.column("path").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+        ):
+            ent = agg.setdefault((s, r, d), [0, []])
+            ent[0] += 1
+            ent[1].append(f"{rp}:{pt}:{si}")
+        keys = sorted(agg)
+        tbl = pa.table(
+            {
+                "src": pa.array([x[0] for x in keys], pa.string()),
+                "rel": pa.array([x[1] for x in keys], pa.string()),
+                "dst": pa.array([x[2] for x in keys], pa.string()),
+                "n": pa.array([agg[x][0] for x in keys], pa.int64()),
+                "wits": pa.array(
+                    [sorted(agg[x][1])[:k] for x in keys],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+        parts = [
+            zlib.crc32(kk) % num_parts
+            for kk in composite_key_bytes(
+                tbl.column("src").to_pylist(),
+                tbl.column("rel").to_pylist(),
+                tbl.column("dst").to_pylist(),
+            )
+        ]
+        return tbl.append_column("part", pa.array(parts, pa.int64()))
+
+    def merge(g):
+        g = g.assign(
+            _k=composite_key_bytes(g["src"], g["rel"], g["dst"])
+        )
+        out = g.groupby("_k", as_index=False).agg(
+            src=("src", "first"), rel=("rel", "first"),
+            dst=("dst", "first"), n_witnesses=("n", "sum"),
+            wits=("wits", lambda col: sorted(
+                w for lst in col for w in lst
+            )[:k]),
+        )
+        out["witnesses"] = [",".join(ws) for ws in out["wits"]]
+        return out[["src", "rel", "dst", "n_witnesses", "witnesses"]]
+
+    return (
+        edges_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def kg_snapshot_diff(edges_a, edges_b, *, num_parts: int | None = None):
+    """Diff two DEDUPED edge snapshots — the incremental-build
+    primitive (which edges a new corpus revision adds, removes, or
+    rescores). Inputs carry one row per (src, rel, dst) with
+    ``conf_centi``. Output: one row per DIFFERING key with status ∈
+    {'added' (B only), 'removed' (A only), 'changed' (conf differs)}
+    and both sides' conf (NULL where absent, nullable Int64 — see the
+    int64 round-trip memory note).
+
+    Shape: tag each side, union, ONE coarse crc32(edge key) exchange,
+    in-part vectorized pandas outer merge — unchanged keys die inside
+    their part, so only the diff leaves the exchange."""
+    from .dataops import _cluster_parts, composite_key_bytes
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = composite_key_bytes(
+                batch.column("src").to_pylist(),
+                batch.column("rel").to_pylist(),
+                batch.column("dst").to_pylist(),
+            )
+            return pa.table(
+                {
+                    "src": batch.column("src"),
+                    "rel": batch.column("rel"),
+                    "dst": batch.column("dst"),
+                    "conf_centi": batch.column("conf_centi"),
+                    "side": pa.array([side] * batch.num_rows, pa.string()),
+                    "part": pa.array(
+                        [zlib.crc32(k) % num_parts for k in keys],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return fn
+
+    def diff_part(g):
+        import numpy as np
+        import pandas as pd
+
+        g = g.assign(
+            _k=composite_key_bytes(g["src"], g["rel"], g["dst"])
+        )
+        cols = ["_k", "src", "rel", "dst", "conf_centi"]
+        m = g[g["side"] == "a"][cols].merge(
+            g[g["side"] == "b"][cols],
+            on="_k", how="outer", suffixes=("_a", "_b"), indicator=True,
+        )
+        status = np.where(
+            m["_merge"] == "right_only", "added",
+            np.where(
+                m["_merge"] == "left_only", "removed",
+                np.where(
+                    m["conf_centi_a"] != m["conf_centi_b"],
+                    "changed", "unchanged",
+                ),
+            ),
+        )
+        m = m.assign(status=status)
+        m = m[m["status"] != "unchanged"]
+        return pd.DataFrame(
+            {
+                "src": m["src_a"].where(m["src_a"].notna(), m["src_b"]),
+                "rel": m["rel_a"].where(m["rel_a"].notna(), m["rel_b"]),
+                "dst": m["dst_a"].where(m["dst_a"].notna(), m["dst_b"]),
+                "status": m["status"],
+                # -1 sentinel for "absent on this side": keeps both the
+                # engine and the SQL oracle in plain int64 (a NULL int
+                # would force float64 on one side and Int64 on the
+                # other — dtype mismatch at the driver's schema gate)
+                "conf_a": m["conf_centi_a"].fillna(-1).astype("int64"),
+                "conf_b": m["conf_centi_b"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return (
+        edges_a.map_batches(tag("a"), batch_format="pyarrow")
+        .union(edges_b.map_batches(tag("b"), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(diff_part, batch_format="pandas")
+    )
+
+
 # Tie-break columns forming a TOTAL order over witness rows: every
 # identity column an edge/triple table can carry participates, so the
 # surviving witness is identical under any batching/partitioning (the

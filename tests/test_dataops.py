@@ -2242,3 +2242,81 @@ def test_label_propagation_join_matches_reference(ray_session):
     assert run(3, 64) == expected
     # communities form: the two triangles don't all share one label
     assert len(set(expected.values())) > 1
+
+
+def test_edge_provenance_bounded_and_partition_invariant(ray_session):
+    """k-min witness merge is associative: identical output at any
+    block/part structure; hot edges emit ONE bounded row."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph import edge_provenance
+
+    rows = []
+    # hot edge with 10 witnesses (> k), one cold edge
+    for i in range(10):
+        rows.append(("A", "calls", "B", f"r{i % 3}", f"p{i}", i))
+    rows.append(("C", "uses", "D", "r9", "p9", 0))
+    t = pa.table(
+        {
+            "src": [r[0] for r in rows],
+            "rel": [r[1] for r in rows],
+            "dst": [r[2] for r in rows],
+            "repo": [r[3] for r in rows],
+            "path": [r[4] for r in rows],
+            "sent_id": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+    hot_wits = sorted(f"{r[3]}:{r[4]}:{r[5]}" for r in rows[:10])[:3]
+    want = {
+        ("A", "calls", "B"): (10, ",".join(hot_wits)),
+        ("C", "uses", "D"): (1, "r9:p9:0"),
+    }
+    for blocks, parts in ((1, 1), (4, 64)):
+        got = {
+            (r["src"], r["rel"], r["dst"]): (
+                r["n_witnesses"], r["witnesses"]
+            )
+            for r in edge_provenance(
+                ray.data.from_arrow(t).repartition(blocks),
+                k=3, num_parts=parts,
+            ).take_all()
+        }
+        assert got == want
+
+
+def test_kg_snapshot_diff_statuses(ray_session):
+    """added / removed / changed arms, unchanged rows suppressed."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph import kg_snapshot_diff
+
+    def edges(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": [r[0] for r in rows],
+                    "rel": [r[1] for r in rows],
+                    "dst": [r[2] for r in rows],
+                    "conf_centi": pa.array(
+                        [r[3] for r in rows], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    a = edges([("x", "r", "y", 90), ("o", "r", "p", 50),
+               ("s", "r", "t", 70)])
+    b = edges([("x", "r", "y", 95), ("n", "r", "m", 80),
+               ("s", "r", "t", 70)])
+    got = {
+        (r["src"], r["rel"], r["dst"]):
+            (r["status"], r["conf_a"], r["conf_b"])
+        for r in kg_snapshot_diff(a, b).take_all()
+    }
+    assert got == {
+        ("x", "r", "y"): ("changed", 90, 95),
+        ("o", "r", "p"): ("removed", 50, -1),
+        ("n", "r", "m"): ("added", -1, 80),
+    }
