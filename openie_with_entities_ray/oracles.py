@@ -454,6 +454,44 @@ WHERE ea.src IS NULL OR eb.src IS NULL
     )
 
 
+def sql_kcore(k: int = 2, rounds: int = 5,
+              edges_sql: str | None = None) -> str:
+    """Fixed-round k-core peel oracle: the same degree → filter →
+    edge-restrict rounds as stages/graph_algos.py:kcore_join, unrolled
+    to ``rounds`` chained CTEs; final output is the degree table of
+    the surviving edge set."""
+    # every e{r}/n{r} is referenced 2-3 times by the next level; DuckDB
+    # inlines plain CTEs, so without MATERIALIZED the triples subtree
+    # re-evaluates ~3^rounds times (measured: >5 min at sf0.01 vs
+    # seconds materialized)
+    its = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        its.append(f"""n{r} AS MATERIALIZED (
+  SELECT src AS node_id FROM {prev} GROUP BY 1 HAVING count(*) >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN n{r} a ON a.node_id = e.src
+  JOIN n{r} b ON b.node_id = e.dst
+)""")
+        prev = f"e{r}"
+    its_sql = ",\n".join(its)
+    if edges_sql is None:
+        edges_sql = sql_graph_edges()
+    return f"""
+WITH edges AS MATERIALIZED (
+{edges_sql}
+), d AS (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+), e0 AS MATERIALIZED (
+  SELECT src, dst FROM d UNION SELECT dst, src FROM d
+),
+{its_sql}
+SELECT src AS node_id, count(*)::BIGINT AS deg
+FROM {prev} GROUP BY 1
+"""
+
+
 def sql_label_propagation(iterations: int = 3,
                           edges_sql: str | None = None) -> str:
     """Deterministic synchronous label propagation oracle: the same

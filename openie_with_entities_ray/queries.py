@@ -3522,6 +3522,55 @@ def _sql_kg_snapshot_diff() -> str:
     return oracles.sql_kg_snapshot_diff()
 
 
+def q_kcore(sf_dir):
+    """Fixed-round 2-core peel (5 rounds) of the order–supplier
+    bipartite graph — the flagship KG is tree-like (its 2-core peels
+    to empty by round 2 at sf0.01; literal-graph tests cover that
+    family), while this graph keeps a 10k+-node core. Two coarse
+    co-group exchanges per round, no native joins.
+    stages/graph_algos.py:kcore_join."""
+    import ray.data
+
+    from .stages.graph_algos import kcore_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey"],
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(
+                    [f"o{x}" for x in
+                     batch.column("l_orderkey").to_pylist()],
+                    pa.string(),
+                ),
+                "dst": pa.array(
+                    [f"s{x}" for x in
+                     batch.column("l_suppkey").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return kcore_join(
+        li.map_batches(to_edges, batch_format="pyarrow"), k=2, rounds=5
+    )
+
+
+def _sql_kcore() -> str:
+    from . import oracles
+
+    return oracles.sql_kcore(
+        k=2, rounds=5,
+        edges_sql=(
+            "SELECT 'o' || l_orderkey AS src, 's' || l_suppkey AS dst "
+            "FROM lineitem"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3613,6 +3662,7 @@ def build_queries():
         "communities": q_communities,
         "edge_provenance": q_edge_provenance,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kcore": q_kcore,
     }
 
 
@@ -3700,4 +3750,5 @@ def build_oracle_sql():
         "communities": _sql_communities(),
         "edge_provenance": _sql_edge_provenance(),
         "kg_snapshot_diff": _sql_kg_snapshot_diff(),
+        "kcore": _sql_kcore(),
     }

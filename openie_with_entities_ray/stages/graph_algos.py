@@ -728,8 +728,185 @@ def label_propagation_join(
     return labels
 
 
-def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
-                   num_parts: int | None = None):
+def kcore_join(
+    edges_ds, src: str = "src", dst: str = "dst", *,
+    k: int = 2, rounds: int = 5, num_parts: int | None = None,
+):
+    """Fixed-round k-core peel over the undirected distinct neighbor
+    graph, every table a Dataset. Round r: degree over the surviving
+    edge set; keep nodes with degree ≥ k; keep edges whose BOTH
+    endpoints survive. ``rounds`` is FIXED (not run-to-convergence) so
+    an unrolled-CTE SQL oracle mirrors it exactly; on graphs where the
+    peel converges within ``rounds`` this IS the k-core. Returns
+    (node_id, deg) — final degrees over the surviving edge set.
+
+    Shapes: distinct both-direction pairs once (combiner → coarse
+    crc32 partition, as :func:`label_propagation_join`); per round
+    exactly TWO coarse co-group exchanges and no native hash join
+    (Ray's join pays tens of seconds of fixed cost per call —
+    measured: the join formulation of this loop ran 9.5 min on the
+    sf0.001 fixture, this one seconds). Both edge directions exist,
+    so a node's degree is computable in ITS part whether the part is
+    keyed by src or dst: exchange 1 (by src) stamps ``src_ok`` =
+    deg(src) ≥ k; exchange 2 (by dst) computes deg(dst) the same way
+    and keeps rows with both flags — both degrees read the SAME
+    pre-round edge set, which is exactly the synchronous peel. Never
+    a broadcast node set (at KG scale survivors outgrow any driver
+    list)."""
+    import zlib
+
+    import ray.data
+
+    from .dataops import _cluster_parts, cluster_cpus
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pairs = set()
+        for a, b in zip(
+            batch.column(src).to_pylist(), batch.column(dst).to_pylist()
+        ):
+            if a == b:
+                continue
+            pairs.add((a, b))
+            pairs.add((b, a))
+        ps = sorted(pairs)
+        return pa.table(
+            {
+                "src": pa.array([p[0] for p in ps], pa.string()),
+                "dst": pa.array([p[1] for p in ps], pa.string()),
+                "part": pa.array(
+                    [
+                        (zlib.crc32(a.encode()) + zlib.crc32(b.encode()))
+                        % num_parts
+                        for a, b in ps
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            _k=[
+                (a.encode("utf-8"), b.encode("utf-8"))
+                for a, b in zip(g["src"], g["dst"])
+            ]
+        )
+        return (
+            g.drop_duplicates("_k")[["src", "dst"]].reset_index(drop=True)
+        )
+
+    und = (
+        edges_ds.select_columns([src, dst])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_dedup, batch_format="pandas")
+        .materialize()
+    )
+
+    empty = pa.table(
+        {
+            "node_id": pa.array([], pa.string()),
+            "deg": pa.array([], pa.int64()),
+        }
+    )
+    if und.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts = Counter(batch.column("src").to_pylist())
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "node_id": pa.array(ks, pa.string()),
+                "deg": pa.array([counts[x] for x in ks], pa.int64()),
+                "part": pa.array(
+                    [zlib.crc32(x.encode()) % num_parts for x in ks],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def deg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[x.encode("utf-8") for x in g["node_id"]])
+        out = g.groupby("_k", as_index=False).agg(
+            node_id=("node_id", "first"), deg=("deg", "sum")
+        )
+        return out[["node_id", "deg"]]
+
+    def degrees(e):
+        return (
+            e.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(deg_merge, batch_format="pandas")
+        )
+
+    def stamp_src_ok(g: pd.DataFrame) -> pd.DataFrame:
+        # part keyed by src: every edge of each src is here, so its
+        # degree is an in-part count (bytes keys: NUL-safe). FLAG only
+        # — dropping rows here would shrink the dst-side counts in the
+        # second exchange and turn the peel asynchronous (a faster
+        # fixpoint walk, but then a fixed-round SQL oracle can't
+        # mirror the intermediate states).
+        sk = [x.encode("utf-8") for x in g["src"]]
+        g = g.assign(_sk=sk)
+        deg = g.groupby("_sk")["_sk"].transform("size")
+        out = g[["src", "dst"]].reset_index(drop=True)
+        out["src_ok"] = (deg >= k).to_numpy()
+        out["part"] = [
+            zlib.crc32(x.encode("utf-8")) % num_parts for x in out["dst"]
+        ]
+        return out
+
+    def filter_dst(g: pd.DataFrame) -> pd.DataFrame:
+        # part keyed by dst over the FULL pre-round edge set: deg(dst)
+        # here equals the same round's deg(src) stamped above, so
+        # keeping src_ok ∧ deg(dst) ≥ k is exactly the synchronous
+        # round
+        dk = [x.encode("utf-8") for x in g["dst"]]
+        g = g.assign(_dk=dk)
+        deg = g.groupby("_dk")["_dk"].transform("size")
+        out = g[(deg >= k) & g["src_ok"]][["src", "dst"]].reset_index(
+            drop=True
+        )
+        out["part"] = [
+            zlib.crc32(x.encode("utf-8")) % num_parts for x in out["src"]
+        ]
+        return out
+
+    # seed the first exchange: partition by src
+    def part_by_src(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "part": pa.array(
+                    [
+                        zlib.crc32(x.encode("utf-8")) % num_parts
+                        for x in batch.column("src").to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    und = und.map_batches(part_by_src, batch_format="pyarrow")
+    for _ in range(rounds):
+        und = (
+            und.groupby("part")
+            .map_groups(stamp_src_ok, batch_format="pandas")
+            .groupby("part")
+            .map_groups(filter_dst, batch_format="pandas")
+            .materialize()
+        )
+        if und.count() == 0:
+            return ray.data.from_arrow(empty)
+
+    return degrees(und.select_columns(["src", "dst"]))
     """Exact triangle count of the undirected graph, via degree-ordered
     wedge generation (the Suri & Vassilvitskii 2011 MapReduce pattern):
 

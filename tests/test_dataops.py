@@ -2320,3 +2320,82 @@ def test_kg_snapshot_diff_statuses(ray_session):
         ("o", "r", "p"): ("removed", 50, -1),
         ("n", "r", "m"): ("added", -1, 80),
     }
+
+
+# --- k-core (stages/graph_algos.py:kcore_join) -------------------------------
+
+
+def _ref_kcore(pairs, k=2, rounds=5):
+    """Pure-Python fixed-round synchronous peel."""
+    from collections import Counter
+
+    und = set()
+    for u, v in pairs:
+        if u != v:
+            und.add((u, v))
+            und.add((v, u))
+    for _ in range(rounds):
+        deg = Counter(u for u, _ in und)
+        und = {(u, v) for u, v in und if deg[u] >= k and deg[v] >= k}
+    deg = Counter(u for u, _ in und)
+    return dict(deg)
+
+
+_KC_EDGES = [
+    # K4 (a 3-core, survives k=2 forever)
+    ("k1", "k2"), ("k1", "k3"), ("k1", "k4"),
+    ("k2", "k3"), ("k2", "k4"), ("k3", "k4"),
+    # a 7-node path: peels ONE layer per sync round, so with rounds=2
+    # the intermediate state differs from the converged core — this arm
+    # fails if the engine peels asynchronously
+    ("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"),
+    ("p5", "p6"), ("p6", "p7"),
+    ("loop", "loop"),            # self-loop: dropped
+    ("k1", "k2"),                # duplicate edge: counted once
+]
+
+
+def test_kcore_sql_oracle_matches_reference():
+    import duckdb
+
+    from openie_with_entities_ray.oracles import sql_kcore
+
+    values = ", ".join(f"('{u}', '{v}')" for u, v in _KC_EDGES)
+    for rounds in (2, 5):
+        sql = sql_kcore(
+            k=2, rounds=rounds,
+            edges_sql=f"SELECT * FROM (VALUES {values}) AS t(src, dst)",
+        )
+        got = dict(duckdb.connect().execute(sql).fetchall())
+        assert got == _ref_kcore(_KC_EDGES, k=2, rounds=rounds)
+
+
+def test_kcore_join_matches_reference(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import kcore_join
+
+    ds_tbl = pa.table({
+        "src": pa.array([u for u, _ in _KC_EDGES], pa.string()),
+        "dst": pa.array([v for _, v in _KC_EDGES], pa.string()),
+    })
+
+    for rounds in (2, 5):
+        expected = _ref_kcore(_KC_EDGES, k=2, rounds=rounds)
+        for num_blocks, num_parts in ((1, 1), (3, 64)):
+            ds = ray.data.from_arrow(ds_tbl).repartition(num_blocks)
+            got = {
+                r["node_id"]: r["deg"]
+                for r in kcore_join(
+                    ds, k=2, rounds=rounds, num_parts=num_parts
+                ).take_all()
+            }
+            assert got == expected
+    # after 2 sync rounds the path is NOT fully peeled (the async
+    # shortcut would already have dropped it) — prove the arm bites
+    partial = _ref_kcore(_KC_EDGES, k=2, rounds=2)
+    assert any(n.startswith("p") for n in partial)
+    full = _ref_kcore(_KC_EDGES, k=2, rounds=5)
+    assert not any(n.startswith("p") for n in full)
+    assert set(full) == {"k1", "k2", "k3", "k4"}
