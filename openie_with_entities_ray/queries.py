@@ -3571,6 +3571,30 @@ def _sql_kcore() -> str:
     )
 
 
+def q_supplier_name_pairs(sf_dir):
+    """Entity-resolution blocking: all supplier-name pairs within edit
+    distance 1 via FastSS deletion neighborhoods — O(N·len) blocking
+    keys, never the O(N²) cross product the oracle runs.
+    stages/dataops.py:edit_distance_join."""
+    import ray.data
+
+    from .stages.dataops import edit_distance_join
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_name"]
+    )
+    return edit_distance_join(sup, col="s_name")
+
+
+SQL_SUPPLIER_NAME_PAIRS = """
+WITH s AS (SELECT DISTINCT s_name FROM supplier)
+SELECT a.s_name AS id_a, b.s_name AS id_b,
+       levenshtein(a.s_name, b.s_name)::BIGINT AS dist
+FROM s a JOIN s b ON a.s_name < b.s_name
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3663,6 +3687,7 @@ def build_queries():
         "edge_provenance": q_edge_provenance,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kcore": q_kcore,
+        "supplier_name_pairs": q_supplier_name_pairs,
     }
 
 
@@ -3751,4 +3776,5 @@ def build_oracle_sql():
         "edge_provenance": _sql_edge_provenance(),
         "kg_snapshot_diff": _sql_kg_snapshot_diff(),
         "kcore": _sql_kcore(),
+        "supplier_name_pairs": SQL_SUPPLIER_NAME_PAIRS,
     }

@@ -2083,6 +2083,87 @@ def jaccard_join_exact(docs_ds, *, threshold: float = 0.5,
     )
 
 
+def _lev_le1(a: str, b: str) -> int:
+    """Levenshtein distance capped at 1: returns 0, 1, or 2 (meaning
+    ">1"). O(len) — no DP table needed at this cap."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return 2
+    if la == lb:  # exactly one substitution?
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return 1 if diff == 1 else 2
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a plus one inserted char: skip the first mismatch
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else 2
+
+
+def edit_distance_join(ds, *, col: str, num_parts: int | None = None):
+    """EXACT string-similarity self-join at edit distance ≤ 1 — the
+    entity-resolution blocking primitive (typo'd surface forms, near-
+    identical entity names) — via FastSS deletion neighborhoods
+    (Bocek et al. 2007): every string emits itself plus its |s|
+    single-character deletions as blocking keys; d(a,b) ≤ 1 implies a
+    shared key (substitution ⇒ same-position deletions collide;
+    insertion/deletion ⇒ one string IS a key of the other), and a
+    shared key does NOT imply d ≤ 1 ('ab'/'ba' share 'a'), so buckets
+    are pairwise-verified with the capped O(len) distance. Candidate
+    work is O(N·len) keys — never the O(N²) cross product.
+
+    Shape: one stateless key-emit pass → coarse crc32(key) partition →
+    in-part bytes-keyed buckets, pairwise verify → cross-bucket
+    duplicates collapse through :func:`distinct_pairs`. Output:
+    (id_a, id_b, dist) over DISTINCT input strings, id_a < id_b."""
+    import zlib
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def emit_keys(batch: pa.Table) -> pa.Table:
+        o_key, o_val, o_part = [], [], []
+        for s in set(batch.column(col).to_pylist()):
+            keys = {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+            for kk in keys:
+                o_key.append(kk)
+                o_val.append(s)
+                o_part.append(
+                    zlib.crc32(kk.encode("utf-8")) % num_parts
+                )
+        return pa.table(
+            {
+                "bkey": pa.array(o_key, pa.string()),
+                "val": pa.array(o_val, pa.string()),
+                "part": pa.array(o_part, pa.int64()),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        g = g.assign(_k=[x.encode("utf-8") for x in g["bkey"]])
+        for _, grp in g.groupby("_k", sort=False):
+            vals = sorted(set(grp["val"]))
+            for i in range(len(vals)):
+                for j in range(i + 1, len(vals)):
+                    d = _lev_le1(vals[i], vals[j])
+                    if d <= 1:
+                        out_a.append(vals[i])
+                        out_b.append(vals[j])
+                        out_d.append(d)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "dist": out_d})
+
+    pairs = (
+        ds.map_batches(emit_keys, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return distinct_pairs(pairs, "dist", how="max", num_parts=num_parts)
+
+
 def bpe_train(docs_ds, *, num_merges: int = 16, text_col: str = "text",
               num_parts: int | None = None) -> pa.Table:
     """Distributed BPE tokenizer training (Sennrich et al. 2016,

@@ -2399,3 +2399,52 @@ def test_kcore_join_matches_reference(ray_session):
     full = _ref_kcore(_KC_EDGES, k=2, rounds=5)
     assert not any(n.startswith("p") for n in full)
     assert set(full) == {"k1", "k2", "k3", "k4"}
+
+
+def test_lev_le1_kernel():
+    from openie_with_entities_ray.stages.dataops import _lev_le1
+
+    assert _lev_le1("abc", "abc") == 0
+    assert _lev_le1("abc", "abd") == 1      # substitution
+    assert _lev_le1("abc", "ab") == 1       # deletion
+    assert _lev_le1("ab", "abc") == 1       # insertion (symmetric)
+    assert _lev_le1("abc", "bc") == 1       # leading deletion
+    assert _lev_le1("ab", "ba") == 2        # transposition is d=2
+    assert _lev_le1("abc", "xyc") == 2      # two substitutions
+    assert _lev_le1("a", "abc") == 2        # length gap 2
+    assert _lev_le1("", "a") == 1
+    assert _lev_le1("", "") == 0
+
+
+def test_edit_distance_join_matches_bruteforce(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        _lev_le1,
+        edit_distance_join,
+    )
+
+    vals = [
+        "kitten", "mitten", "mittens", "sitting", "kitten",  # dup row
+        "a", "b", "", "ab", "ba", "node#001", "node#002", "node#101",
+    ]
+    want = {}
+    for x, y in itertools.combinations(sorted(set(vals)), 2):
+        d = _lev_le1(x, y)
+        if d <= 1:
+            want[(x, y)] = d
+    assert want  # fixture has qualifying pairs
+
+    t = pa.table({"s_name": vals})
+    for blocks, parts in ((1, 1), (4, 64)):
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in edit_distance_join(
+                ray.data.from_arrow(t).repartition(blocks),
+                col="s_name", num_parts=parts,
+            ).take_all()
+        }
+        assert got == want
