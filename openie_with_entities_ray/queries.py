@@ -3595,6 +3595,31 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
+def q_dataset_splits(sf_dir):
+    """Deterministic train/val/test assignment (5%/5%/90%) by the
+    content-addressed md5 rule — cluster-size/retry/resume-invariant.
+    stages/dataops.py:dataset_splits."""
+    import ray.data
+
+    from .stages.dataops import dataset_splits
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return dataset_splits(docs, val_permille=50, test_permille=50)
+
+
+SQL_DATASET_SPLITS = """
+SELECT doc_id, lang,
+       CASE WHEN md5_number_lower('split|' || CAST(doc_id AS VARCHAR))
+                 % 1000 < 50 THEN 'val'
+            WHEN md5_number_lower('split|' || CAST(doc_id AS VARCHAR))
+                 % 1000 < 100 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3688,6 +3713,7 @@ def build_queries():
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kcore": q_kcore,
         "supplier_name_pairs": q_supplier_name_pairs,
+        "dataset_splits": q_dataset_splits,
     }
 
 
@@ -3777,4 +3803,5 @@ def build_oracle_sql():
         "kg_snapshot_diff": _sql_kg_snapshot_diff(),
         "kcore": _sql_kcore(),
         "supplier_name_pairs": SQL_SUPPLIER_NAME_PAIRS,
+        "dataset_splits": SQL_DATASET_SPLITS,
     }

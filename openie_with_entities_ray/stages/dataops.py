@@ -272,6 +272,42 @@ def deterministic_sample(docs_ds, *, rate_permille: int = 100,
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def dataset_splits(docs_ds, *, val_permille: int = 50,
+                   test_permille: int = 50, id_col: str = "doc_id",
+                   salt: str = "split"):
+    """Deterministic train/val/test assignment with the same
+    content-addressed rule as :func:`deterministic_sample`:
+    ``b = md5(salt|id) mod 1000``; b < val_permille → 'val', next
+    ``test_permille`` → 'test', rest → 'train'. No RNG state — the
+    assignment is a pure function of the row id, identical across
+    cluster sizes, retries and resumes, and disjoint-by-construction
+    (one bucket per row). Output: input columns + ``split``."""
+    from ..functions.textstats import _md5_number_lower
+
+    cut_val = val_permille
+    cut_test = val_permille + test_permille
+
+    def assign(batch: pa.Table) -> pa.Table:
+        buckets = [
+            _md5_number_lower(f"{salt}|{i}") % 1000
+            for i in batch.column(id_col).to_pylist()
+        ]
+        return batch.append_column(
+            "split",
+            pa.array(
+                [
+                    "val" if b < cut_val
+                    else "test" if b < cut_test
+                    else "train"
+                    for b in buckets
+                ],
+                pa.string(),
+            ),
+        )
+
+    return docs_ds.map_batches(assign, batch_format="pyarrow")
+
+
 def stratified_sample(docs_ds, rates_permille: dict, *,
                       default_permille: int = 0,
                       strat_col: str = "lang", id_col: str = "doc_id",
