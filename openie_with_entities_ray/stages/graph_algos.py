@@ -907,6 +907,10 @@ def kcore_join(
             return ray.data.from_arrow(empty)
 
     return degrees(und.select_columns(["src", "dst"]))
+
+
+def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
+                   num_parts: int | None = None):
     """Exact triangle count of the undirected graph, via degree-ordered
     wedge generation (the Suri & Vassilvitskii 2011 MapReduce pattern):
 

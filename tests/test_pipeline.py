@@ -229,3 +229,31 @@ def test_adversarial_content(ray_session):
     gs = {(s, a[0], r, a[1], c) for s, e in gold.items() for r, a, c in e}
     ps = {(s, a[0], r, a[1], c) for s, e in predicted.items() for r, a, c in e}
     assert gs == ps and len(gs) > 0
+
+
+def test_queries_deferred_imports_resolve():
+    """Every `from .x import y` inside a queries.py function body must
+    resolve — guards against a refactor deleting/renaming a stage
+    function that only a lazily-importing query references (regression:
+    a bad edit dropped `def triangle_count` and no test noticed until
+    the oracle gate ran)."""
+    import ast
+    import importlib
+    import inspect
+
+    from openie_with_entities_ray import queries as qmod
+
+    src = inspect.getsource(qmod)
+    tree = ast.parse(src)
+    missing = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom) or node.level == 0:
+            continue
+        pkg = "openie_with_entities_ray"
+        mod = importlib.import_module(
+            "." * node.level + (node.module or ""), pkg
+        )
+        for alias in node.names:
+            if not hasattr(mod, alias.name):
+                missing.append(f"{node.module}:{alias.name}")
+    assert not missing, missing
