@@ -3620,6 +3620,58 @@ FROM documents
 """
 
 
+def q_decontaminated_docs(sf_dir):
+    """Benchmark decontamination: training docs (the md5-rule 'train'
+    split) sharing any word 5-gram with the held-out 'test' split —
+    benchmark grams broadcast once, training side one stateless pass.
+    stages/dataops.py:decontaminate."""
+    import ray.data
+
+    from .stages.dataops import dataset_splits, decontaminate
+
+    import pyarrow.compute as pc
+
+    def side(name):
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        split = dataset_splits(docs, val_permille=50, test_permille=50)
+        return split.map_batches(
+            lambda b, _n=name: b.filter(
+                pc.equal(b.column("split"), _n)
+            ).select(["doc_id", "text"]),
+            batch_format="pyarrow",
+        )
+
+    return decontaminate(side("train"), side("test"), n=5)
+
+
+SQL_DECONTAMINATED_DOCS = """
+WITH sp AS (
+  SELECT doc_id, text,
+         md5_number_lower('split|' || CAST(doc_id AS VARCHAR)) % 1000 AS b
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, b,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM sp WHERE b >= 50
+),
+grams AS (
+  SELECT doc_id, b, array_to_string(w[i : i + 4], ' ') AS gram
+  FROM (SELECT doc_id, b, w,
+               unnest(range(1, len(w) - 5 + 2)) AS i
+        FROM toks)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE b < 100),
+train AS (SELECT doc_id, gram FROM grams WHERE b >= 100)
+SELECT t.doc_id, COUNT(DISTINCT t.gram)::BIGINT AS n_matched
+FROM train t JOIN bench USING (gram)
+GROUP BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3714,6 +3766,7 @@ def build_queries():
         "kcore": q_kcore,
         "supplier_name_pairs": q_supplier_name_pairs,
         "dataset_splits": q_dataset_splits,
+        "decontaminated_docs": q_decontaminated_docs,
     }
 
 
@@ -3804,4 +3857,5 @@ def build_oracle_sql():
         "kcore": _sql_kcore(),
         "supplier_name_pairs": SQL_SUPPLIER_NAME_PAIRS,
         "dataset_splits": SQL_DATASET_SPLITS,
+        "decontaminated_docs": SQL_DECONTAMINATED_DOCS,
     }

@@ -2814,3 +2814,72 @@ def kmv_distinct_by_group(ds, *, group_col: str, col: str, k: int = 256):
         .groupby(group_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def _word_ngrams(text: str, n: int) -> list:
+    """Whitespace word n-grams of ``lower(text)``, empty tokens dropped —
+    token rule mirrors the oracle's
+    ``list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')``."""
+    import re as _re
+
+    toks = [t for t in _re.split(r"\s+", text.lower()) if t]
+    return [
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ]
+
+
+def decontaminate(docs_ds, bench_ds, *, n: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with a benchmark/eval set (the standard pre-training
+    hygiene pass; e.g. Brown et al. 2020 appendix C use 13-gram overlap).
+
+    Distributed shape — small-side broadcast, not a corpus shuffle: the
+    benchmark side (eval sets are KB–MB by definition) is reduced to its
+    DISTINCT n-gram strings with a per-batch dedup, fetched once to the
+    driver, and shipped to every task via one ``ray.put``; the training
+    side streams through a single stateless ``map_batches`` doing
+    set-membership counts. No groupby, no join shuffle, and nothing
+    corpus-sized ever materializes on the driver.
+
+    Output: one row per CONTAMINATED training doc —
+    ``(id_col, n_matched)`` where ``n_matched`` is the count of distinct
+    matched n-grams (exact integers; docs with zero matches are dropped).
+    """
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        out = set()
+        for t in batch.column(text_col).to_pylist():
+            out.update(_word_ngrams(t or "", n))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    # small side by contract: distinct grams of the eval set only
+    gram_df = bench_ds.map_batches(
+        bench_grams, batch_format="pyarrow"
+    ).to_pandas()
+    gram_ref = ray.put(frozenset(gram_df["gram"]))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        grams = ray.get(gram_ref)  # per-worker object-store cache hit
+        ids, counts = [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            hit = len(set(_word_ngrams(t or "", n)) & grams)
+            if hit:
+                ids.append(i)
+                counts.append(hit)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "n_matched": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(mark, batch_format="pyarrow")

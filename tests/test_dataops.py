@@ -2448,3 +2448,64 @@ def test_edit_distance_join_matches_bruteforce(ray_session):
             ).take_all()
         }
         assert got == want
+
+
+def test_word_ngrams_kernel():
+    from openie_with_entities_ray.stages.dataops import _word_ngrams
+
+    assert _word_ngrams("The  quick Brown", 2) == [
+        "the quick", "quick brown"
+    ]
+    assert _word_ngrams(" a b ", 2) == ["a b"]   # edge whitespace dropped
+    assert _word_ngrams("a b", 3) == []          # shorter than n
+    assert _word_ngrams("", 1) == []
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        _word_ngrams,
+        decontaminate,
+    )
+
+    bench = [
+        "the quick brown fox jumps over the lazy dog",
+        "colorless green ideas sleep furiously",
+    ]
+    train = [
+        ("d1", "He said the quick brown fox jumps far away"),   # 3 matches
+        ("d2", "green ideas sleep furiously tonight"),           # 2 matches
+        ("d3", "completely unrelated text with no overlap"),     # clean
+        ("d4", "the quick brown fox jumps over the lazy dog"),   # exact dup
+        ("d5", ""),                                              # empty
+    ]
+
+    n = 4
+    bench_grams = set()
+    for t in bench:
+        bench_grams.update(_word_ngrams(t, n))
+    want = {}
+    for i, t in train:
+        hit = len(set(_word_ngrams(t, n)) & bench_grams)
+        if hit:
+            want[i] = hit
+    assert want and "d3" not in want and "d5" not in want
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [i for i, _ in train],
+                "text": [t for _, t in train],
+            }
+        )
+    ).repartition(3)
+    bench_ds = ray.data.from_arrow(
+        pa.table({"doc_id": ["b1", "b2"], "text": bench})
+    )
+    got = {
+        r["doc_id"]: r["n_matched"]
+        for r in decontaminate(docs, bench_ds, n=n).take_all()
+    }
+    assert got == want
