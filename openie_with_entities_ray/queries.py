@@ -3646,6 +3646,134 @@ def q_decontaminated_docs(sf_dir):
     return decontaminate(side("train"), side("test"), n=5)
 
 
+def q_retention_cohorts(sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted at
+    each day offset they return — the standard growth-analytics rollup.
+
+    Shape: per-batch DISTINCT (user, day) partial → coarse crc32(user)
+    partition (a user's whole history lands in ONE part, so first-day
+    and offsets are computable in-kernel with vectorized pandas — never
+    one Ray group per user) → tiny (cohort_day, offset) sum."""
+    import zlib
+
+    import ray.data
+
+    from .stages.dataops import _cluster_parts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    num_parts = _cluster_parts()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_ns = batch["ts"].astype("datetime64[ns]").astype("int64")
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "day": ts_ns // (86400 * 10**9),
+            }
+        ).drop_duplicates()
+        out["part"] = [
+            zlib.crc32(str(u).encode()) % num_parts
+            for u in out["user_id"]
+        ]
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        g = g.assign(
+            cohort_day=g.groupby("user_id")["day"].transform("min")
+        )
+        g["offset_days"] = g["day"] - g["cohort_day"]
+        out = g.groupby(
+            ["cohort_day", "offset_days"], as_index=False
+        ).agg(n_users=("user_id", "size"))
+        return out.astype(
+            {
+                "cohort_day": "int64",
+                "offset_days": "int64",
+                "n_users": "int64",
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby(["cohort_day", "offset_days"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+fs AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT f.cohort_day::BIGINT AS cohort_day,
+       (u.day - f.cohort_day)::BIGINT AS offset_days,
+       COUNT(*)::BIGINT AS n_users
+FROM ud u JOIN fs f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_bm25_topk(sf_dir):
+    """BM25 top-10 for a fixed 3-term query: combiner-shaped stats pass
+    (one row per batch) → broadcast constants → per-batch partial top-k
+    → tiny merge. stages/dataops.py:bm25_topk."""
+    import ray.data
+
+    from .stages.dataops import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, ["spark", "join", "window"], k=10)
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         SUM(dl)::DOUBLE / (SELECT COUNT(*) FROM documents) AS avgdl
+  FROM dl
+),
+q(term) AS (SELECT * FROM (VALUES ('spark'), ('join'), ('window'))),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM toks JOIN q ON tok = q.term GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         SUM(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, FLOOR(score * 100 + 0.5)::BIGINT AS score_cents
+FROM scores
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 SQL_DECONTAMINATED_DOCS = """
 WITH sp AS (
   SELECT doc_id, text,
@@ -3767,6 +3895,8 @@ def build_queries():
         "supplier_name_pairs": q_supplier_name_pairs,
         "dataset_splits": q_dataset_splits,
         "decontaminated_docs": q_decontaminated_docs,
+        "retention_cohorts": q_retention_cohorts,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -3858,4 +3988,6 @@ def build_oracle_sql():
         "supplier_name_pairs": SQL_SUPPLIER_NAME_PAIRS,
         "dataset_splits": SQL_DATASET_SPLITS,
         "decontaminated_docs": SQL_DECONTAMINATED_DOCS,
+        "retention_cohorts": SQL_RETENTION_COHORTS,
+        "bm25_topk": SQL_BM25_TOPK,
     }

@@ -2883,3 +2883,122 @@ def decontaminate(docs_ds, bench_ds, *, n: int = 5,
         )
 
     return docs_ds.map_batches(mark, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+
+
+def bm25_topk(docs_ds, query_terms, *, k: int = 10, k1: float = 1.2,
+              b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """BM25 top-k retrieval for one query (Robertson/Lucene variant:
+    ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``) — the sparse sibling of
+    :func:`ann_topk`.
+
+    Two streaming passes, both combiner-shaped (nothing corpus-sized
+    ever shuffles or lands on the driver):
+
+    1. stats: one stateless pass emits a ONE-ROW partial per batch
+       (n docs, total tokens, per-query-term doc frequencies — the
+       query is a handful of terms, so the partial is O(|query|)
+       columns); a tiny driver-side sum fixes N, avgdl and df.
+    2. score: constants ride the task closure; each batch scores its
+       docs vectorized and emits only its local top-k; final merge is
+       a tiny sort/limit over per-batch partials (same shape as
+       ``ann_topk``).
+
+    Docs matching no query term are unscored (standard disjunctive
+    retrieval). Returns (id_col, score_cents) — centi-rounded like
+    every float aggregate in this repo so the DuckDB oracle compares
+    exactly.
+    """
+    import re as _re
+
+    terms = list(dict.fromkeys(query_terms))  # stable order, unique
+
+    def _toks(text: str) -> list:
+        return [t for t in _re.split(r"\s+", (text or "").lower()) if t]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n = 0
+        dl_sum = 0
+        df = [0] * len(terms)
+        for t in batch.column(text_col).to_pylist():
+            toks = _toks(t)
+            n += 1
+            dl_sum += len(toks)
+            seen = set(toks)
+            for j, term in enumerate(terms):
+                if term in seen:
+                    df[j] += 1
+        cols = {"n": [n], "dl_sum": [dl_sum]}
+        for j in range(len(terms)):
+            cols[f"df_{j}"] = [df[j]]
+        return pa.table(
+            {c: pa.array(v, pa.int64()) for c, v in cols.items()}
+        )
+
+    stats = (
+        docs_ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()  # one row per batch — tiny by construction
+        .sum()
+    )
+    n_docs = int(stats["n"])
+    avgdl = float(stats["dl_sum"]) / n_docs if n_docs else 1.0
+    idf = {
+        term: float(
+            np.log(
+                (n_docs - int(stats[f"df_{j}"]) + 0.5)
+                / (int(stats[f"df_{j}"]) + 0.5)
+                + 1.0
+            )
+        )
+        for j, term in enumerate(terms)
+    }
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = _toks(t)
+            dl = len(toks)
+            s = 0.0
+            hit = False
+            for term in terms:
+                tf = toks.count(term)
+                if not tf:
+                    continue
+                hit = True
+                s += (
+                    idf[term]
+                    * tf
+                    * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+            if hit:
+                ids.append(i)
+                scores.append(s)
+        order = np.lexsort((np.array(ids), -np.array(scores)))[:k]
+        ids_a = np.array(ids, dtype=object)[order]
+        sc = np.array(scores, dtype=np.float64)[order]
+        return pa.table(
+            {
+                id_col: pa.array(
+                    list(ids_a), batch.schema.field(id_col).type
+                ),
+                "score": pa.array(sc, pa.float64()),
+                "score_cents": pa.array(
+                    np.floor(sc * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    top = (
+        docs_ds.map_batches(score_partial, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )
+    return top.drop_columns(["score"])

@@ -2509,3 +2509,113 @@ def test_decontaminate_matches_bruteforce(ray_session):
         for r in decontaminate(docs, bench_ds, n=n).take_all()
     }
     assert got == want
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    docs = [
+        ("d1", "spark join window spark"),
+        ("d2", "spark table scan"),
+        ("d3", "window window window join"),
+        ("d4", "nothing relevant here"),
+        ("d5", ""),
+        ("d6", "join"),
+    ]
+    terms = ["spark", "join", "window"]
+    k1, b = 1.2, 0.75
+
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {
+        q: sum(1 for v in toks.values() if q in v) for q in terms
+    }
+    want = {}
+    for i, v in toks.items():
+        s, hit = 0.0, False
+        for q in terms:
+            tf = v.count(q)
+            if not tf:
+                continue
+            hit = True
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if hit:
+            want[i] = int(math.floor(s * 100 + 0.5))
+    assert "d4" not in want and "d5" not in want and len(want) == 4
+
+    from openie_with_entities_ray.stages.dataops import bm25_topk
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [i for i, _ in docs],
+                "text": [t for _, t in docs],
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["doc_id"]: r["score_cents"]
+        for r in bm25_topk(ds, terms, k=10).take_all()
+    }
+    assert got == want
+
+    # k smaller than the hit count truncates to the top scores
+    top2 = bm25_topk(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [i for i, _ in docs],
+                    "text": [t for _, t in docs],
+                }
+            )
+        ),
+        terms,
+        k=2,
+    ).take_all()
+    best = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert sorted(r["doc_id"] for r in top2) == sorted(i for i, _ in best)
+
+
+def test_retention_cohorts_hand_checked(ray_session):
+    import pandas as pd
+
+    from openie_with_entities_ray.queries import build_queries
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        build_queries()["retention_cohorts"](sf)
+        .to_pandas()
+        .sort_values(["cohort_day", "offset_days"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    from openie_with_entities_ray.queries import SQL_RETENTION_COHORTS
+
+    want = (
+        con.sql(SQL_RETENTION_COHORTS)
+        .df()
+        .sort_values(["cohort_day", "offset_days"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+    # day-0 row per cohort covers every user exactly once
+    day0 = got[got["offset_days"] == 0]["n_users"].sum()
+    import pyarrow.parquet as pq
+
+    n_users = len(
+        set(pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+            .column("user_id").to_pylist())
+    )
+    assert day0 == n_users
