@@ -3049,6 +3049,45 @@ JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
 """
 
 
+def q_link_prediction(sf_dir):
+    """Common-neighbor link prediction over the flagship KG: top-20
+    non-adjacent node pairs by shared-neighbor count — wedge pairs per
+    center (coarse-partitioned, vectorized triu expansion), pair-keyed
+    co-group vs the edge set for the anti-join, per-part top-k → tiny
+    merge. stages/graph_algos.py:common_neighbors_topk."""
+    from .pipelines.flagship import build_graph, extract_triples
+    from .stages.graph_algos import common_neighbors_topk
+
+    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    return common_neighbors_topk(edges, k=20)
+
+
+def _sql_link_prediction() -> str:
+    from . import oracles
+
+    return f"""
+WITH edges AS (
+{oracles.sql_graph_edges()}
+), e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+), adj AS (
+  SELECT a AS c, b AS n FROM e UNION ALL SELECT b, a FROM e
+), pairs AS (
+  SELECT x.n AS node_a, y.n AS node_b, COUNT(*)::BIGINT AS n_common
+  FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, n_common
+FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM e WHERE e.a = p.node_a AND e.b = p.node_b
+)
+ORDER BY n_common DESC, node_a, node_b
+LIMIT 20
+"""
+
+
 def q_shipping_priority(sf_dir):
     """TPC-H Q3 shape: top-10 open orders by in-window revenue for one
     market segment. The segment's custkeys are a broadcast set (dims
@@ -3897,6 +3936,7 @@ def build_queries():
         "decontaminated_docs": q_decontaminated_docs,
         "retention_cohorts": q_retention_cohorts,
         "bm25_topk": q_bm25_topk,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -3990,4 +4030,5 @@ def build_oracle_sql():
         "decontaminated_docs": SQL_DECONTAMINATED_DOCS,
         "retention_cohorts": SQL_RETENTION_COHORTS,
         "bm25_topk": SQL_BM25_TOPK,
+        "link_prediction": _sql_link_prediction(),
     }

@@ -1164,3 +1164,238 @@ def triangle_count(edges_ds, src: str = "src", dst: str = "dst",
     return ray.data.from_arrow(
         pa.table({"n_triangles": pa.array([n], pa.int64())})
     )
+
+
+def common_neighbors_topk(edges_ds, *, k: int = 20, src: str = "src",
+                          dst: str = "dst",
+                          max_degree: int | None = None,
+                          num_parts: int | None = None):
+    """Common-neighbor link prediction: the top-``k`` NON-adjacent node
+    pairs ranked by how many neighbors they share (Liben-Nowell &
+    Kleinberg 2003's strongest simple baseline).
+
+    Shapes (all coarse-partitioned, nothing per-node on the driver):
+
+    1. canonical DISTINCT undirected edges (a<b) — per-batch combiner →
+       crc32 coarse-partition dedup (same stage as triangle_count);
+    2. both-direction adjacency, partitioned by CENTER node: each
+       center's sorted neighbor list expands to its wedge pairs with a
+       vectorized ``triu_indices`` — pair counts pre-summed per part
+       before the exchange;
+    3. pair-keyed tagged co-group of (candidate-pair counts, canonical
+       edges): per part, sum counts, drop pairs that are already edges
+       (set membership on NUL-safe bytes keys), keep the per-part
+       top-k; the global merge is a tiny sort/limit over P·k rows —
+       valid because a pair's rows land in exactly one part.
+
+    Wedges per center are O(deg²): EXACT by default; on hub-dominated
+    100-TB graphs pass ``max_degree`` to skip centers above the cap
+    (the standard approximation — documented, opt-in, never silent).
+
+    Returns (node_a, node_b, n_common), n_common int64.
+    """
+    import zlib
+
+    import numpy as np
+    import ray.data
+
+    from .dataops import _cluster_parts
+    from .joins import _PART, _SIDE
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    empty = pa.table(
+        {
+            "node_a": pa.array([], pa.string()),
+            "node_b": pa.array([], pa.string()),
+            "n_common": pa.array([], pa.int64()),
+        }
+    )
+
+    # --- 1. canonical distinct edges
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pairs = set()
+        for u, v in zip(
+            batch.column(src).to_pylist(), batch.column(dst).to_pylist()
+        ):
+            if u == v:
+                continue
+            pairs.add((u, v) if u < v else (v, u))
+        pairs = sorted(pairs)
+        return pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.string()),
+                "b": pa.array([p[1] for p in pairs], pa.string()),
+                "part": pa.array(
+                    [
+                        (zlib.crc32(x.encode()) + zlib.crc32(y.encode()))
+                        % num_parts
+                        for x, y in pairs
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            _k=[
+                (x.encode("utf-8"), y.encode("utf-8"))
+                for x, y in zip(g["a"], g["b"])
+            ]
+        )
+        return g.drop_duplicates("_k")[["a", "b"]].reset_index(drop=True)
+
+    ed = (
+        edges_ds.select_columns([src, dst])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_dedup, batch_format="pandas")
+        .materialize()
+    )
+    if ed.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    # --- 2. adjacency by center → per-part wedge-pair counts
+    def adj_both(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        cs = a + b
+        ns = b + a
+        return pa.table(
+            {
+                "c": pa.array(cs, pa.string()),
+                "n": pa.array(ns, pa.string()),
+                "part": pa.array(
+                    [zlib.crc32(x.encode()) % num_parts for x in cs],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def wedge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # ed is globally distinct, so (c, n) rows are distinct already
+        g = g.sort_values(["c", "n"], kind="mergesort")
+        g = g.assign(_ck=[c.encode("utf-8") for c in g["c"]])
+        outs: list = []
+        for _, grp in g.groupby("_ck", sort=False):
+            d = len(grp)
+            if d < 2 or (max_degree is not None and d > max_degree):
+                continue
+            nbrs = grp["n"].to_numpy()
+            iu, ju = np.triu_indices(d, 1)
+            outs.append(
+                pd.DataFrame({"node_a": nbrs[iu], "node_b": nbrs[ju]})
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "node_a": pd.Series([], dtype="object"),
+                    "node_b": pd.Series([], dtype="object"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        pairs = pd.concat(outs, ignore_index=True)
+        pairs["_k"] = [
+            (x.encode("utf-8"), y.encode("utf-8"))
+            for x, y in zip(pairs["node_a"], pairs["node_b"])
+        ]
+        out = pairs.groupby("_k", as_index=False).agg(
+            node_a=("node_a", "first"),
+            node_b=("node_b", "first"),
+            cnt=("node_a", "size"),
+        )
+        return out[["node_a", "node_b", "cnt"]].astype({"cnt": "int64"})
+
+    wedge_ds = (
+        ed.map_batches(adj_both, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedge_counts, batch_format="pandas")
+    )
+
+    # --- 3. pair-keyed co-group: sum counts, anti-join edges, top-k/part
+    def conform(side: int, a_col: str, b_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            a = t.column(a_col).cast(pa.string())
+            b = t.column(b_col).cast(pa.string())
+            cnt = (
+                t.column("cnt").cast(pa.int64())
+                if side == 0
+                else pa.nulls(n, pa.int64())
+            )
+            av = a.to_pylist()
+            bv = b.to_pylist()
+            return pa.table(
+                {
+                    "node_a": a,
+                    "node_b": b,
+                    "cnt": cnt,
+                    _SIDE: pa.array([side] * n, pa.int64()),
+                    _PART: pa.array(
+                        [
+                            (zlib.crc32(x.encode()) + zlib.crc32(y.encode()))
+                            % num_parts
+                            for x, y in zip(av, bv)
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return fn
+
+    union = wedge_ds.map_batches(
+        conform(0, "node_a", "node_b"), batch_format="pyarrow"
+    ).union(ed.map_batches(conform(1, "a", "b"), batch_format="pyarrow"))
+
+    def part_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        w = df[df[_SIDE] == 0]
+        e = df[df[_SIDE] == 1]
+        if len(w) == 0:
+            return empty
+        w = w.assign(
+            _k=[
+                (x.encode("utf-8"), y.encode("utf-8"))
+                for x, y in zip(w["node_a"], w["node_b"])
+            ]
+        )
+        agg = w.groupby("_k", as_index=False).agg(
+            node_a=("node_a", "first"),
+            node_b=("node_b", "first"),
+            n_common=("cnt", "sum"),
+        )
+        ek = set(
+            zip(
+                (s.encode("utf-8") for s in e["node_a"]),
+                (s.encode("utf-8") for s in e["node_b"]),
+            )
+        )
+        keep = [kk not in ek for kk in agg["_k"]]
+        agg = agg[keep]
+        agg = agg.sort_values(
+            ["n_common", "node_a", "node_b"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        return pa.table(
+            {
+                "node_a": pa.array(list(agg["node_a"]), pa.string()),
+                "node_b": pa.array(list(agg["node_b"]), pa.string()),
+                "n_common": pa.array(
+                    [int(x) for x in agg["n_common"]], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        union.groupby(_PART)
+        .map_groups(part_topk, batch_format="pyarrow")
+        .sort(
+            ["n_common", "node_a", "node_b"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )

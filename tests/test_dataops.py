@@ -2619,3 +2619,78 @@ def test_retention_cohorts_hand_checked(ray_session):
             .column("user_id").to_pylist())
     )
     assert day0 == n_users
+
+
+def test_common_neighbors_topk_matches_bruteforce(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import (
+        common_neighbors_topk,
+    )
+
+    # K4 on a-d plus a hub h touching a,b,c and an isolated edge x-y;
+    # includes a self-loop and a duplicate edge to exercise dedup.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("h", "a"), ("h", "b"), ("h", "c"),
+        ("x", "y"), ("a", "a"), ("b", "a"),
+    ]
+
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    adj: dict = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if (u, v) in und:
+            continue
+        n = len(adj[u] & adj[v])
+        if n:
+            want[(u, v)] = n
+    assert want == {("d", "h"): 3}  # d,h share a,b,c but are not linked
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": [u for u, _ in edges],
+                "dst": [v for _, v in edges],
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["node_a"], r["node_b"]): r["n_common"]
+        for r in common_neighbors_topk(ds, k=10).take_all()
+    }
+    assert got == want
+
+    # max_degree=3 skips the degree-4 centers (a, b, c), killing the
+    # d–h candidate entirely
+    got_capped = common_neighbors_topk(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": [u for u, _ in edges],
+                    "dst": [v for _, v in edges],
+                }
+            )
+        ),
+        k=10,
+        max_degree=3,
+    ).take_all()
+    assert got_capped == []
+
+    # empty input → empty output with the right schema
+    empty = common_neighbors_topk(
+        ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+        )
+    )
+    assert empty.count() == 0
