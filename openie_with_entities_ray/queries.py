@@ -3746,6 +3746,95 @@ def q_retention_cohorts(sf_dir):
     )
 
 
+def q_source_overlap(sf_dir):
+    """Cross-source contamination audit: for every pair of sources, how
+    many DISTINCT winnowing fingerprints (shared ≥8-word runs, the MOSS
+    signal already used by duplicate_spans) appear in both — the
+    standard fuzzy pre-mixing check before combining crawls/dumps.
+
+    Shape: per-batch distinct (fingerprint, source) partial → coarse
+    fingerprint partition (every holder of one fingerprint lands in one
+    part) → per-part source-pair expansion with pre-summed counts →
+    tiny (source_a, source_b) sum. Source cardinality is small by
+    nature; fingerprints never leave the workers."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .functions.textstats import winnow_fingerprints
+    from .stages.dataops import _cluster_parts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    num_parts = _cluster_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = set()
+        for s, t in zip(
+            batch.column("source").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for f in winnow_fingerprints(t, 4, 5):
+                pairs.add((f, s))
+        ps = sorted(pairs)
+        return pa.table(
+            {
+                "fp": pa.array([p[0] for p in ps], pa.int64()),
+                "source": pa.array([p[1] for p in ps], pa.string()),
+                "part": pa.array(
+                    [p[0] % num_parts for p in ps], pa.int64()
+                ),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+
+        g = g.drop_duplicates(["fp", "source"])
+        rows: list = []
+        for _, grp in g.groupby("fp", sort=False):
+            ss = sorted(grp["source"])
+            rows.extend(itertools.combinations(ss, 2))
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series([], dtype="object"),
+                    "source_b": pd.Series([], dtype="object"),
+                    "n_shared": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.DataFrame(rows, columns=["source_a", "source_b"])
+        return out.groupby(
+            ["source_a", "source_b"], as_index=False
+        ).agg(n_shared=("source_a", "size")).astype({"n_shared": "int64"})
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+    )
+
+
+def _sql_source_overlap() -> str:
+    # the winnow CTE keyed by source instead of doc_id (one fp_list row
+    # per document either way; the outer DISTINCT collapses per source)
+    fp_by_source = SQL_WINNOW_FINGERPRINTS.replace("doc_id", "source")
+    return f"""
+WITH sf AS (
+  SELECT DISTINCT source, fingerprint FROM (
+{fp_by_source}
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*)::BIGINT AS n_shared
+FROM sf a JOIN sf b
+  ON a.fingerprint = b.fingerprint AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 SQL_RETENTION_COHORTS = """
 WITH ud AS (
   SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
@@ -3937,6 +4026,7 @@ def build_queries():
         "retention_cohorts": q_retention_cohorts,
         "bm25_topk": q_bm25_topk,
         "link_prediction": q_link_prediction,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -4031,4 +4121,5 @@ def build_oracle_sql():
         "retention_cohorts": SQL_RETENTION_COHORTS,
         "bm25_topk": SQL_BM25_TOPK,
         "link_prediction": _sql_link_prediction(),
+        "source_overlap": _sql_source_overlap(),
     }

@@ -2694,3 +2694,50 @@ def test_common_neighbors_topk_matches_bruteforce(ray_session):
         )
     )
     assert empty.count() == 0
+
+
+def test_source_overlap_matches_bruteforce(ray_session, tmp_path):
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openie_with_entities_ray.functions.textstats import (
+        winnow_fingerprints,
+    )
+    from openie_with_entities_ray.queries import build_queries
+
+    run = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        ("s1", run + " extra tail words here"),
+        ("s2", "prefix words then " + run),
+        ("s3", "totally different content with no shared run at all"),
+        ("s1", run),  # same source again — must not inflate the count
+    ]
+    t = pa.table(
+        {
+            "doc_id": list(range(len(docs))),
+            "text": [x for _, x in docs],
+            "source": [s for s, _ in docs],
+            "lang": ["en"] * len(docs),
+            "n_chars": [len(x) for _, x in docs],
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    per_source: dict = {}
+    for s, x in docs:
+        per_source.setdefault(s, set()).update(winnow_fingerprints(x, 4, 5))
+    want = {}
+    for a, b in itertools.combinations(sorted(per_source), 2):
+        n = len(per_source[a] & per_source[b])
+        if n:
+            want[(a, b)] = n
+    assert ("s1", "s2") in want and ("s1", "s3") not in want
+
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in build_queries()["source_overlap"](str(tmp_path))
+        .take_all()
+    }
+    assert got == want
