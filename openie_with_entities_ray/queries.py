@@ -3835,6 +3835,103 @@ GROUP BY 1, 2
 """
 
 
+def q_event_type_runs(sf_dir):
+    """SCD2-style interval construction: collapse each user's event
+    stream into maximal runs of consecutive equal event_type, with the
+    run's [start, end] timestamps and event count — the
+    change-data-capture compaction shape.
+
+    Shape: coarse crc32(user) partition (a user's whole ordered history
+    in ONE part) → per-part vectorized sort + shift change-point
+    detection + run groupby. Output rows ≤ input rows; no second
+    shuffle."""
+    import zlib
+
+    import ray.data
+
+    from .stages.dataops import _cluster_parts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type", "event_id"],
+    )
+    num_parts = _cluster_parts()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "t": batch["ts"].astype("datetime64[ns]").astype("int64")
+                // 1000,
+                "event_id": batch["event_id"],
+            }
+        )
+        out["part"] = [
+            zlib.crc32(str(u).encode()) % num_parts
+            for u in out["user_id"]
+        ]
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "t", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        new_run = (g["user_id"] != g["user_id"].shift()) | (
+            g["event_type"] != g["event_type"].shift()
+        )
+        g["run_id"] = new_run.cumsum()
+        out = g.groupby("run_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            event_type=("event_type", "first"),
+            run_start_us=("t", "min"),
+            run_end_us=("t", "max"),
+            n_events=("t", "size"),
+        )
+        return out.drop(columns=["run_id"]).astype(
+            {
+                "user_id": "int64",
+                "run_start_us": "int64",
+                "run_end_us": "int64",
+                "n_events": "int64",
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+SQL_EVENT_TYPE_RUNS = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS new_run
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+r AS (
+  SELECT *,
+         SUM(new_run) OVER (
+           PARTITION BY user_id ORDER BY t, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS run_id
+  FROM m
+)
+SELECT user_id, event_type,
+       MIN(t)::BIGINT AS run_start_us,
+       MAX(t)::BIGINT AS run_end_us,
+       COUNT(*)::BIGINT AS n_events
+FROM r
+GROUP BY user_id, event_type, run_id
+"""
+
+
 SQL_RETENTION_COHORTS = """
 WITH ud AS (
   SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
@@ -4027,6 +4124,7 @@ def build_queries():
         "bm25_topk": q_bm25_topk,
         "link_prediction": q_link_prediction,
         "source_overlap": q_source_overlap,
+        "event_type_runs": q_event_type_runs,
     }
 
 
@@ -4122,4 +4220,5 @@ def build_oracle_sql():
         "bm25_topk": SQL_BM25_TOPK,
         "link_prediction": _sql_link_prediction(),
         "source_overlap": _sql_source_overlap(),
+        "event_type_runs": SQL_EVENT_TYPE_RUNS,
     }

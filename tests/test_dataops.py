@@ -2741,3 +2741,52 @@ def test_source_overlap_matches_bruteforce(ray_session, tmp_path):
         .take_all()
     }
     assert got == want
+
+
+def test_event_type_runs_hand_checked(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openie_with_entities_ray.queries import build_queries
+
+    # user 1: view view click view ; user 2: click (ts ties broken by id)
+    rows = [
+        (0, 1000_000, 1, "view"),
+        (1, 2000_000, 1, "view"),
+        (2, 3000_000, 1, "click"),
+        (3, 4000_000, 1, "view"),
+        (4, 1000_000, 2, "click"),
+        (5, 1000_000, 1, "view"),  # same ts as event 0, id orders it
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = sorted(
+        (
+            (r["user_id"], r["event_type"], r["run_start_us"],
+             r["run_end_us"], r["n_events"])
+            for r in build_queries()["event_type_runs"](
+                str(tmp_path)
+            ).take_all()
+        )
+    )
+    want = sorted(
+        [
+            (1, "view", 1000_000, 2000_000, 3),
+            (1, "click", 3000_000, 3000_000, 1),
+            (1, "view", 4000_000, 4000_000, 1),
+            (2, "click", 1000_000, 1000_000, 1),
+        ]
+    )
+    assert got == want
