@@ -3932,6 +3932,47 @@ GROUP BY user_id, event_type, run_id
 """
 
 
+def q_term_pairs(sf_dir):
+    """Word-association mining: top-50 co-occurring pairs among the 40
+    highest-df terms — raw integer counts (n_both, n_a, n_b) so any
+    association measure (PMI, lift) derives exactly.
+    stages/dataops.py:term_cooccurrence_topk."""
+    import ray.data
+
+    from .stages.dataops import term_cooccurrence_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return term_cooccurrence_topk(docs, vocab_size=40, k=50)
+
+
+SQL_TERM_PAIRS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+),
+df AS (SELECT tok, COUNT(*)::BIGINT AS df FROM toks GROUP BY tok),
+topv AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 40),
+dt AS (SELECT t.doc_id, t.tok FROM toks t JOIN topv USING (tok)),
+pairs AS (
+  SELECT x.tok AS term_a, y.tok AS term_b, COUNT(*)::BIGINT AS n_both
+  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_both, da.df AS n_a, db.df AS n_b
+FROM pairs
+JOIN topv da ON da.tok = term_a
+JOIN topv db ON db.tok = term_b
+ORDER BY n_both DESC, term_a, term_b
+LIMIT 50
+"""
+
+
 SQL_RETENTION_COHORTS = """
 WITH ud AS (
   SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
@@ -4125,6 +4166,7 @@ def build_queries():
         "link_prediction": q_link_prediction,
         "source_overlap": q_source_overlap,
         "event_type_runs": q_event_type_runs,
+        "term_pairs": q_term_pairs,
     }
 
 
@@ -4221,4 +4263,5 @@ def build_oracle_sql():
         "link_prediction": _sql_link_prediction(),
         "source_overlap": _sql_source_overlap(),
         "event_type_runs": SQL_EVENT_TYPE_RUNS,
+        "term_pairs": SQL_TERM_PAIRS,
     }

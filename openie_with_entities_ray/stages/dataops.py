@@ -3002,3 +3002,133 @@ def bm25_topk(docs_ds, query_terms, *, k: int = 10, k1: float = 1.2,
         .limit(k)
     )
     return top.drop_columns(["score"])
+
+
+# ---------------------------------------------------------------------------
+# term co-occurrence mining
+
+
+def term_cooccurrence_topk(docs_ds, *, vocab_size: int = 40, k: int = 50,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Word-association mining: the top-``k`` pairs of high-df terms by
+    document co-occurrence count (the integer core of PMI/lift scoring —
+    counts are exported raw so callers pick their own association
+    measure without float-parity concerns).
+
+    Shapes:
+
+    1. df pass: per-batch distinct-terms-per-doc counts (a doc never
+       spans batches, so per-batch sums are exact partials) → coarse
+       crc32(term) partition sum → global ``sort.limit(vocab_size)`` —
+       only V rows ever reach the driver;
+    2. pair pass: the top-V vocabulary rides the task closure; each
+       batch expands every doc's distinct ∩ top-V terms to pairs and
+       pre-counts them (≤ V²/2 counters per batch regardless of corpus
+       size) → coarse pair-keyed partition sum → per-part top-k → tiny
+       sort/limit merge.
+
+    Returns (term_a, term_b, n_both, n_a, n_b), all int64.
+    """
+    import re as _re
+    import zlib
+    from collections import Counter
+
+    def _terms(text: str) -> set:
+        return {
+            t for t in _re.split(r"\s+", (text or "").lower()) if t
+        }
+
+    num_parts = _cluster_parts()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            counts.update(_terms(t))
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "term": pa.array(ks, pa.string()),
+                "df": pa.array([counts[x] for x in ks], pa.int64()),
+                "part": pa.array(
+                    [zlib.crc32(x.encode()) % num_parts for x in ks],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[t.encode("utf-8") for t in g["term"]])
+        out = g.groupby("_k", as_index=False).agg(
+            term=("term", "first"), df=("df", "sum")
+        )
+        return out[["term", "df"]].astype({"df": "int64"})
+
+    top = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(df_merge, batch_format="pandas")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(vocab_size)
+        .take_all()  # V rows by construction
+    )
+    dfs = {r["term"]: int(r["df"]) for r in top}
+    vocab = frozenset(dfs)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        import itertools
+
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            present = sorted(_terms(t) & vocab)
+            counts.update(itertools.combinations(present, 2))
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "term_a": pa.array([p[0] for p in ks], pa.string()),
+                "term_b": pa.array([p[1] for p in ks], pa.string()),
+                "n_both": pa.array([counts[p] for p in ks], pa.int64()),
+                "part": pa.array(
+                    [
+                        (zlib.crc32(a.encode()) + zlib.crc32(b.encode()))
+                        % num_parts
+                        for a, b in ks
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pair_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            _k=[
+                (a.encode("utf-8"), b.encode("utf-8"))
+                for a, b in zip(g["term_a"], g["term_b"])
+            ]
+        )
+        out = g.groupby("_k", as_index=False).agg(
+            term_a=("term_a", "first"),
+            term_b=("term_b", "first"),
+            n_both=("n_both", "sum"),
+        )
+        out = out.sort_values(
+            ["n_both", "term_a", "term_b"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        out["n_a"] = [dfs[t] for t in out["term_a"]]
+        out["n_b"] = [dfs[t] for t in out["term_b"]]
+        return out[["term_a", "term_b", "n_both", "n_a", "n_b"]].astype(
+            {"n_both": "int64", "n_a": "int64", "n_b": "int64"}
+        )
+
+    return (
+        docs_ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_merge, batch_format="pandas")
+        .sort(
+            ["n_both", "term_a", "term_b"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )

@@ -2790,3 +2790,50 @@ def test_event_type_runs_hand_checked(ray_session, tmp_path):
         ]
     )
     assert got == want
+
+
+def test_term_cooccurrence_topk_matches_bruteforce(ray_session):
+    import itertools
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        term_cooccurrence_topk,
+    )
+
+    docs = [
+        "apple banana cherry",
+        "apple banana",
+        "apple cherry durian",
+        "banana cherry",
+        "apple apple banana",   # repeated term counts once per doc
+        "elderberry",
+    ]
+    V, K = 3, 10
+    dfc: Counter = Counter()
+    for t in docs:
+        dfc.update(set(t.split()))
+    top = sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    vocab = {t for t, _ in top}
+    dfs = dict(top)
+    both: Counter = Counter()
+    for t in docs:
+        both.update(itertools.combinations(sorted(set(t.split()) & vocab), 2))
+    want = sorted(
+        (
+            (a, b, n, dfs[a], dfs[b])
+            for (a, b), n in both.items()
+        ),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:K]
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    ).repartition(3)
+    got = [
+        (r["term_a"], r["term_b"], r["n_both"], r["n_a"], r["n_b"])
+        for r in term_cooccurrence_topk(ds, vocab_size=V, k=K).take_all()
+    ]
+    assert sorted(got, key=lambda r: (-r[2], r[0], r[1])) == want
