@@ -3947,6 +3947,30 @@ def q_term_pairs(sf_dir):
     return term_cooccurrence_topk(docs, vocab_size=40, k=50)
 
 
+def q_doc_sample_weighted(sf_dir):
+    """Length-weighted deterministic sampling: keep each doc with
+    probability n_chars/2000 (long docs upweighted), content-addressed
+    so the sample is cluster-size/retry/resume-invariant.
+    stages/dataops.py:weighted_sample."""
+    import ray.data
+
+    from .stages.dataops import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return weighted_sample(docs, weight_col="n_chars", max_weight=2000)
+
+
+SQL_DOC_SAMPLE_WEIGHTED = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE md5_number_lower('wsamp|' || CAST(doc_id AS VARCHAR)) % 2000
+      < n_chars
+"""
+
+
 SQL_TERM_PAIRS = """
 WITH toks AS (
   SELECT DISTINCT doc_id, tok FROM (
@@ -4167,6 +4191,7 @@ def build_queries():
         "source_overlap": q_source_overlap,
         "event_type_runs": q_event_type_runs,
         "term_pairs": q_term_pairs,
+        "doc_sample_weighted": q_doc_sample_weighted,
     }
 
 
@@ -4264,4 +4289,5 @@ def build_oracle_sql():
         "source_overlap": _sql_source_overlap(),
         "event_type_runs": SQL_EVENT_TYPE_RUNS,
         "term_pairs": SQL_TERM_PAIRS,
+        "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
     }

@@ -272,6 +272,30 @@ def deterministic_sample(docs_ds, *, rate_permille: int = 100,
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_sample(docs_ds, *, weight_col: str, max_weight: int,
+                    id_col: str = "doc_id", salt: str = "wsamp"):
+    """Weighted content-addressed sampling: keep a row iff
+    ``md5(salt|id) mod max_weight < weight`` — i.e. with probability
+    ``weight / max_weight``, deterministically per row (the mixture-
+    building extension of :func:`deterministic_sample`: upweight long /
+    high-quality docs without RNG state; identical across cluster
+    sizes, retries and resumes; weights ≥ max_weight always keep).
+
+    ``weight_col`` must be integer-valued so the DuckDB oracle
+    reproduces the decision bit-for-bit."""
+    from ..functions.textstats import _md5_number_lower
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ws = batch.column(weight_col).to_pylist()
+        mask = [
+            _md5_number_lower(f"{salt}|{i}") % max_weight < int(w)
+            for i, w in zip(batch.column(id_col).to_pylist(), ws)
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
 def dataset_splits(docs_ds, *, val_permille: int = 50,
                    test_permille: int = 50, id_col: str = "doc_id",
                    salt: str = "split"):

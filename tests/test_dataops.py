@@ -2837,3 +2837,33 @@ def test_term_cooccurrence_topk_matches_bruteforce(ray_session):
         for r in term_cooccurrence_topk(ds, vocab_size=V, k=K).take_all()
     ]
     assert sorted(got, key=lambda r: (-r[2], r[0], r[1])) == want
+
+
+def test_weighted_sample_rule(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.functions.textstats import (
+        _md5_number_lower,
+    )
+    from openie_with_entities_ray.stages.dataops import weighted_sample
+
+    ids = list(range(200))
+    ws = [(i * 37) % 120 for i in ids]  # includes 0 and > max_weight
+    t = pa.table({"doc_id": ids, "w": ws})
+    got = {
+        r["doc_id"]
+        for r in weighted_sample(
+            ray.data.from_arrow(t).repartition(4),
+            weight_col="w",
+            max_weight=100,
+        ).take_all()
+    }
+    want = {
+        i
+        for i, w in zip(ids, ws)
+        if _md5_number_lower(f"wsamp|{i}") % 100 < w
+    }
+    assert got == want
+    assert any(w == 0 and i not in got for i, w in zip(ids, ws))
+    assert all(i in got for i, w in zip(ids, ws) if w >= 100)
