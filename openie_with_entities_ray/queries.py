@@ -3971,6 +3971,42 @@ WHERE md5_number_lower('wsamp|' || CAST(doc_id AS VARCHAR)) % 2000
 """
 
 
+def q_packed_sequences(sf_dir):
+    """Training-sequence packing: docs laid end-to-end in doc_id order,
+    cut into 128-token bins — a distributed exclusive prefix sum
+    (bucket partials → driver bucket offsets → per-bucket cumsum).
+    stages/dataops.py:pack_sequences."""
+    import ray.data
+
+    from .stages.dataops import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_sequences(docs, seq_len=128, bucket_size=64)
+
+
+SQL_PACKED_SEQUENCES = """
+WITH tc AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), ' +'))::BIGINT AS n_tokens
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM tc
+)
+SELECT doc_id, n_tokens,
+       (start // 128)::BIGINT AS bin_id,
+       (start % 128)::BIGINT AS bin_offset
+FROM pre
+"""
+
+
 SQL_TERM_PAIRS = """
 WITH toks AS (
   SELECT DISTINCT doc_id, tok FROM (
@@ -4192,6 +4228,7 @@ def build_queries():
         "event_type_runs": q_event_type_runs,
         "term_pairs": q_term_pairs,
         "doc_sample_weighted": q_doc_sample_weighted,
+        "packed_sequences": q_packed_sequences,
     }
 
 
@@ -4290,4 +4327,5 @@ def build_oracle_sql():
         "event_type_runs": SQL_EVENT_TYPE_RUNS,
         "term_pairs": SQL_TERM_PAIRS,
         "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
+        "packed_sequences": SQL_PACKED_SEQUENCES,
     }

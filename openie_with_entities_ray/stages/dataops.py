@@ -3156,3 +3156,112 @@ def term_cooccurrence_topk(docs_ds, *, vocab_size: int = 40, k: int = 50,
         )
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def pack_sequences(docs_ds, *, seq_len: int = 128,
+                   bucket_size: int = 1024,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Training-sequence packing: lay documents end-to-end in ``id_col``
+    order and cut fixed ``seq_len`` windows — each doc gets the bin it
+    STARTS in and its offset there (docs may straddle bins; standard
+    packed pre-training with cross-doc attention masking).
+
+    The core is a DISTRIBUTED EXCLUSIVE PREFIX SUM over an arbitrary
+    total order, in two passes:
+
+    1. bucket partials: per-batch token sums per id-range bucket
+       (``id // bucket_size`` — integer ids; size the bucket so bucket
+       count stays in the thousands at any corpus size) → tiny groupby;
+       the sorted bucket sums come to the driver (one row per bucket)
+       and turn into exclusive bucket offsets, shipped back via one
+       ``ray.put``;
+    2. per-bucket cumsum: groupby bucket → in-kernel sort by id +
+       vectorized cumsum + the bucket's offset. No global sort, no
+       corpus-sized driver state.
+
+    Token rule = whitespace ``text.split()`` (mirrors SQL
+    ``len(regexp_split_to_array(trim(text), ' +'))`` on this corpus).
+    Returns (id_col, n_tokens, bin_id, bin_offset), all int64.
+    """
+    import ray
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        sums: Counter = Counter()
+        for i, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            sums[int(i) // bucket_size] += len((t or "").split())
+        ks = sorted(sums)
+        return pa.table(
+            {
+                "bucket": pa.array(ks, pa.int64()),
+                "toks": pa.array([sums[b] for b in ks], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    bucket_sums = (
+        docs_ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("toks", alias_name="toks"))
+        .to_pandas()  # one row per bucket — bounded by construction
+        .sort_values("bucket")
+    )
+    offs = bucket_sums["toks"].cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(
+        dict(zip((int(b) for b in bucket_sums["bucket"]),
+                 (int(o) for o in offs)))
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        toks = [
+            len((t or "").split())
+            for t in batch.column(text_col).to_pylist()
+        ]
+        ids = batch.column(id_col).to_pylist()
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "bucket": pa.array(
+                    [int(i) // bucket_size for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        offsets = _ray.get(offsets_ref)
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        base = offsets[int(g["bucket"].iloc[0])]
+        start = base + g["n_tokens"].cumsum() - g["n_tokens"]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "n_tokens": g["n_tokens"],
+                "bin_id": start // seq_len,
+                "bin_offset": start % seq_len,
+            }
+        ).astype(
+            {
+                id_col: "int64",
+                "n_tokens": "int64",
+                "bin_id": "int64",
+                "bin_offset": "int64",
+            }
+        )
+
+    return (
+        docs_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

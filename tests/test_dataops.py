@@ -2867,3 +2867,34 @@ def test_weighted_sample_rule(ray_session):
     assert got == want
     assert any(w == 0 and i not in got for i, w in zip(ids, ws))
     assert all(i in got for i, w in zip(ids, ws) if w >= 100)
+
+
+def test_pack_sequences_matches_serial(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import pack_sequences
+
+    # ids deliberately unsorted across blocks; token counts vary
+    ids = [7, 3, 11, 0, 5, 2, 9, 1]
+    texts = {i: " ".join(["w"] * ((i * 13) % 9 + 1)) for i in ids}
+    L = 5
+
+    # serial reference: exclusive prefix over ascending id order
+    cum = 0
+    want = {}
+    for i in sorted(ids):
+        n = len(texts[i].split())
+        want[i] = (n, cum // L, cum % L)
+        cum += n
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": [texts[i] for i in ids]})
+    ).repartition(3)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(
+            ds, seq_len=L, bucket_size=4
+        ).take_all()
+    }
+    assert got == want
