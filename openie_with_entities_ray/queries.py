@@ -3634,6 +3634,95 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
+def q_canonical_suppliers(sf_dir):
+    """Entity resolution end-to-end: supplier names → edit-distance≤1
+    pairs (FastSS blocking) → connected components (labels-as-a-Dataset
+    min-label fixpoint) → canonical name per cluster, singletons mapping
+    to themselves. The union-with-self-labels min makes the composition
+    empty-safe (no-pairs inputs never hit a zero-row join)."""
+    import zlib
+
+    import ray.data
+
+    from .stages.dataops import _cluster_parts, edit_distance_join
+    from .stages.graph_algos import connected_components_join
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_name"]
+    )
+    pairs = edit_distance_join(sup, col="s_name").map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("id_a").cast(pa.string()),
+                "dst": t.column("id_b").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cc = connected_components_join(pairs)
+
+    def self_labels(batch: pa.Table) -> pa.Table:
+        names = sorted(set(batch.column("s_name").to_pylist()))
+        return pa.table(
+            {
+                "node_id": pa.array(names, pa.string()),
+                "component": pa.array(names, pa.string()),
+            }
+        )
+
+    num_parts = _cluster_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part",
+            pa.array(
+                [
+                    zlib.crc32(n.encode()) % num_parts
+                    for n in batch.column("node_id").to_pylist()
+                ],
+                pa.int64(),
+            ),
+        )
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_k=[n.encode("utf-8") for n in g["node_id"]])
+        out = g.groupby("_k", as_index=False).agg(
+            s_name=("node_id", "first"), canonical=("component", "min")
+        )
+        return out[["s_name", "canonical"]]
+
+    return (
+        sup.map_batches(self_labels, batch_format="pyarrow")
+        .union(cc)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(min_label, batch_format="pandas")
+    )
+
+
+SQL_CANONICAL_SUPPLIERS = """
+WITH RECURSIVE s AS (SELECT DISTINCT s_name FROM supplier),
+pairs AS (
+  SELECT a.s_name AS ia, b.s_name AS ib
+  FROM s a JOIN s b
+    ON a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) <= 1
+),
+adj AS (
+  SELECT ia AS node_id, ib AS nbr FROM pairs
+  UNION
+  SELECT ib, ia FROM pairs
+),
+reach AS (
+  SELECT s_name AS node_id, s_name AS label FROM s
+  UNION
+  SELECT a.node_id, r.label FROM adj a JOIN reach r ON a.nbr = r.node_id
+)
+SELECT node_id AS s_name, MIN(label) AS canonical
+FROM reach
+GROUP BY node_id
+"""
+
+
 def q_dataset_splits(sf_dir):
     """Deterministic train/val/test assignment (5%/5%/90%) by the
     content-addressed md5 rule — cluster-size/retry/resume-invariant.
@@ -4229,6 +4318,7 @@ def build_queries():
         "term_pairs": q_term_pairs,
         "doc_sample_weighted": q_doc_sample_weighted,
         "packed_sequences": q_packed_sequences,
+        "canonical_suppliers": q_canonical_suppliers,
     }
 
 
@@ -4328,4 +4418,5 @@ def build_oracle_sql():
         "term_pairs": SQL_TERM_PAIRS,
         "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
         "packed_sequences": SQL_PACKED_SEQUENCES,
+        "canonical_suppliers": SQL_CANONICAL_SUPPLIERS,
     }

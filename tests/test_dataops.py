@@ -2898,3 +2898,50 @@ def test_pack_sequences_matches_serial(ray_session):
         ).take_all()
     }
     assert got == want
+
+
+def test_canonical_suppliers_no_pairs_is_identity(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openie_with_entities_ray.queries import build_queries
+
+    # pairwise edit distance >> 1: every name is its own cluster, and
+    # the CC stage sees a zero-row edge set (the empty-join hazard arm)
+    names = ["alpha....", "bravo####", "charlie!!", "deltadelta"]
+    pq.write_table(
+        pa.table({"s_name": names}), tmp_path / "supplier.parquet"
+    )
+    got = {
+        r["s_name"]: r["canonical"]
+        for r in build_queries()["canonical_suppliers"](
+            str(tmp_path)
+        ).take_all()
+    }
+    assert got == {n: n for n in names}
+
+
+def test_canonical_suppliers_clusters(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openie_with_entities_ray.queries import build_queries
+
+    # chain kitten—mitten—mittens must collapse transitively to the
+    # lexicographic min of the component
+    names = ["kitten", "mitten", "mittens", "zebra"]
+    pq.write_table(
+        pa.table({"s_name": names}), tmp_path / "supplier.parquet"
+    )
+    got = {
+        r["s_name"]: r["canonical"]
+        for r in build_queries()["canonical_suppliers"](
+            str(tmp_path)
+        ).take_all()
+    }
+    assert got == {
+        "kitten": "kitten",
+        "mitten": "kitten",
+        "mittens": "kitten",
+        "zebra": "zebra",
+    }
