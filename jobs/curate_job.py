@@ -16,7 +16,10 @@ atomic tmp+rename manifests; a re-run skips every finished unit):
    (same kernels and default thresholds as
    ``stages/dataops.py:quality_filter``), full surviving doc rows plus
    ``content_sha256``, its hex-prefix partition key, language and token
-   stats. Embarrassingly parallel next to the data.
+   stats. Embarrassingly parallel next to the data. With
+   ``--benchmark <glob>`` the same scan also drops docs sharing any
+   word n-gram with the eval set (dataops.decontaminate's rule, fused
+   — the gram set is built and ``ray.put`` ONCE per job).
 2. ``keepers/part=<p>`` — global exact dedup at hash granularity: for
    each of the 16 sha256 hex prefixes, the min-doc_id keeper per
    distinct hash over ALL clean shards (parquet predicate pushdown on
@@ -48,11 +51,17 @@ import sys
 
 def clean_shard(shard_path: str, *, min_words: int = 20,
                 max_words: int = 1000, min_stopword_permille: int = 50,
-                max_punct_permille: int = 200):
+                max_punct_permille: int = 200, bench_gram_ref=None,
+                decon_n: int = 5):
     """One shard's quality-filter pass: full surviving rows + hash and
     stats columns. Same decision rule as dataops.quality_filter (which
-    emits only the stats projection)."""
+    emits only the stats projection). With ``bench_gram_ref`` (a
+    ``ray.put`` frozenset of benchmark word n-grams from
+    dataops.benchmark_ngrams) the pass also drops contaminated docs —
+    same rule as dataops.decontaminate, fused into the existing scan so
+    decontamination costs no extra stage."""
     import pyarrow as pa
+    import ray
     import ray.data
 
     from openie_with_entities_ray.functions.textstats import (
@@ -60,10 +69,14 @@ def clean_shard(shard_path: str, *, min_words: int = 20,
         detect_language,
         quality_stats,
     )
+    from openie_with_entities_ray.stages.dataops import _word_ngrams
 
     docs = ray.data.read_parquet(shard_path)
 
     def keep(batch: pa.Table) -> pa.Table:
+        grams = (
+            ray.get(bench_gram_ref) if bench_gram_ref is not None else None
+        )
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
         rows = []
@@ -74,6 +87,10 @@ def clean_shard(shard_path: str, *, min_words: int = 20,
             if q["stopword_permille"] < min_stopword_permille:
                 continue
             if q["punct_permille"] > max_punct_permille:
+                continue
+            if grams is not None and any(
+                g in grams for g in _word_ngrams(t, decon_n)
+            ):
                 continue
             sha = hashlib.sha256(t.encode()).hexdigest()
             rows.append((idx, sha, q["n_words"], bpe_ish_token_count(t),
@@ -236,7 +253,8 @@ def write_report(survivor_files, out_dir: str) -> dict:
 def run_curate(shards, out_dir: str, *, resume: bool = True,
                min_words: int = 20, max_words: int = 1000,
                min_stopword_permille: int = 50,
-               max_punct_permille: int = 200) -> dict:
+               max_punct_permille: int = 200,
+               benchmark: str | None = None, decon_n: int = 5) -> dict:
     from openie_with_entities_ray.stages.graph import (
         completed_partitions,
         write_partition,
@@ -244,7 +262,30 @@ def run_curate(shards, out_dir: str, *, resume: bool = True,
 
     os.makedirs(out_dir, exist_ok=True)
 
-    # stage 1: per-shard clean
+    # optional decontamination broadcast: ONE gram-set build + ray.put
+    # for the whole job (deterministic from the benchmark files, so a
+    # resumed run recomputes the identical set)
+    bench_gram_ref = None
+    if benchmark:
+        import ray
+        import ray.data
+
+        from openie_with_entities_ray.stages.dataops import (
+            benchmark_ngrams,
+        )
+
+        bench_files = sorted(glob.glob(benchmark))
+        if not bench_files:
+            raise FileNotFoundError(
+                f"no benchmark shards match {benchmark!r}"
+            )
+        bench_gram_ref = ray.put(
+            benchmark_ngrams(
+                ray.data.read_parquet(bench_files), n=decon_n
+            )
+        )
+
+    # stage 1: per-shard clean (+ fused decontamination when requested)
     clean_dir = os.path.join(out_dir, "clean")
     done = completed_partitions(clean_dir) if resume else set()
     clean_written = 0
@@ -256,9 +297,14 @@ def run_curate(shards, out_dir: str, *, resume: bool = True,
                 shard, min_words=min_words, max_words=max_words,
                 min_stopword_permille=min_stopword_permille,
                 max_punct_permille=max_punct_permille,
+                bench_gram_ref=bench_gram_ref, decon_n=decon_n,
             ),
             clean_dir, part,
-            extra_meta={"input": str(shard), "stage": "clean"},
+            extra_meta={
+                "input": str(shard),
+                "stage": "clean",
+                "benchmark": benchmark or "",
+            },
         )
         clean_written += 1
 
@@ -355,6 +401,12 @@ def main(argv=None) -> int:
     p.add_argument("--max-words", type=int, default=1000)
     p.add_argument("--min-stopword-permille", type=int, default=50)
     p.add_argument("--max-punct-permille", type=int, default=200)
+    p.add_argument("--benchmark", default=None,
+                   help="glob of benchmark/eval parquet shards; docs "
+                        "sharing any word n-gram with them are dropped "
+                        "in the clean stage")
+    p.add_argument("--decon-n", type=int, default=5,
+                   help="n-gram size for --benchmark decontamination")
     args = p.parse_args(argv)
 
     sys.path.insert(0, ".")
@@ -375,6 +427,7 @@ def main(argv=None) -> int:
             min_words=args.min_words, max_words=args.max_words,
             min_stopword_permille=args.min_stopword_permille,
             max_punct_permille=args.max_punct_permille,
+            benchmark=args.benchmark, decon_n=args.decon_n,
         )
         print(json.dumps(summary, sort_keys=True))
     finally:

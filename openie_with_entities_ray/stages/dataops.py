@@ -2856,6 +2856,25 @@ def _word_ngrams(text: str, n: int) -> list:
     ]
 
 
+def benchmark_ngrams(bench_ds, *, n: int = 5,
+                     text_col: str = "text") -> frozenset:
+    """Distinct word n-grams of a (small-by-contract) benchmark/eval
+    Dataset, per-batch deduped then fetched once to the driver — the
+    broadcast side of :func:`decontaminate` and of the curate job's
+    ``--benchmark`` stage."""
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        out = set()
+        for t in batch.column(text_col).to_pylist():
+            out.update(_word_ngrams(t or "", n))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    gram_df = bench_ds.map_batches(
+        bench_grams, batch_format="pyarrow"
+    ).to_pandas()
+    return frozenset(gram_df["gram"])
+
+
 def decontaminate(docs_ds, bench_ds, *, n: int = 5,
                   text_col: str = "text", id_col: str = "doc_id"):
     """Benchmark decontamination: flag training documents that share any
@@ -2876,17 +2895,7 @@ def decontaminate(docs_ds, bench_ds, *, n: int = 5,
     """
     import ray
 
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        out = set()
-        for t in batch.column(text_col).to_pylist():
-            out.update(_word_ngrams(t or "", n))
-        return pa.table({"gram": pa.array(sorted(out), pa.string())})
-
-    # small side by contract: distinct grams of the eval set only
-    gram_df = bench_ds.map_batches(
-        bench_grams, batch_format="pyarrow"
-    ).to_pandas()
-    gram_ref = ray.put(frozenset(gram_df["gram"]))
+    gram_ref = ray.put(benchmark_ngrams(bench_ds, n=n, text_col=text_col))
 
     def mark(batch: pa.Table) -> pa.Table:
         grams = ray.get(gram_ref)  # per-worker object-store cache hit

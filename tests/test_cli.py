@@ -480,3 +480,55 @@ def test_curate_job_end_to_end_and_resumable(tmp_path):
     assert rep2["keepers_written"] == 0
     assert rep2["survivors_written"] == 0
     assert rep2["curated_docs"] == 3
+
+
+def test_curate_job_benchmark_decontamination(tmp_path):
+    """--benchmark drops docs sharing any word 5-gram with the eval
+    shards during the clean stage; unrelated docs survive."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def prose(tag):
+        return (f"the {tag} sat on the mat and the dog lay by the door "
+                f"while the sun was high in the sky today")
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    contaminated = prose("cat")
+    clean_doc = (
+        "a very different story entirely with many other things going "
+        "on here and the weather is calm while people walk about town"
+    )
+    pq.write_table(
+        pa.table({"doc_id": [1, 2],
+                  "text": [contaminated, clean_doc],
+                  "lang": ["en"] * 2}),
+        shard_dir / "s0.parquet",
+    )
+    bench_dir = tmp_path / "bench"
+    bench_dir.mkdir()
+    # benchmark shares the 'sat on the mat and' run with doc 1 only
+    pq.write_table(
+        pa.table({"doc_id": [100],
+                  "text": [prose("cat")],
+                  "lang": ["en"]}),
+        bench_dir / "b0.parquet",
+    )
+    out = tmp_path / "curate"
+    res = subprocess.run(
+        [sys.executable, "jobs/curate_job.py",
+         "--input", str(shard_dir / "*.parquet"), "--out", str(out),
+         "--benchmark", str(bench_dir / "*.parquet")],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["curated_docs"] == 1
+    surv_files = sorted((out / "survivors").glob("part=*/*.parquet"))
+    ids = [
+        i for f in surv_files
+        for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+    ]
+    assert ids == [2]
