@@ -1573,6 +1573,62 @@ WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[],
 """
 
 
+def q_embedding_alignment(sf_dir):
+    """Mutual nearest-neighbor alignment between two embedding snapshots
+    (even vs odd vec_id): keep (a, b) iff each is the other's best match
+    on centi-rounded cosine with id tie-breaks.
+    stages/dataops.py:mutual_nn_pairs."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from .stages.dataops import mutual_nn_pairs
+
+    ref = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    odd = pc.equal(pc.bit_wise_and(ref.column("vec_id"), 1), 1)
+    b = ref.filter(odd)
+    b_ids = np.array(b.column("vec_id").to_pylist())
+    b_mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+
+    a_ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("vec_id"), 1), 0)
+        ),
+        batch_format="pyarrow",
+    )
+    return mutual_nn_pairs(a_ds, b_ids, b_mat)
+
+
+SQL_EMBEDDING_ALIGNMENT = """
+WITH cc AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) * 100
+                    + 0.5) AS BIGINT) AS cos_cents
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+),
+ab AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY id_a ORDER BY cos_cents DESC, id_b
+  ) AS r FROM cc
+),
+ba AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY id_b ORDER BY cos_cents DESC, id_a
+  ) AS r FROM cc
+)
+SELECT x.id_a, x.id_b, x.cos_cents
+FROM ab x JOIN ba y ON x.id_a = y.id_a AND x.id_b = y.id_b
+WHERE x.r = 1 AND y.r = 1
+"""
+
+
 def q_embedding_dups_lsh(sf_dir):
     """Approximate (LSH-bucketed) variant — the 100 TB scale path; its
     recall against the exact baseline is gated by pytest, its plumbing by
@@ -4319,6 +4375,7 @@ def build_queries():
         "doc_sample_weighted": q_doc_sample_weighted,
         "packed_sequences": q_packed_sequences,
         "canonical_suppliers": q_canonical_suppliers,
+        "embedding_alignment": q_embedding_alignment,
     }
 
 
@@ -4419,4 +4476,5 @@ def build_oracle_sql():
         "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
         "packed_sequences": SQL_PACKED_SEQUENCES,
         "canonical_suppliers": SQL_CANONICAL_SUPPLIERS,
+        "embedding_alignment": SQL_EMBEDDING_ALIGNMENT,
     }

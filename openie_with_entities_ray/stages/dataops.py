@@ -3274,3 +3274,122 @@ def pack_sequences(docs_ds, *, seq_len: int = 128,
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual nearest-neighbor alignment
+
+
+def mutual_nn_pairs(a_ds, b_ids: np.ndarray, b_mat: np.ndarray, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Mutual nearest-neighbor alignment between two embedding sets (the
+    standard unsupervised entity/snapshot alignment rule: keep (a, b)
+    iff b is a's best match AND a is b's best match).
+
+    Ranking is on CENTI-ROUNDED cosine with id tie-breaks — the same
+    reproducibility contract as every float op here, so the DuckDB
+    oracle agrees exactly: a's choice = max cents then min b id; b's
+    choice = max cents then min a id.
+
+    Shapes: the B side is the broadcast small side (snapshot alignment;
+    for two corpus-scale sides, LSH-bucket first — see LSHBucketer).
+    One stream over A produces BOTH directions: per batch, each A row's
+    argmax over B (vectorized) plus a per-batch B-side partial argmax;
+    the B partials merge in a tiny |B|-row reduce whose result rides a
+    second broadcast that filters the A choices. A is never collected.
+    Output (id_a, id_b, cos_cents), int64 cents.
+    """
+    import ray
+
+    bn = b_mat.astype(np.float64)
+    bn = bn / np.maximum(np.linalg.norm(bn, axis=1, keepdims=True), 1e-300)
+    b_order = np.argsort(b_ids, kind="stable")
+    b_ids_s = np.asarray(b_ids)[b_order]
+    bn = bn[b_order]
+
+    def cents_matrix(batch: pa.Table) -> tuple:
+        ids = np.array(batch.column(id_col).to_pylist())
+        mat = np.array(
+            batch.column(vec_col).to_pylist(), dtype=np.float64
+        )
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+        )
+        cents = np.floor(mat @ bn.T * 100 + 0.5).astype(np.int64)
+        return ids, cents
+
+    def a_choices(batch: pa.Table) -> pa.Table:
+        ids, cents = cents_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cos_cents": pa.array([], pa.int64()),
+                }
+            )
+        # b_ids_s ascending → argmax returns the FIRST (min id) maximum
+        best = np.argmax(cents, axis=1)
+        out = pa.table(
+            {
+                "id_a": pa.array(ids, pa.int64()),
+                "id_b": pa.array(b_ids_s[best], pa.int64()),
+                "cos_cents": pa.array(
+                    cents[np.arange(len(ids)), best], pa.int64()
+                ),
+            }
+        )
+        return out
+
+    def b_partials(batch: pa.Table) -> pa.Table:
+        ids, cents = cents_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "id_b": pa.array([], pa.int64()),
+                    "id_a": pa.array([], pa.int64()),
+                    "cos_cents": pa.array([], pa.int64()),
+                }
+            )
+        a_order = np.argsort(ids, kind="stable")
+        cents_o = cents[a_order]
+        best = np.argmax(cents_o, axis=0)  # first max → min a id
+        return pa.table(
+            {
+                "id_b": pa.array(b_ids_s, pa.int64()),
+                "id_a": pa.array(
+                    np.asarray(ids)[a_order][best], pa.int64()
+                ),
+                "cos_cents": pa.array(
+                    cents_o[best, np.arange(len(b_ids_s))], pa.int64()
+                ),
+            }
+        )
+
+    # tiny reduce: |B| rows per batch partial → one |B|-row table
+    bp = a_ds.map_batches(
+        b_partials, batch_format="pyarrow"
+    ).to_pandas()
+    bp = bp.sort_values(
+        ["id_b", "cos_cents", "id_a"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    ).drop_duplicates("id_b")
+    b_choice_ref = ray.put(
+        dict(zip((int(x) for x in bp["id_b"]),
+                 (int(x) for x in bp["id_a"])))
+    )
+
+    def mutual(batch: pa.Table) -> pa.Table:
+        choice = ray.get(b_choice_ref)
+        df = batch.to_pandas()
+        keep = [
+            choice.get(int(b)) == int(a)
+            for a, b in zip(df["id_a"], df["id_b"])
+        ]
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    return (
+        a_ds.map_batches(a_choices, batch_format="pyarrow")
+        .map_batches(mutual, batch_format="pyarrow")
+    )

@@ -2945,3 +2945,63 @@ def test_canonical_suppliers_clusters(ray_session, tmp_path):
         "mittens": "kitten",
         "zebra": "zebra",
     }
+
+
+def test_mutual_nn_pairs_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import mutual_nn_pairs
+
+    rng = [((i * 2654435761) % 1000) / 1000.0 for i in range(26 * 4)]
+    a_ids = np.array([0, 2, 4, 6, 8, 10], dtype=np.int64)
+    b_ids = np.array([1, 3, 5, 7], dtype=np.int64)
+    a_mat = np.array(rng[: len(a_ids) * 4]).reshape(len(a_ids), 4)
+    b_mat = np.array(rng[40 : 40 + len(b_ids) * 4]).reshape(len(b_ids), 4)
+    a_mat[3] = b_mat[2] * 2.0   # exact-tie arms: identical directions
+    a_mat[4] = b_mat[2] * 3.0
+
+    def cents(u, v):
+        c = float(
+            np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+        )
+        return int(np.floor(c * 100 + 0.5))
+
+    cm = {
+        (ia, ib): cents(a_mat[i], b_mat[j])
+        for i, ia in enumerate(a_ids)
+        for j, ib in enumerate(b_ids)
+    }
+    a_best = {
+        ia: min(
+            ((-cm[(ia, ib)], ib) for ib in b_ids)
+        )[1]
+        for ia in a_ids
+    }
+    b_best = {
+        ib: min(
+            ((-cm[(ia, ib)], ia) for ia in a_ids)
+        )[1]
+        for ib in b_ids
+    }
+    want = {
+        (ia, ib): cm[(ia, ib)]
+        for ia, ib in a_best.items()
+        if b_best[ib] == ia
+    }
+    assert want  # fixture produces at least one mutual pair
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": a_ids,
+                "embedding": [list(r) for r in a_mat],
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_cents"]
+        for r in mutual_nn_pairs(ds, b_ids, b_mat).take_all()
+    }
+    assert got == want
