@@ -4049,6 +4049,63 @@ def q_event_type_runs(sf_dir):
     )
 
 
+def q_props_stats(sf_dir):
+    """Semi-structured flattening: parse the events.props JSON column,
+    extract the integer field ``k``, aggregate per event_type — the
+    ETL shape for log/telemetry payloads. Per-batch vectorized
+    ``json.loads`` partial (exact int64 sums/mins/maxes) → tiny
+    per-type merge; raw JSON never shuffles."""
+    import json as _json
+
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = [int(_json.loads(p)["k"]) for p in batch["props"]]
+        g = pd.DataFrame(
+            {"event_type": batch["event_type"], "k": ks}
+        ).groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"),
+            sum_k=("k", "sum"),
+            min_k=("k", "min"),
+            max_k=("k", "max"),
+        )
+        return g.astype(
+            {
+                "n_events": "int64",
+                "sum_k": "int64",
+                "min_k": "int64",
+                "max_k": "int64",
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+SQL_PROPS_STATS = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       MIN(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       MAX(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 SQL_EVENT_TYPE_RUNS = """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
@@ -4376,6 +4433,7 @@ def build_queries():
         "packed_sequences": q_packed_sequences,
         "canonical_suppliers": q_canonical_suppliers,
         "embedding_alignment": q_embedding_alignment,
+        "props_stats": q_props_stats,
     }
 
 
@@ -4477,4 +4535,5 @@ def build_oracle_sql():
         "packed_sequences": SQL_PACKED_SEQUENCES,
         "canonical_suppliers": SQL_CANONICAL_SUPPLIERS,
         "embedding_alignment": SQL_EMBEDDING_ALIGNMENT,
+        "props_stats": SQL_PROPS_STATS,
     }
