@@ -2847,10 +2847,14 @@ def kmv_distinct_by_group(ds, *, group_col: str, col: str, k: int = 256):
 def _word_ngrams(text: str, n: int) -> list:
     """Whitespace word n-grams of ``lower(text)``, empty tokens dropped —
     token rule mirrors the oracle's
-    ``list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')``."""
+    ``list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')``.
+    The split class is RE2's ``\\s`` ([\\t\\n\\f\\r ]) spelled out, NOT
+    Python's Unicode-aware ``\\s`` — Python would also split on \\v and
+    NBSP, silently diverging from every DuckDB oracle on exotic
+    whitespace (differentially fuzzed in test_dataops)."""
     import re as _re
 
-    toks = [t for t in _re.split(r"\s+", text.lower()) if t]
+    toks = [t for t in _re.split(r"[\t\n\f\r ]+", text.lower()) if t]
     return [
         " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
     ]
@@ -2950,8 +2954,13 @@ def bm25_topk(docs_ds, query_terms, *, k: int = 10, k1: float = 1.2,
 
     terms = list(dict.fromkeys(query_terms))  # stable order, unique
 
+    # RE2-exact whitespace class — see _word_ngrams
     def _toks(text: str) -> list:
-        return [t for t in _re.split(r"\s+", (text or "").lower()) if t]
+        return [
+            t
+            for t in _re.split(r"[\t\n\f\r ]+", (text or "").lower())
+            if t
+        ]
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         n = 0
@@ -3067,9 +3076,12 @@ def term_cooccurrence_topk(docs_ds, *, vocab_size: int = 40, k: int = 50,
     import zlib
     from collections import Counter
 
+    # RE2-exact whitespace class — see _word_ngrams
     def _terms(text: str) -> set:
         return {
-            t for t in _re.split(r"\s+", (text or "").lower()) if t
+            t
+            for t in _re.split(r"[\t\n\f\r ]+", (text or "").lower())
+            if t
         }
 
     num_parts = _cluster_parts()

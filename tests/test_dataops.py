@@ -3005,3 +3005,33 @@ def test_mutual_nn_pairs_matches_bruteforce(ray_session):
         for r in mutual_nn_pairs(ds, b_ids, b_mat).take_all()
     }
     assert got == want
+
+
+def test_word_tokenization_matches_duckdb_re2_on_exotic_whitespace():
+    """The dataops tokenizers spell out RE2's \\s class instead of
+    Python's Unicode \\s: \\v (0x0b) and NBSP (0xa0) are NOT separators
+    in DuckDB's string_split_regex, and must not be here either."""
+    import duckdb
+
+    from openie_with_entities_ray.stages.dataops import _word_ngrams
+
+    cases = [
+        "a\x0bb c",            # vertical tab: one token 'a\x0bb'
+        "a\xa0b c",            # NBSP glued
+        "x y z",          # thin space glued
+        " a\t b\nc\fd\re ",    # every RE2 separator
+        "",
+        "\x0b",                # token of pure \v survives
+    ]
+    con = duckdb.connect()
+    for s in cases:
+        want = [
+            t
+            for t in con.execute(
+                r"SELECT list_filter(string_split_regex(lower(?), '\s+'),"
+                r" x -> x <> '')",
+                [s],
+            ).fetchone()[0]
+        ]
+        got = _word_ngrams(s, 1)
+        assert got == want, (s.encode(), got, want)
