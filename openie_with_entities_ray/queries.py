@@ -4165,6 +4165,33 @@ def q_doc_sample_weighted(sf_dir):
     return weighted_sample(docs, weight_col="n_chars", max_weight=2000)
 
 
+def q_doc_sample_exact_k(sf_dir):
+    """Exactly-k-per-language deterministic sample (fixed-size eval
+    subsets): the k smallest md5(salt|id) per stratum — guaranteed size,
+    content-addressed invariance. stages/dataops.py:exact_k_sample."""
+    import ray.data
+
+    from .stages.dataops import exact_k_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return exact_k_sample(docs, k=20, strat_col="lang")
+
+
+SQL_DOC_SAMPLE_EXACT_K = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5_number_lower('ksamp|' || CAST(doc_id AS VARCHAR)),
+                    doc_id
+         ) AS r
+  FROM documents
+) WHERE r <= 20
+"""
+
+
 SQL_DOC_SAMPLE_WEIGHTED = """
 SELECT doc_id, lang, n_chars
 FROM documents
@@ -4434,6 +4461,7 @@ def build_queries():
         "canonical_suppliers": q_canonical_suppliers,
         "embedding_alignment": q_embedding_alignment,
         "props_stats": q_props_stats,
+        "doc_sample_exact_k": q_doc_sample_exact_k,
     }
 
 
@@ -4536,4 +4564,5 @@ def build_oracle_sql():
         "canonical_suppliers": SQL_CANONICAL_SUPPLIERS,
         "embedding_alignment": SQL_EMBEDDING_ALIGNMENT,
         "props_stats": SQL_PROPS_STATS,
+        "doc_sample_exact_k": SQL_DOC_SAMPLE_EXACT_K,
     }

@@ -272,6 +272,47 @@ def deterministic_sample(docs_ds, *, rate_permille: int = 100,
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
+def exact_k_sample(docs_ds, *, k: int, strat_col: str = "lang",
+                   id_col: str = "doc_id", salt: str = "ksamp"):
+    """EXACTLY ``k`` rows per stratum (fixed-size eval subsets), chosen
+    as the k smallest ``md5(salt|id)`` values — content-addressed like
+    :func:`deterministic_sample`, so the subset is cluster-size / retry
+    / resume-invariant, but with a guaranteed size instead of a rate.
+
+    Shape: per-batch per-stratum partial top-k (smallest hashes) →
+    per-stratum merge of the ≤ k·num_batches partial rows (strata are
+    few by nature; the merge never sees the corpus). Ties are
+    impossible at md5 granularity for distinct ids; equal ids keep one
+    row via the (hash, id) order. Output: input columns of the winners.
+    """
+    from ..functions.textstats import _md5_number_lower
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_h"] = [
+            _md5_number_lower(f"{salt}|{i}") for i in df[id_col]
+        ]
+        out = (
+            df.sort_values(["_h", id_col], kind="mergesort")
+            .groupby(strat_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["_h", id_col], kind="mergesort")
+            .head(k)
+            .drop(columns=["_h"])
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(strat_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def weighted_sample(docs_ds, *, weight_col: str, max_weight: int,
                     id_col: str = "doc_id", salt: str = "wsamp"):
     """Weighted content-addressed sampling: keep a row iff

@@ -3035,3 +3035,45 @@ def test_word_tokenization_matches_duckdb_re2_on_exotic_whitespace():
         ]
         got = _word_ngrams(s, 1)
         assert got == want, (s.encode(), got, want)
+
+
+def test_exact_k_sample_invariance_and_size(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.functions.textstats import (
+        _md5_number_lower,
+    )
+    from openie_with_entities_ray.stages.dataops import exact_k_sample
+
+    ids = list(range(60))
+    langs = ["en" if i % 3 else "de" for i in ids]
+    t = pa.table({"doc_id": ids, "lang": langs})
+
+    def brute(k):
+        out = {}
+        for lang in set(langs):
+            members = sorted(
+                (i for i, l in zip(ids, langs) if l == lang),
+                key=lambda i: (_md5_number_lower(f"ksamp|{i}"), i),
+            )
+            out[lang] = set(members[:k])
+        return out
+
+    want = brute(5)
+    for blocks in (1, 7):
+        got: dict = {}
+        for r in exact_k_sample(
+            ray.data.from_arrow(t).repartition(blocks),
+            k=5,
+            strat_col="lang",
+        ).take_all():
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert got == want  # block-structure invariant, exactly k each
+        assert all(len(v) == 5 for v in got.values())
+
+    # k larger than a stratum returns the whole stratum
+    small = exact_k_sample(
+        ray.data.from_arrow(t), k=1000, strat_col="lang"
+    ).take_all()
+    assert len(small) == 60
