@@ -537,6 +537,132 @@ GROUP BY n.n_name
 """
 
 
+def q_local_supplier_revenue(sf_dir):
+    """TPC-H Q5 shape: revenue from lineitems whose CUSTOMER and
+    SUPPLIER share a nation, per nation, orders date-windowed. One
+    big–big hash join (lineitem ⋈ filtered orders, column-pruned and
+    pre-filtered BEFORE the shuffle); customer/supplier/nation are
+    broadcast dimension maps applied inside the same combiner batch
+    that pre-aggregates revenue — the locality filter never shuffles."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lo = datetime(1995, 1, 1)
+    hi = datetime(1997, 1, 1)
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, type=d.type)),
+            pc.less(d, pa.scalar(hi, type=d.type)),
+        )
+        return batch.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = li.join(
+        orders.map_batches(in_window, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=max(2, cpus // 4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    maps_ref = ray.put(
+        (
+            dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_nationkey").to_pylist())),
+            dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_nationkey").to_pylist())),
+            dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist())),
+        )
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cmap, smap, nmap = ray.get(maps_ref)
+        cn = [cmap[c] for c in batch["o_custkey"]]
+        sn = [smap[s] for s in batch["l_suppkey"]]
+        batch = batch.assign(_cn=cn, _sn=sn)
+        batch = batch[batch["_cn"] == batch["_sn"]]
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series([], dtype="object"),
+                    "revenue": pd.Series([], dtype="float64"),
+                }
+            )
+        batch["n_name"] = [nmap[n] for n in batch["_cn"]]
+        batch["revenue"] = (
+            batch["l_extendedprice"] * (1 - batch["l_discount"])
+        )
+        return batch.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue_cents": pa.array(
+                    [
+                        _cents(v)
+                        for v in batch.column("revenue").to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_LOCAL_SUPPLIER_REVENUE = """
+SELECT n.n_name,
+       CAST(FLOOR(SUM(l.l_extendedprice*(1-l.l_discount))*100 + 0.5)
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+
 def q_revenue_by_nation_salted(sf_dir):
     """Same result as ``revenue_by_nation`` computed through
     :func:`stages.joins.salted_join` — the skew-aware join (north rule
@@ -4462,6 +4588,7 @@ def build_queries():
         "embedding_alignment": q_embedding_alignment,
         "props_stats": q_props_stats,
         "doc_sample_exact_k": q_doc_sample_exact_k,
+        "local_supplier_revenue": q_local_supplier_revenue,
     }
 
 
@@ -4565,4 +4692,5 @@ def build_oracle_sql():
         "embedding_alignment": SQL_EMBEDDING_ALIGNMENT,
         "props_stats": SQL_PROPS_STATS,
         "doc_sample_exact_k": SQL_DOC_SAMPLE_EXACT_K,
+        "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
     }
