@@ -158,19 +158,32 @@ def keeper_partition(clean_files, prefix: int):
 
 def survivors_partition(clean_part_files, keeper_files):
     """One shard's curated rows: clean rows whose doc_id is the global
-    keeper for their hash. Inner hash join on content_sha256 (non-key
-    names are disjoint by construction) + vectorized equality filter."""
+    keeper for their hash — a PAIR-membership semi-join ((sha, doc_id)
+    ∈ keepers) over the tagged co-group (joins.py), not Ray's native
+    hash join: keepers per shard can be far fewer than the partition
+    count and the native join intermittently dies on the resulting
+    empty right partitions (the CLAUDE.md join hazard, seen flaking in
+    the end-to-end test)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray.data
 
     from openie_with_entities_ray.stages.dataops import cluster_cpus
+    from openie_with_entities_ray.stages.joins import (
+        _PART,
+        _SIDE,
+        _conform_union,
+        _to_pandas_exact,
+    )
 
     clean = ray.data.read_parquet(clean_part_files)
     if "part" in clean.schema().names:
         # hive-inferred from the part=<k> directory name; keep it out of
         # the survivors schema
         clean = clean.drop_columns(["part"])
+    out_schema = clean.schema()
+    keep_cols = list(out_schema.names)
+    keep_types = dict(zip(out_schema.names, out_schema.types))
+
     keepers = ray.data.read_parquet(
         keeper_files, columns=["content_sha256", "keeper_id"]
     ).map_batches(
@@ -182,19 +195,39 @@ def survivors_partition(clean_part_files, keeper_files):
         ),
         batch_format="pyarrow",
     )
-    joined = clean.join(
-        keepers,
-        join_type="inner",
-        num_partitions=max(2, cluster_cpus() // 4),
-        on=("content_sha256",),
-        right_on=("__keeper_sha",),
+    union, _fields = _conform_union(
+        clean, keepers,
+        left_key="content_sha256", right_key="__keeper_sha",
+        num_parts=max(2, cluster_cpus() // 4),
     )
 
-    def only_keepers(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch.column("doc_id"), batch.column("keeper_id"))
-        return batch.filter(mask).drop_columns(["keeper_id"])
+    def pick(batch: pa.Table) -> pa.Table:
+        df = _to_pandas_exact(batch)
+        left = df[df[_SIDE] == 0]
+        right = df[df[_SIDE] == 1]
+        if len(left) == 0 or len(right) == 0:
+            mask = [False] * len(left)
+        else:
+            ok = set(
+                zip(right["__keeper_sha"],
+                    (int(k) for k in right["keeper_id"]))
+            )
+            mask = [
+                (s, int(d)) in ok
+                for s, d in zip(left["content_sha256"], left["doc_id"])
+            ]
+        out = left[mask] if len(left) else left
+        return pa.table(
+            {
+                c: pa.array(list(out[c]), keep_types[c])
+                for c in keep_cols
+            }
+        )
 
-    return joined.map_batches(only_keepers, batch_format="pyarrow")
+    return (
+        union.groupby(_PART)
+        .map_groups(pick, batch_format="pyarrow")
+    )
 
 
 def write_report(survivor_files, out_dir: str) -> dict:
