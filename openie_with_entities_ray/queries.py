@@ -1730,6 +1730,139 @@ def q_embedding_alignment(sf_dir):
     return mutual_nn_pairs(a_ds, b_ids, b_mat)
 
 
+def q_label_centroids(sf_dir):
+    """Per-label embedding centroid as EXACT integers: each element
+    quantized to micro units (floor(x*1e6+0.5)) and summed per (label,
+    dim) — the feature-engineering class-centroid op with no float
+    parity risk. Per-batch numpy column sums per label (64 ints per
+    label per batch) → tiny (label, dim) merge."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        labels = batch.column("label").to_pylist()
+        mat = np.array(
+            batch.column("embedding").to_pylist(), dtype=np.float64
+        )
+        q = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in sorted(set(labels)):
+            idx = [i for i, x in enumerate(labels) if x == lab]
+            sums = q[idx].sum(axis=0)
+            n = len(idx)
+            for d in range(q.shape[1]):
+                out_l.append(lab)
+                out_d.append(d)
+                out_s.append(int(sums[d]))
+                out_n.append(n)
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "dim": pa.array(out_d, pa.int64()),
+                "sum_micro": pa.array(out_s, pa.int64()),
+                "n_vecs": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("sum_micro", alias_name="sum_micro"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, (i - 1)::BIGINT AS dim,
+       SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT))::BIGINT AS sum_micro,
+       COUNT(*)::BIGINT AS n_vecs
+FROM (
+  SELECT label, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+)
+GROUP BY label, dim
+"""
+
+
+def q_user_event_pivot(sf_dir):
+    """Pivot: one row per user with a count column per event_type (the
+    feature-vector export shape). Per-batch (user, type) pre-counts →
+    crc32(user) coarse partition → in-kernel pandas pivot to the fixed
+    type columns; one shuffle of pre-counted rows."""
+    import zlib
+
+    import ray.data
+
+    from .stages.dataops import _cluster_parts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    num_parts = _cluster_parts()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(
+            ["user_id", "event_type"], as_index=False
+        ).agg(n=("event_type", "size"))
+        g["part"] = [
+            zlib.crc32(str(u).encode()) % num_parts
+            for u in g["user_id"]
+        ]
+        return g
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("n", "sum")
+        )
+        wide = agg.pivot_table(
+            index="user_id", columns="event_type", values="n",
+            fill_value=0, aggfunc="sum",
+        ).reset_index()
+        for t in types:
+            if t not in wide.columns:
+                wide[t] = 0
+        out = wide[["user_id"] + types].rename(
+            columns={t: f"n_{t}" for t in types}
+        )
+        return out.astype({f"n_{t}": "int64" for t in types}).astype(
+            {"user_id": "int64"}
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(pivot, batch_format="pandas")
+    )
+
+
+SQL_USER_EVENT_PIVOT = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+         AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+         AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
 SQL_EMBEDDING_ALIGNMENT = """
 WITH cc AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -4589,6 +4722,8 @@ def build_queries():
         "props_stats": q_props_stats,
         "doc_sample_exact_k": q_doc_sample_exact_k,
         "local_supplier_revenue": q_local_supplier_revenue,
+        "label_centroids": q_label_centroids,
+        "user_event_pivot": q_user_event_pivot,
     }
 
 
@@ -4693,4 +4828,6 @@ def build_oracle_sql():
         "props_stats": SQL_PROPS_STATS,
         "doc_sample_exact_k": SQL_DOC_SAMPLE_EXACT_K,
         "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
+        "label_centroids": SQL_LABEL_CENTROIDS,
+        "user_event_pivot": SQL_USER_EVENT_PIVOT,
     }
