@@ -537,6 +537,45 @@ GROUP BY n.n_name
 """
 
 
+def q_revenue_share(sf_dir):
+    """Ratio-to-total window (SQL ``SUM() OVER ()``): each nation's
+    revenue share in basis points, computed with pure INTEGER floor
+    division on cents so both engines agree bit-for-bit. The per-nation
+    cents reuse the revenue_by_nation combiner; the grand total is a
+    25-row driver-side sum (group cardinality = nations)."""
+
+    base = q_revenue_by_nation(sf_dir)
+
+    df = base.to_pandas()  # 25 rows — the nation dimension
+    total = int(df["revenue_cents"].sum())
+    df["share_bps"] = [
+        int(c) * 10000 // total for c in df["revenue_cents"]
+    ]
+    import ray.data
+
+    return ray.data.from_pandas(
+        df.astype({"revenue_cents": "int64", "share_bps": "int64"})
+    )
+
+
+SQL_REVENUE_SHARE = """
+WITH per_nation AS (
+  SELECT n.n_name,
+         CAST(FLOOR(SUM(l.l_extendedprice*(1-l.l_discount))*100 + 0.5)
+              AS BIGINT) AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, revenue_cents,
+       (revenue_cents * 10000 // SUM(revenue_cents) OVER ())::BIGINT
+         AS share_bps
+FROM per_nation
+"""
+
+
 def q_local_supplier_revenue(sf_dir):
     """TPC-H Q5 shape: revenue from lineitems whose CUSTOMER and
     SUPPLIER share a nation, per nation, orders date-windowed. One
@@ -4724,6 +4763,7 @@ def build_queries():
         "local_supplier_revenue": q_local_supplier_revenue,
         "label_centroids": q_label_centroids,
         "user_event_pivot": q_user_event_pivot,
+        "revenue_share": q_revenue_share,
     }
 
 
@@ -4830,4 +4870,5 @@ def build_oracle_sql():
         "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
         "label_centroids": SQL_LABEL_CENTROIDS,
         "user_event_pivot": SQL_USER_EVENT_PIVOT,
+        "revenue_share": SQL_REVENUE_SHARE,
     }
