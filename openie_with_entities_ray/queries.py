@@ -4653,6 +4653,65 @@ GROUP BY t.doc_id
 """
 
 
+def q_training_order(sf_dir):
+    """Seeded global shuffle rank (training-data epoch ordering):
+    shuffle_pos = ROW_NUMBER over (md5(salt|doc_id), doc_id), computed
+    WITHOUT a global sort — the hash's top bits bucket the order and a
+    distributed exclusive prefix sum ranks within buckets.
+    stages/dataops.py:training_order."""
+    import ray.data
+
+    from .stages.dataops import training_order
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return training_order(docs, salt="shuffle", bucket_bits=10)
+
+
+SQL_TRAINING_ORDER = """
+SELECT doc_id,
+       (ROW_NUMBER() OVER (
+          ORDER BY md5_number_lower('shuffle|' || CAST(doc_id AS VARCHAR)),
+                   doc_id
+        ) - 1)::BIGINT AS shuffle_pos
+FROM documents
+"""
+
+
+def q_ngram_counts(sf_dir):
+    """Corpus word-trigram count table, count >= 3 (count-based LM /
+    contamination-screen raw material). Combiner → crc32 coarse
+    partition → in-part threshold: sub-threshold singletons die inside
+    their partition. stages/dataops.py:ngram_counts."""
+    import ray.data
+
+    from .stages.dataops import ngram_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return ngram_counts(docs, n=3, min_count=3)
+
+
+SQL_NGRAM_COUNTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[\\t\\n\\f\\r ]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT array_to_string(w[i : i + 2], ' ') AS ngram
+  FROM (SELECT w, unnest(range(1, len(w) - 3 + 2)) AS i FROM toks)
+)
+SELECT ngram, COUNT(*)::BIGINT AS n_occurrences
+FROM grams
+GROUP BY ngram
+HAVING COUNT(*) >= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4764,6 +4823,8 @@ def build_queries():
         "label_centroids": q_label_centroids,
         "user_event_pivot": q_user_event_pivot,
         "revenue_share": q_revenue_share,
+        "training_order": q_training_order,
+        "ngram_counts": q_ngram_counts,
     }
 
 
@@ -4871,4 +4932,6 @@ def build_oracle_sql():
         "label_centroids": SQL_LABEL_CENTROIDS,
         "user_event_pivot": SQL_USER_EVENT_PIVOT,
         "revenue_share": SQL_REVENUE_SHARE,
+        "training_order": SQL_TRAINING_ORDER,
+        "ngram_counts": SQL_NGRAM_COUNTS,
     }

@@ -3446,3 +3446,172 @@ def mutual_nn_pairs(a_ds, b_ids: np.ndarray, b_mat: np.ndarray, *,
         a_ds.map_batches(a_choices, batch_format="pyarrow")
         .map_batches(mutual, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle order (training-data ordering)
+
+
+def training_order(docs_ds, *, salt: str = "shuffle",
+                   id_col: str = "doc_id", bucket_bits: int = 10):
+    """Seeded GLOBAL shuffle rank for training-data ordering: every row
+    gets ``shuffle_pos`` = its 0-based position under the total order
+    ``(md5_number_lower(salt|id), id)``. Content-addressed like the
+    sampling family (no RNG state), so the order is identical across
+    cluster sizes, retries and resume, and any worker can re-derive the
+    ranks of its own shard — the property data loaders need to seek into
+    an epoch.
+
+    NO global sort: the hash itself partitions the order. Bucket =
+    top ``bucket_bits`` bits of the uint64 priority, so bucket-numeric
+    order IS hash order, and the rank decomposes into a distributed
+    exclusive prefix sum (same two-pass shape as :func:`pack_sequences`):
+
+    1. per-batch bucket counts → tiny ``groupby(bucket).sum`` →
+       exclusive offsets on the driver (one row per bucket, bounded by
+       ``2**bucket_bits``) → one ``ray.put``;
+    2. per-bucket in-kernel sort by (priority, id) + ``arange``.
+
+    md5 is uniform, so bucket sizes are balanced ~N/2**bucket_bits with
+    no skew regardless of id distribution; raise ``bucket_bits`` with
+    corpus size (20 bits → ~1M-row groups at 1T rows).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _md5_number_lower
+
+    shift = np.uint64(64 - bucket_bits)
+
+    def _prio(ids):
+        return np.array(
+            [_md5_number_lower(f"{salt}|{i}") for i in ids],
+            dtype=np.uint64,
+        )
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        pr = _prio(batch.column(id_col).to_pylist())
+        b, c = np.unique(pr >> shift, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(b.astype(np.int64), pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ 2**bucket_bits rows — bounded by construction
+        .sort_values("bucket")
+    )
+    offs = counts["n"].cumsum().shift(fill_value=0)
+    offsets_ref = ray.put(
+        dict(zip((int(b) for b in counts["bucket"]),
+                 (int(o) for o in offs)))
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        pr = _prio(ids)
+        return pa.table(
+            {
+                id_col: pa.array([int(i) for i in ids], pa.int64()),
+                # raw uint64 — an int64 reinterpret would flip the order
+                # of priorities with the top bit set
+                "_prio": pa.array(pr, pa.uint64()),
+                "bucket": pa.array(
+                    (pr >> shift).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        offsets = _ray.get(offsets_ref)
+        base = offsets[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["_prio", id_col], kind="mergesort")
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "shuffle_pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram count table
+
+
+def ngram_counts(docs_ds, *, n: int = 3, min_count: int = 5,
+                 text_col: str = "text"):
+    """Corpus word-``n``-gram count table (the raw material of count-based
+    LM smoothing, contamination screens and boilerplate mining): every
+    lowercased ``n``-gram with total occurrence count >= ``min_count``.
+
+    Shape: per-batch ``Counter`` partial (collapses within-batch
+    repeats BEFORE the shuffle) → coarse partition by crc32(ngram) %
+    ``_cluster_parts()`` (never one Ray group per distinct n-gram; group
+    count scales with the cluster) → in-part pandas sum + threshold
+    filter, so sub-threshold singletons — the overwhelming majority of
+    the n-gram mass — die inside their partition and never hit a second
+    shuffle.
+
+    Token rule: lowercase, split on RE2's ``\\s`` class ``[\\t\\n\\f\\r ]``
+    (NOT Python's Unicode ``\\s``) so DuckDB's ``regexp_split_to_array``
+    reproduces the grams byte-for-byte (see CLAUDE.md).
+    """
+    import re
+    import zlib
+
+    num_parts = _cluster_parts()
+    ws = re.compile(r"[\t\n\f\r ]+")
+    sep_tok = " "
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = [x for x in ws.split((t or "").lower()) if x]
+            counts.update(
+                sep_tok.join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)
+            )
+        grams = sorted(counts)
+        return pa.table(
+            {
+                "ngram": pa.array(grams, pa.string()),
+                "n_occurrences": pa.array(
+                    [counts[g] for g in grams], pa.int64()
+                ),
+                "part": pa.array(
+                    [zlib.crc32(g.encode()) % num_parts for g in grams],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.assign(
+            _k=[g.encode("utf-8") for g in group["ngram"]]
+        )
+        out = group.groupby("_k", as_index=False).agg(
+            ngram=("ngram", "first"), n_occurrences=("n_occurrences", "sum")
+        )
+        out = out[out["n_occurrences"] >= min_count]
+        return out.drop(columns=["_k"])
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -3077,3 +3077,57 @@ def test_exact_k_sample_invariance_and_size(ray_session):
         ray.data.from_arrow(t), k=1000, strat_col="lang"
     ).take_all()
     assert len(small) == 60
+
+
+def test_training_order_is_partition_invariant_and_total(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import training_order
+
+    ids = list(range(40))
+
+    def prio(i):
+        return int.from_bytes(
+            hashlib.md5(f"shuffle|{i}".encode()).digest()[8:], "little"
+        )
+
+    want = {
+        i: pos for pos, i in enumerate(sorted(ids, key=lambda i: (prio(i), i)))
+    }
+
+    for parts in (1, 3, 7):
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": ids})
+        ).repartition(parts)
+        got = {
+            r["doc_id"]: r["shuffle_pos"]
+            for r in training_order(ds, bucket_bits=4).take_all()
+        }
+        assert got == want, f"partitioning {parts} changed the order"
+    # ranks are a permutation of 0..N-1 (total order, no gaps/dupes)
+    assert sorted(want.values()) == list(range(len(ids)))
+
+
+def test_ngram_counts_threshold_and_batch_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import ngram_counts
+
+    texts = [
+        "the cat sat",            # "the cat sat" x1 here
+        "the cat sat on the mat",  # + 1 = 2, "cat sat on", "sat on the", "on the mat"
+        "THE CAT SAT",            # lowercased: brings "the cat sat" to 3
+        "xy",                      # shorter than n: contributes nothing
+        "",
+    ]
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(parts)
+        got = {
+            r["ngram"]: r["n_occurrences"]
+            for r in ngram_counts(ds, n=3, min_count=2).take_all()
+        }
+        assert got == {"the cat sat": 3}
