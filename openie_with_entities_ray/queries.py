@@ -4712,6 +4712,188 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_event_outliers(sf_dir):
+    """Per-user z-score outliers, INTEGER-EXACT and in ONE shuffle: flag
+    events with |v - mean| > 2*stddev via the cross-multiplied form
+    (n*v - s1)^2 > 4*(n*s2 - s1^2) over cents — no sqrt, no float
+    drift, Python bigints in-kernel / HUGEINT in SQL. All of a user's
+    events land in one crc32(user) coarse partition, so the stats pass
+    and the flag pass fuse into a single per-partition pandas kernel
+    (never a per-user Ray group, never a second shuffle to join stats
+    back)."""
+    import zlib
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .stages.dataops import _cluster_parts
+
+    num_parts = _cluster_parts()
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        centi = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        part = pa.array(
+            [
+                zlib.crc32(str(u).encode()) % num_parts
+                for u in batch.column("user_id").to_pylist()
+            ],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "value_centi": centi,
+                "part": part,
+            }
+        )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for _, u in g.groupby("user_id", sort=False):
+            vs = [int(x) for x in u["value_centi"]]  # Python bigints
+            n, s1 = len(vs), sum(vs)
+            s2 = sum(v * v for v in vs)
+            var4 = 4 * (n * s2 - s1 * s1)
+            mask = [(n * v - s1) ** 2 > var4 for v in vs]
+            keep.append(u[mask])
+        out = pd.concat(keep) if keep else g.iloc[0:0]
+        return out[["event_id", "user_id", "value_centi"]]
+
+    return (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(flag, batch_format="pandas")
+    )
+
+
+SQL_EVENT_OUTLIERS = """
+WITH ec AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_centi
+  FROM events
+),
+s AS (
+  SELECT user_id, COUNT(*)::HUGEINT AS n,
+         SUM(value_centi)::HUGEINT AS s1,
+         SUM(value_centi::HUGEINT * value_centi)::HUGEINT AS s2
+  FROM ec GROUP BY user_id
+)
+SELECT event_id, ec.user_id, value_centi
+FROM ec JOIN s USING (user_id)
+WHERE (n * value_centi - s1) * (n * value_centi - s1)
+      > 4 * (n * s2 - s1 * s1)
+"""
+
+
+def q_large_orders(sf_dir):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with the order's price. Per-batch (orderkey, qty)
+    pre-sum → crc32 coarse partition → in-part HAVING filter (the
+    sub-threshold mass — almost everything — dies in-partition); the
+    tiny survivor set broadcasts into the orders scan (no second
+    shuffle, no big-big join)."""
+    import zlib
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from .stages.dataops import _cluster_parts
+
+    threshold = 150
+    num_parts = _cluster_parts()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-ROW cents before the sum — scale-then-sum is the oracle's
+        # FLOOR(q*100+0.5) rule and stays exact if quantities ever
+        # become fractional
+        batch = batch.assign(
+            qty=np.floor(batch["l_quantity"] * 100 + 0.5).astype("int64")
+        )
+        g = batch.groupby("l_orderkey", as_index=False).agg(
+            qty=("qty", "sum")
+        )
+        g["part"] = [
+            zlib.crc32(str(k).encode()) % num_parts
+            for k in g["l_orderkey"]
+        ]
+        return g
+
+    def having(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("l_orderkey", as_index=False).agg(qty=("qty", "sum"))
+        return agg[agg["qty"] > threshold * 100]
+
+    winners = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(having, batch_format="pandas")
+        .to_pandas()  # HAVING survivors only — small by construction
+    )
+    qty_ref = ray.put(
+        dict(zip((int(k) for k in winners["l_orderkey"]),
+                 (int(q) for q in winners["qty"])))
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        qty = ray.get(qty_ref)
+        keys = batch.column("o_orderkey").to_pylist()
+        mask = pa.array([k in qty for k in keys])
+        kept = batch.filter(mask)
+        kk = kept.column("o_orderkey").to_pylist()
+        price_centi = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(kept.column("o_totalprice"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_orderkey": kept.column("o_orderkey"),
+                "o_custkey": kept.column("o_custkey"),
+                "price_centi": price_centi,
+                "total_qty_centi": pa.array(
+                    [qty[k] for k in kk], pa.int64()
+                ),
+            }
+        )
+
+    return orders.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_LARGE_ORDERS = """
+WITH w AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+           AS total_qty_centi
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 150 * 100
+)
+SELECT o_orderkey, o_custkey,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_centi,
+       total_qty_centi
+FROM orders JOIN w ON o_orderkey = l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4825,6 +5007,8 @@ def build_queries():
         "revenue_share": q_revenue_share,
         "training_order": q_training_order,
         "ngram_counts": q_ngram_counts,
+        "event_outliers": q_event_outliers,
+        "large_orders": q_large_orders,
     }
 
 
@@ -4934,4 +5118,6 @@ def build_oracle_sql():
         "revenue_share": SQL_REVENUE_SHARE,
         "training_order": SQL_TRAINING_ORDER,
         "ngram_counts": SQL_NGRAM_COUNTS,
+        "event_outliers": SQL_EVENT_OUTLIERS,
+        "large_orders": SQL_LARGE_ORDERS,
     }

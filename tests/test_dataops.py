@@ -3131,3 +3131,37 @@ def test_ngram_counts_threshold_and_batch_invariance(ray_session):
             for r in ngram_counts(ds, n=3, min_count=2).take_all()
         }
         assert got == {"the cat sat": 3}
+
+
+def test_event_outliers_integer_exact_edges(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openie_with_entities_ray.queries import build_queries
+
+    # user 1: one event (variance 0, never an outlier); user 2: constant
+    # values (never); user 3: one extreme spike among near-equals —
+    # note a lone spike's z is bounded by sqrt(n-1), so n must be > 5
+    # for it to clear 2 sigma
+    rows = [
+        (1, 1, 5.00),
+        (2, 2, 3.00), (3, 2, 3.00), (4, 2, 3.00),
+        (5, 3, 1.00), (6, 3, 1.02), (7, 3, 0.98), (8, 3, 1.01),
+        (10, 3, 0.99), (11, 3, 1.03), (12, 3, 0.97), (13, 3, 1.00),
+        (9, 3, 500.00),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "value": [r[2] for r in rows],
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = {
+        r["event_id"]
+        for r in build_queries()["event_outliers"](str(tmp_path)).take_all()
+    }
+    assert got == {9}
