@@ -4894,6 +4894,80 @@ FROM orders JOIN w ON o_orderkey = l_orderkey
 """
 
 
+def q_key_skew(sf_dir):
+    """Key-skew report for shuffle planning (the is-this-key-saltable
+    probe run before any groupby/join at scale): the 20 heaviest
+    user_ids with exact counts and integer basis-point share of all
+    events. Per-batch pre-count → crc32 coarse partition → in-part
+    merge → tiny global sort+limit; the total arrives as a one-row
+    broadcast, share = count*10000 // total in pure integers."""
+    import zlib
+
+    import ray.data
+
+    from .stages.dataops import _cluster_parts
+
+    num_parts = _cluster_parts()
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("user_id", as_index=False).agg(
+            n_events=("user_id", "size")
+        )
+        g["part"] = [
+            zlib.crc32(str(u).encode()) % num_parts for u in g["user_id"]
+        ]
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum")
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+    # total = input row count, straight from parquet metadata — never a
+    # second execution of the counts pipeline
+    total = ev.count()
+
+    def add_share(batch: pa.Table) -> pa.Table:
+        ns = [int(x) for x in batch.column("n_events").to_pylist()]
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_events": batch.column("n_events"),
+                "share_bp": pa.array(
+                    [n * 10000 // total for n in ns], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        counts.map_batches(add_share, batch_format="pyarrow")
+        .sort(["n_events", "user_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_KEY_SKEW = """
+WITH c AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       (n_events * 10000 // (SELECT SUM(n_events) FROM c))::BIGINT
+         AS share_bp
+FROM c
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5009,6 +5083,7 @@ def build_queries():
         "ngram_counts": q_ngram_counts,
         "event_outliers": q_event_outliers,
         "large_orders": q_large_orders,
+        "key_skew": q_key_skew,
     }
 
 
@@ -5120,4 +5195,5 @@ def build_oracle_sql():
         "ngram_counts": SQL_NGRAM_COUNTS,
         "event_outliers": SQL_EVENT_OUTLIERS,
         "large_orders": SQL_LARGE_ORDERS,
+        "key_skew": SQL_KEY_SKEW,
     }
