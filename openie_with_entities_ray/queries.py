@@ -4968,6 +4968,39 @@ LIMIT 20
 """
 
 
+def q_range_bounds(sf_dir):
+    """Equi-depth range-partition boundaries over documents.n_chars
+    from the standard md5 deterministic sample — the planning step
+    before a balanced global sort. stages/dataops.py:range_bounds."""
+    import ray.data
+
+    from .stages.dataops import range_bounds
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return range_bounds(
+        docs, value_col="n_chars", id_col="doc_id",
+        num_ranges=8, rate_permille=200,
+    )
+
+
+def _sql_range_bounds(num_ranges: int = 8) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS range_idx, "
+        f"(percentile_disc({i}/{num_ranges}.0) WITHIN GROUP "
+        f"(ORDER BY n_chars))::BIGINT AS upper_bound FROM s"
+        for i in range(1, num_ranges)
+    )
+    return f"""
+WITH s AS (
+  SELECT n_chars FROM documents
+  WHERE md5_number_lower('rb|' || CAST(doc_id AS VARCHAR)) % 1000 < 200
+)
+{arms}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5084,6 +5117,7 @@ def build_queries():
         "event_outliers": q_event_outliers,
         "large_orders": q_large_orders,
         "key_skew": q_key_skew,
+        "range_bounds": q_range_bounds,
     }
 
 
@@ -5196,4 +5230,5 @@ def build_oracle_sql():
         "event_outliers": SQL_EVENT_OUTLIERS,
         "large_orders": SQL_LARGE_ORDERS,
         "key_skew": SQL_KEY_SKEW,
+        "range_bounds": _sql_range_bounds(),
     }

@@ -3615,3 +3615,79 @@ def ngram_counts(docs_ds, *, n: int = 3, min_count: int = 5,
         .groupby("part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# range-partition boundary planning
+
+
+def range_bounds(ds, *, value_col: str, id_col: str,
+                 num_ranges: int = 8, rate_permille: int = 100,
+                 salt: str = "rb"):
+    """Equi-depth range-partition boundaries for ``value_col`` — the
+    planning step before a balanced global sort / range shuffle: the
+    ``i/num_ranges`` percentiles (``percentile_disc`` semantics:
+    smallest value whose cumulative count reaches ``ceil(q*N)``) of a
+    content-addressed md5 sample (``md5(salt|id) mod 1000 <
+    rate_permille`` — the repo's standard deterministic-sample rule, so
+    the plan is identical across cluster sizes/retries).
+
+    Sample → per-batch value-counts → one small groupby (O(distinct
+    sampled values), NOT corpus-sized) → driver quantile walk. Returns
+    (range_idx 1..num_ranges-1, upper_bound), both int64.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _md5_number_lower
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter(
+            int(v)
+            for i, v in zip(
+                batch.column(id_col).to_pylist(),
+                batch.column(value_col).to_pylist(),
+            )
+            if _md5_number_lower(f"{salt}|{i}") % 1000 < rate_permille
+        )
+        vals = sorted(counts)
+        return pa.table(
+            {
+                "v": pa.array(vals, pa.int64()),
+                "n": pa.array([counts[v] for v in vals], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("v")
+        .take_all()  # O(distinct sampled values) — small by design
+    )
+    total = sum(r["n"] for r in hist)
+    idxs, bounds = [], []
+    for i in range(1, num_ranges):
+        target = max(1, math.ceil(i / num_ranges * total))
+        cum = 0
+        val = hist[-1]["v"] if hist else 0
+        for r in hist:
+            cum += r["n"]
+            if cum >= target:
+                val = r["v"]
+                break
+        idxs.append(i)
+        bounds.append(int(val))
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "range_idx": pa.array(idxs, pa.int64()),
+                "upper_bound": pa.array(bounds, pa.int64()),
+            }
+        )
+    )
