@@ -1820,7 +1820,7 @@ def q_label_centroids(sf_dir):
 
 
 SQL_LABEL_CENTROIDS = """
-SELECT label, (i - 1)::BIGINT AS dim,
+SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
        SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
                 AS BIGINT))::BIGINT AS sum_micro,
        COUNT(*)::BIGINT AS n_vecs
