@@ -3720,9 +3720,11 @@ FROM s JOIN t USING (lang)
 
 def q_kmeans_clusters(sf_dir):
     """Lloyd's k-means over the embeddings table in exact integer
-    arithmetic — bit-identical under any batching or cluster size, so
-    it gets the (weaker) rows-only driver check plus a differential
-    test against the single-array numpy mirror
+    arithmetic — bit-identical under any batching or cluster size.
+    That exactness is what makes the ITERATIVE algorithm fully
+    SQL-oracleable: the oracle unrolls the Lloyd rounds as chained
+    CTEs (_sql_kmeans_ctes) and value-hash-matches; a differential
+    test vs the single-array numpy mirror also runs
     (tests/test_dataops.py). stages/dataops.py:kmeans_embeddings."""
     import ray.data
 
@@ -3769,9 +3771,10 @@ FROM c
 def q_semantic_dedup(sf_dir):
     """SemDeDup: k-means-partitioned embedding near-dup removal —
     quadratic cosine work confined to within-cluster blocks, one
-    groupby exchange. Iterative k-means core ⇒ rows-only driver check
-    plus the differential test vs the numpy mirror
-    (tests/test_dataops.py). stages/dataops.py:semantic_dedup."""
+    groupby exchange. Fully SQL-oracled: unrolled integer k-means CTEs
+    + DuckDB list_cosine_similarity at the centi threshold reproduce
+    the survivors bit-for-bit; the numpy-mirror differential test also
+    runs (tests/test_dataops.py). stages/dataops.py:semantic_dedup."""
     import ray.data
 
     from .stages.dataops import semantic_dedup
@@ -3779,7 +3782,7 @@ def q_semantic_dedup(sf_dir):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return semantic_dedup(emb, k=8, iters=3, threshold=0.9)
+    return semantic_dedup(emb, k=8, iters=3, threshold=0.3)
 
 
 def q_bpe_merges(sf_dir):
@@ -5001,6 +5004,80 @@ WITH s AS (
 """
 
 
+def _sql_kmeans_ctes(k: int, iters: int, scale: int = 1_000_000) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — possible ONLY because
+    kmeans_embeddings is exact-integer (round_even quantization, integer
+    d², floor-div centroid update, argmin ties to lowest cid): every
+    step is bit-reproducible in SQL, so the iterative algorithm gets a
+    full value-hash oracle instead of a rows-only check. Ends with
+    ``af(vec_id, cluster)``. Floor division is spelled
+    ``(s - ((s % n + n) % n)) // n`` because DuckDB's ``//`` truncates
+    while numpy's floors."""
+    parts = [f"""q AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round_even(CAST(embedding[i] AS DOUBLE) * {scale}, 0)
+              AS BIGINT) AS x
+  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings))""", f"""c0 AS (
+  SELECT r - 1 AS cid, dim, x AS c
+  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS r
+        FROM (SELECT DISTINCT vec_id FROM embeddings)) ids
+  JOIN q USING (vec_id)
+  WHERE r <= {k})"""]
+    for t in range(1, iters + 1):
+        parts += [f"""d{t} AS (
+  SELECT q.vec_id, c.cid, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM q JOIN c{t - 1} c USING (dim)
+  GROUP BY q.vec_id, c.cid)""", f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{t}) WHERE rn = 1)""", f"""s{t} AS (
+  SELECT a.cid, q.dim, SUM(q.x) AS s, COUNT(*) AS n
+  FROM q JOIN a{t} a USING (vec_id)
+  GROUP BY a.cid, q.dim)""", f"""c{t} AS (
+  SELECT p.cid, p.dim,
+         CASE WHEN s.n IS NULL THEN p.c
+              ELSE (s.s - (((s.s % s.n) + s.n) % s.n)) // s.n
+         END AS c
+  FROM c{t - 1} p LEFT JOIN s{t} s ON s.cid = p.cid AND s.dim = p.dim)"""]
+    parts += [f"""df AS (
+  SELECT q.vec_id, c.cid, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+  FROM q JOIN c{iters} c USING (dim)
+  GROUP BY q.vec_id, c.cid)""", """af AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM df) WHERE rn = 1)"""]
+    return ",\n".join(parts)
+
+
+def _sql_kmeans_clusters() -> str:
+    return (
+        "WITH " + _sql_kmeans_ctes(8, 5)
+        + "\nSELECT vec_id, cluster::BIGINT AS cluster FROM af"
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    return (
+        "WITH " + _sql_kmeans_ctes(8, 3)
+        + """,
+dup AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE floor(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]) * 100 + 0.5)
+        >= 30
+)
+SELECT vec_id, cluster::BIGINT AS cluster FROM af
+WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5231,4 +5308,6 @@ def build_oracle_sql():
         "large_orders": SQL_LARGE_ORDERS,
         "key_skew": SQL_KEY_SKEW,
         "range_bounds": _sql_range_bounds(),
+        "kmeans_clusters": _sql_kmeans_clusters(),
+        "semantic_dedup": _sql_semantic_dedup(),
     }
