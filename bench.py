@@ -56,6 +56,8 @@ def run_bench() -> dict:
         q_lineitem_agg,
         q_minhash_pairs,
         q_revenue_by_nation,
+        q_semantic_dedup,
+        q_training_order,
     )
     from openie_with_entities_ray.sources.source_docs import read_source_docs
 
@@ -121,6 +123,12 @@ def run_bench() -> dict:
         timed("events_windows", lambda: q_events_windows(SF_DIR).count())
         timed("minhash_pairs", lambda: q_minhash_pairs(SF_DIR).count())
         timed("ann_topk", lambda: q_ann_topk(SF_DIR).count())
+        timed(
+            "semantic_dedup", lambda: q_semantic_dedup(SF_DIR).count()
+        )
+        timed(
+            "training_order", lambda: q_training_order(SF_DIR).count()
+        )
 
     # hardware-ceiling probe (best-of-2, ~11 s) in the driver-visible
     # output so the scaling claim stays falsifiable every round.

@@ -3467,17 +3467,21 @@ def training_order(docs_ds, *, salt: str = "shuffle",
     order IS hash order, and the rank decomposes into a distributed
     exclusive prefix sum (same two-pass shape as :func:`pack_sequences`):
 
-    1. per-batch bucket counts → tiny ``groupby(bucket).sum`` →
+    1. per-batch bucket counts, folded onto ~4x-cores partitions (never
+       one Ray group per bucket — Ray groups cost ~1 ms each) →
        exclusive offsets on the driver (one row per bucket, bounded by
        ``2**bucket_bits``) → one ``ray.put``;
-    2. per-bucket in-kernel sort by (priority, id) + ``arange``.
+    2. per-PARTITION kernel ranks many buckets at once: sort by
+       (priority, id) lays buckets out contiguously (the bucket IS the
+       priority's top bits), so rank = bucket offset + within-bucket
+       cumcount.
 
     md5 is uniform, so bucket sizes are balanced ~N/2**bucket_bits with
     no skew regardless of id distribution; raise ``bucket_bits`` with
-    corpus size (20 bits → ~1M-row groups at 1T rows).
+    corpus size (20 bits → ~1M-row offset table at 1T rows, still one
+    driver dict + one ray.put).
     """
     import ray
-    from ray.data.aggregate import Sum
 
     from ..functions.textstats import _md5_number_lower
 
@@ -3489,20 +3493,27 @@ def training_order(docs_ds, *, salt: str = "shuffle",
             dtype=np.uint64,
         )
 
+    _parts_pass1 = _cluster_parts()
+
     def bucket_partial(batch: pa.Table) -> pa.Table:
         pr = _prio(batch.column(id_col).to_pylist())
         b, c = np.unique(pr >> shift, return_counts=True)
+        b = b.astype(np.int64)
         return pa.table(
             {
-                "bucket": pa.array(b.astype(np.int64), pa.int64()),
+                "bucket": pa.array(b, pa.int64()),
                 "n": pa.array(c.astype(np.int64), pa.int64()),
+                "part": pa.array(b % _parts_pass1, pa.int64()),
             }
         )
 
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bucket", as_index=False).agg(n=("n", "sum"))
+
     counts = (
         docs_ds.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("part")  # ~4x cores groups, NOT one per bucket
+        .map_groups(merge_counts, batch_format="pandas")
         .to_pandas()  # ≤ 2**bucket_bits rows — bounded by construction
         .sort_values("bucket")
     )
@@ -3512,38 +3523,47 @@ def training_order(docs_ds, *, salt: str = "shuffle",
                  (int(o) for o in offs)))
     )
 
+    # shuffle key = bucket folded onto ~4x-cores partitions (NOT one Ray
+    # group per bucket — at 2**20 buckets that's a million ~1 ms groups);
+    # one kernel ranks MANY buckets: sorting by priority lays buckets out
+    # contiguously since the bucket IS the priority's top bits
+    num_parts = _cluster_parts()
+
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         pr = _prio(ids)
+        bucket = (pr >> shift).astype(np.int64)
         return pa.table(
             {
                 id_col: pa.array([int(i) for i in ids], pa.int64()),
                 # raw uint64 — an int64 reinterpret would flip the order
                 # of priorities with the top bit set
                 "_prio": pa.array(pr, pa.uint64()),
-                "bucket": pa.array(
-                    (pr >> shift).astype(np.int64), pa.int64()
-                ),
+                "bucket": pa.array(bucket, pa.int64()),
+                "part": pa.array(bucket % num_parts, pa.int64()),
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
 
         offsets = _ray.get(offsets_ref)
-        base = offsets[int(g["bucket"].iloc[0])]
         g = g.sort_values(["_prio", id_col], kind="mergesort")
+        base = np.array(
+            [offsets[int(b)] for b in g["bucket"]], dtype=np.int64
+        )
+        within = g.groupby("bucket", sort=False).cumcount().to_numpy()
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),
-                "shuffle_pos": base + np.arange(len(g), dtype=np.int64),
+                "shuffle_pos": base + within,
             }
         )
 
     return (
         docs_ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
