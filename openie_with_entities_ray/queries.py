@@ -3732,7 +3732,7 @@ def q_kmeans_clusters(sf_dir):
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ).materialize()  # multi-round loop: pin blocks once (kmeans docstring)
     return kmeans_embeddings(emb, k=8, iters=5)
 
 
@@ -3781,7 +3781,9 @@ def q_semantic_dedup(sf_dir):
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ).materialize()  # per kmeans docstring: multi-round loop over the
+    # same (column-pruned) input — pin blocks in the object store once
+    # instead of re-scanning storage every Lloyd round
     return semantic_dedup(emb, k=8, iters=3, threshold=0.3)
 
 
