@@ -5006,6 +5006,77 @@ WITH s AS (
 """
 
 
+def q_epoch_slice(sf_dir):
+    """The data-loader seek surface training_order promises: fetch the
+    rows ranked [100, 200) of the seeded epoch order, with their
+    payload. The rank pipeline emits only (id, pos); the slice's ids
+    (bounded by the window size, tiny by construction) broadcast into a
+    second column-pruned scan for payload — the corpus is never sorted,
+    never re-shipped."""
+    import ray
+    import ray.data
+
+    from .stages.dataops import training_order
+
+    lo, hi = 100, 200
+    docs_ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    ranks = training_order(docs_ids, salt="shuffle", bucket_bits=10)
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pos = batch.column("shuffle_pos")
+        return batch.filter(
+            pc.and_(pc.greater_equal(pos, lo), pc.less(pos, hi))
+        )
+
+    window = ranks.map_batches(
+        in_window, batch_format="pyarrow"
+    ).to_pandas()  # ≤ (hi - lo) rows — bounded by the slice, not the corpus
+    pos_ref = ray.put(
+        dict(zip((int(i) for i in window["doc_id"]),
+                 (int(p) for p in window["shuffle_pos"])))
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        pos = ray.get(pos_ref)
+        keys = batch.column("doc_id").to_pylist()
+        mask = pa.array([k in pos for k in keys])
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "shuffle_pos": pa.array(
+                    [pos[k] for k in kept.column("doc_id").to_pylist()],
+                    pa.int64(),
+                ),
+                "n_chars": kept.column("n_chars"),
+            }
+        )
+
+    return docs.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_EPOCH_SLICE = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         (ROW_NUMBER() OVER (
+            ORDER BY md5_number_lower('shuffle|' || CAST(doc_id AS VARCHAR)),
+                     doc_id
+          ) - 1)::BIGINT AS shuffle_pos
+  FROM documents
+)
+SELECT doc_id, shuffle_pos, n_chars
+FROM r WHERE shuffle_pos >= 100 AND shuffle_pos < 200
+"""
+
+
 def _sql_kmeans_ctes(k: int, iters: int, scale: int = 1_000_000) -> str:
     """Unrolled Lloyd iterations as chained CTEs — possible ONLY because
     kmeans_embeddings is exact-integer (round_even quantization, integer
@@ -5197,6 +5268,7 @@ def build_queries():
         "large_orders": q_large_orders,
         "key_skew": q_key_skew,
         "range_bounds": q_range_bounds,
+        "epoch_slice": q_epoch_slice,
     }
 
 
@@ -5310,6 +5382,7 @@ def build_oracle_sql():
         "large_orders": SQL_LARGE_ORDERS,
         "key_skew": SQL_KEY_SKEW,
         "range_bounds": _sql_range_bounds(),
+        "epoch_slice": SQL_EPOCH_SLICE,
         "kmeans_clusters": _sql_kmeans_clusters(),
         "semantic_dedup": _sql_semantic_dedup(),
     }
