@@ -3774,7 +3774,13 @@ def q_semantic_dedup(sf_dir):
     groupby exchange. Fully SQL-oracled: unrolled integer k-means CTEs
     + DuckDB list_cosine_similarity at the centi threshold reproduce
     the survivors bit-for-bit; the numpy-mirror differential test also
-    runs (tests/test_dataops.py). stages/dataops.py:semantic_dedup."""
+    runs (tests/test_dataops.py). stages/dataops.py:semantic_dedup.
+
+    threshold=0.3 (not the paper's ~0.9+): the fixture embeddings are
+    random vectors whose cosines concentrate near 0, so a production
+    threshold would drop nothing and the gate would never exercise the
+    drop path — 0.3 yields 276 survivors of 500 and value-hashes the
+    actual dedup behavior."""
     import ray.data
 
     from .stages.dataops import semantic_dedup
@@ -4859,11 +4865,13 @@ def q_large_orders(sf_dir):
     )
 
     def attach(batch: pa.Table) -> pa.Table:
-        qty = ray.get(qty_ref)
-        keys = batch.column("o_orderkey").to_pylist()
-        mask = pa.array([k in qty for k in keys])
-        kept = batch.filter(mask)
-        kk = kept.column("o_orderkey").to_pylist()
+        from .stages.dataops import filter_by_broadcast_map
+
+        kept = filter_by_broadcast_map(
+            batch, key_col="o_orderkey", mapping=ray.get(qty_ref),
+            value_name="total_qty_centi",
+            keep_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
         price_centi = pc.cast(
             pc.floor(
                 pc.add(pc.multiply(kept.column("o_totalprice"), 100.0), 0.5)
@@ -4875,9 +4883,7 @@ def q_large_orders(sf_dir):
                 "o_orderkey": kept.column("o_orderkey"),
                 "o_custkey": kept.column("o_custkey"),
                 "price_centi": price_centi,
-                "total_qty_centi": pa.array(
-                    [qty[k] for k in kk], pa.int64()
-                ),
+                "total_qty_centi": kept.column("total_qty_centi"),
             }
         )
 
@@ -5045,20 +5051,14 @@ def q_epoch_slice(sf_dir):
     )
 
     def attach(batch: pa.Table) -> pa.Table:
-        pos = ray.get(pos_ref)
-        keys = batch.column("doc_id").to_pylist()
-        mask = pa.array([k in pos for k in keys])
-        kept = batch.filter(mask)
-        return pa.table(
-            {
-                "doc_id": kept.column("doc_id"),
-                "shuffle_pos": pa.array(
-                    [pos[k] for k in kept.column("doc_id").to_pylist()],
-                    pa.int64(),
-                ),
-                "n_chars": kept.column("n_chars"),
-            }
+        from .stages.dataops import filter_by_broadcast_map
+
+        kept = filter_by_broadcast_map(
+            batch, key_col="doc_id", mapping=ray.get(pos_ref),
+            value_name="shuffle_pos",
+            keep_cols=["doc_id", "n_chars"],
         )
+        return kept.select(["doc_id", "shuffle_pos", "n_chars"])
 
     return docs.map_batches(attach, batch_format="pyarrow")
 

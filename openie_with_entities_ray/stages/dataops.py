@@ -3535,7 +3535,9 @@ def training_order(docs_ds, *, salt: str = "shuffle",
         bucket = (pr >> shift).astype(np.int64)
         return pa.table(
             {
-                id_col: pa.array([int(i) for i in ids], pa.int64()),
+                # pass the id column through unchanged — the hash rule is
+                # content-addressed over str(id), so any id dtype works
+                id_col: batch.column(id_col),
                 # raw uint64 — an int64 reinterpret would flip the order
                 # of priorities with the top bit set
                 "_prio": pa.array(pr, pa.uint64()),
@@ -3587,7 +3589,10 @@ def ngram_counts(docs_ds, *, n: int = 3, min_count: int = 5,
 
     Token rule: lowercase, split on RE2's ``\\s`` class ``[\\t\\n\\f\\r ]``
     (NOT Python's Unicode ``\\s``) so DuckDB's ``regexp_split_to_array``
-    reproduces the grams byte-for-byte (see CLAUDE.md).
+    reproduces the grams byte-for-byte (see CLAUDE.md). Case folding is
+    Python ``str.lower()``, which agrees with DuckDB ``lower()`` on
+    ASCII but can diverge on exotic Unicode (final sigma, dotted I) —
+    the same documented caveat as the bm25/tf kernels in this module.
     """
     import re
     import zlib
@@ -3689,6 +3694,14 @@ def range_bounds(ds, *, value_col: str, id_col: str,
         .take_all()  # O(distinct sampled values) — small by design
     )
     total = sum(r["n"] for r in hist)
+    if total == 0:
+        # fail loudly: bounds from an empty sample would be garbage
+        # (every row lands in one range); raise rate_permille or check
+        # the input instead
+        raise ValueError(
+            f"range_bounds: the md5 sample is empty "
+            f"(rate_permille={rate_permille}); no boundary plan exists"
+        )
     idxs, bounds = [], []
     for i in range(1, num_ranges):
         target = max(1, math.ceil(i / num_ranges * total))
@@ -3711,3 +3724,30 @@ def range_bounds(ds, *, value_col: str, id_col: str,
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# broadcast semi-join kernel (shared by small-survivor-set queries)
+
+
+def filter_by_broadcast_map(batch: pa.Table, *, key_col: str,
+                            mapping: dict, value_name: str,
+                            keep_cols=None) -> pa.Table:
+    """Vectorized small-side broadcast semi-join for use inside
+    ``map_batches``: keep the rows whose ``key_col`` is a key of
+    ``mapping`` (``pc.is_in`` against the broadcast key set — no
+    per-row Python membership loop) and append the mapped value as an
+    int64 ``value_name`` column. ``mapping`` is the TINY side — ship it
+    once with ``ray.put`` and ``ray.get`` it per batch (object-store
+    local); the big side streams."""
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(
+        batch.column(key_col), value_set=pa.array(list(mapping.keys()))
+    )
+    kept = batch.filter(mask)
+    cols = {c: kept.column(c) for c in (keep_cols or kept.column_names)}
+    cols[value_name] = pa.array(
+        [mapping[k] for k in kept.column(key_col).to_pylist()], pa.int64()
+    )
+    return pa.table(cols)
