@@ -1177,6 +1177,48 @@ def q_components(sf_dir):
     return connected_components_join(edges, max_iters=100)
 
 
+def q_component_sizes(sf_dir):
+    """Component-size table over the KG (the how-fragmented-is-the-graph
+    diagnostic): per-batch pre-count of the CC labeling →
+    crc32(component) coarse partition → in-part merge. Composes the
+    100-TB CC path (labels stay a Dataset) with one extra shuffle of
+    pre-counted rows."""
+    import zlib
+
+    from .stages.dataops import _cluster_parts
+
+    comp = q_components(sf_dir)
+    num_parts = _cluster_parts()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("component", as_index=False).agg(
+            n_nodes=("component", "size")
+        )
+        g["part"] = [
+            zlib.crc32(c.encode()) % num_parts for c in g["component"]
+        ]
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("component", as_index=False).agg(
+            n_nodes=("n_nodes", "sum")
+        )
+
+    return (
+        comp.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _sql_component_sizes() -> str:
+    return (
+        "SELECT component, COUNT(*)::BIGINT AS n_nodes FROM ("
+        + oracles.sql_components()
+        + ") GROUP BY component"
+    )
+
+
 def q_pagerank(sf_dir):
     """Integer-exact PageRank (3 rounds, damping 85/100, scale 1e12)
     over the flagship edge graph via the labels-stay-a-Dataset path
@@ -5269,6 +5311,7 @@ def build_queries():
         "key_skew": q_key_skew,
         "range_bounds": q_range_bounds,
         "epoch_slice": q_epoch_slice,
+        "component_sizes": q_component_sizes,
     }
 
 
@@ -5383,6 +5426,7 @@ def build_oracle_sql():
         "key_skew": SQL_KEY_SKEW,
         "range_bounds": _sql_range_bounds(),
         "epoch_slice": SQL_EPOCH_SLICE,
+        "component_sizes": _sql_component_sizes(),
         "kmeans_clusters": _sql_kmeans_clusters(),
         "semantic_dedup": _sql_semantic_dedup(),
     }
