@@ -2881,6 +2881,54 @@ FROM g WHERE gap_us IS NOT NULL
 """
 
 
+def q_rolling_event_stats(sf_dir):
+    """Bounded RANGE-interval window: per event, how many events (and
+    how much integer-cent value) the same user generated in the
+    trailing 10 minutes, frame inclusive on both bounds and shared by
+    ts-peers — SQL ``RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND
+    CURRENT ROW``. One coarse shuffle + per-key binary searches
+    (stages/windows.py:range_rolling); value goes to cents per row
+    BEFORE the window sum so both engines add exact int64."""
+    import ray.data
+
+    from .stages.windows import range_rolling
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["ts_us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+        batch["cents"] = (
+            np.floor(batch["value"].to_numpy() * 100 + 0.5).astype("int64")
+        )
+        return batch[["user_id", "event_id", "ts_us", "cents"]]
+
+    return range_rolling(
+        ev.map_batches(prep, batch_format="pandas"),
+        part_col="user_id",
+        ts_col="ts_us",
+        preceding=600_000_000,  # 10 minutes in microseconds
+        value_col="cents",
+        out_count="n_10m",
+        out_sum="cents_10m",
+        keep_cols=["user_id", "event_id"],
+    )
+
+
+SQL_ROLLING_EVENT_STATS = """
+SELECT user_id, event_id,
+       (COUNT(*) OVER w)::BIGINT AS n_10m,
+       (SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER w)::BIGINT
+         AS cents_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                       AND CURRENT ROW)
+"""
+
+
 def q_order_count_distribution(sf_dir):
     """TPC-H Q13 shape: distribution of customers by order count,
     INCLUDING zero-order customers. No row-level join at all: a
@@ -5312,6 +5360,7 @@ def build_queries():
         "range_bounds": q_range_bounds,
         "epoch_slice": q_epoch_slice,
         "component_sizes": q_component_sizes,
+        "rolling_event_stats": q_rolling_event_stats,
     }
 
 
@@ -5427,6 +5476,7 @@ def build_oracle_sql():
         "range_bounds": _sql_range_bounds(),
         "epoch_slice": SQL_EPOCH_SLICE,
         "component_sizes": _sql_component_sizes(),
+        "rolling_event_stats": SQL_ROLLING_EVENT_STATS,
         "kmeans_clusters": _sql_kmeans_clusters(),
         "semantic_dedup": _sql_semantic_dedup(),
     }

@@ -14,12 +14,14 @@ coarse-partition shape:
 
 Partition-key co-location is the documented assumption: all rows of one
 key land in one part (guaranteed by the hash), so window frames never
-span Ray groups. Rows-unbounded-preceding frames only — bounded frames
-would need the same shape with a rolling kernel.
+span Ray groups. ``running_sum`` / ``lag_delta`` are
+rows-unbounded-preceding frames; ``range_rolling`` is the bounded
+RANGE-interval frame over the same scaffold.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from .dataops import _cluster_parts
@@ -78,6 +80,61 @@ def running_sum(ds, *, part_col: str, order_cols: list,
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([part_col] + list(order_cols), kind="mergesort")
         df[out_col] = df.groupby(part_col, sort=False)[value_col].cumsum()
+        return df[out_cols]
+
+    return partitioned_window(
+        ds, part_col=part_col, kernel=kernel, num_parts=num_parts
+    )
+
+
+def range_rolling(ds, *, part_col: str, ts_col: str,
+                  preceding: int, value_col: str | None = None,
+                  out_count: str = "n_win", out_sum: str = "sum_win",
+                  keep_cols: list | None = None,
+                  num_parts: int | None = None):
+    """``COUNT(*) / SUM(value) OVER (PARTITION BY part_col ORDER BY
+    ts_col RANGE BETWEEN <preceding> PRECEDING AND CURRENT ROW)`` — the
+    bounded time-interval frame (``ts_col`` and ``preceding`` share one
+    integer unit, e.g. epoch microseconds).
+
+    SQL RANGE semantics exactly: the frame is every peer row of the same
+    key with ``ts in [t - preceding, t]``, both bounds inclusive, and
+    rows tying on ``ts`` share one frame (so no tiebreaker is needed —
+    the answer is order-independent within ties, unlike ROWS frames).
+
+    Kernel: one sort per part, then per key a pair of binary searches
+    over the key's sorted ``ts`` vector (``np.searchsorted`` left at
+    ``t - preceding``, right at ``t``) and an exact int64 prefix-sum
+    difference for the windowed sum — O(n log n) per key, no pairwise
+    expansion, integer-exact when ``value_col`` is int64."""
+    if keep_cols is None:
+        keep_cols = [part_col, ts_col]
+    out_cols = list(keep_cols) + [out_count] + (
+        [out_sum] if value_col is not None else []
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([part_col, ts_col], kind="mergesort")
+        ts = df[ts_col].to_numpy(dtype="int64")
+        codes = pd.factorize(df[part_col], sort=False)[0]
+        # group boundaries in the (key, ts)-sorted frame
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        n_win = np.empty(len(ts), dtype="int64")
+        if value_col is not None:
+            vals = df[value_col].to_numpy(dtype="int64")
+            s_win = np.empty(len(ts), dtype="int64")
+        for s, e in zip(starts, ends):
+            t = ts[s:e]
+            lo = np.searchsorted(t, t - preceding, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            n_win[s:e] = hi - lo
+            if value_col is not None:
+                prefix = np.r_[0, np.cumsum(vals[s:e])]
+                s_win[s:e] = prefix[hi] - prefix[lo]
+        df[out_count] = n_win
+        if value_col is not None:
+            df[out_sum] = s_win
         return df[out_cols]
 
     return partitioned_window(

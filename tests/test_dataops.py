@@ -1705,6 +1705,55 @@ def test_lag_delta_int64_exact_past_2_53(ray_session):
     assert got == [(1, 1, 3), (1, 2, 1), (2, 1, 7)]
 
 
+def test_range_rolling_range_semantics_and_ties(ray_session):
+    """range_rolling must implement SQL RANGE frames exactly: both
+    bounds inclusive (a row exactly `preceding` old IS in the frame)
+    and ts-peers share one frame (every tie sees every other tie).
+    Must also be invariant to num_parts / block layout and
+    integer-exact on the windowed sum."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.windows import range_rolling
+
+    # key 1: ts 0,10,10,20 with preceding=10 — row at 20 includes the
+    # row at exactly 10 (inclusive lower bound); the two ties at 10
+    # each count both peers plus the row at 0.
+    # key 2: lone row; key 3: gap larger than the window.
+    t = pa.table(
+        {
+            "k": [1, 1, 1, 1, 2, 3, 3],
+            "ts": pa.array([0, 10, 10, 20, 5, 0, 100], pa.int64()),
+            "v": pa.array([1, 2, 4, 8, 16, 32, 64], pa.int64()),
+        }
+    )
+    expected = {
+        (1, 0): (1, 1),
+        (1, 10): (3, 7),  # both ties + the row at 0, both orders
+        (1, 20): (3, 14),  # 10,10,20 — 0 is outside [10, 20]
+        (2, 5): (1, 16),
+        (3, 0): (1, 32),
+        (3, 100): (1, 64),
+    }
+
+    def run(num_parts, num_blocks):
+        ds = ray.data.from_arrow(t).repartition(num_blocks)
+        out = range_rolling(
+            ds, part_col="k", ts_col="ts", preceding=10, value_col="v",
+            out_count="n", out_sum="s", keep_cols=["k", "ts"],
+            num_parts=num_parts,
+        )
+        rows = out.take_all()
+        assert len(rows) == t.num_rows  # ties are two output rows
+        got = {}
+        for r in rows:
+            got[(r["k"], r["ts"])] = (r["n"], r["s"])
+        return got
+
+    assert run(1, 1) == expected
+    assert run(4, 5) == expected
+
+
 def test_table_checksum_partition_and_order_invariant(ray_session):
     """table_checksum must be identical under any block layout and
     equal the single-process brute force; NULLs fold as ''."""
