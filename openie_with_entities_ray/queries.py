@@ -2108,6 +2108,34 @@ UNION ALL
 SELECT 99, (percentile_disc(0.99) WITHIN GROUP (ORDER BY n))::BIGINT FROM l
 """
 
+def q_corpus_freq_scores(sf_dir):
+    """Corpus-statistics document scorer (the CCNet-LM-filter shape with
+    the corpus as the LM): mean global corpus frequency of each doc's
+    token instances, permille-floored. Join-free — token-partitioned
+    groupby-transform computes each token's global count where its
+    instances live, then a doc-partitioned fold (stages/dataops.py:
+    corpus_freq_scores)."""
+    from .stages.dataops import corpus_freq_scores
+
+    return corpus_freq_scores(_docs(sf_dir, num_blocks=_read_blocks()))
+
+
+# same proven str.split() <-> regexp_split_to_array('\s+') pair as
+# SQL_TOP_TERMS; score = (sum(n * corpus_count) * 1000) // sum(n), all
+# int64 on both engines (// truncates == floor on positives)
+SQL_CORPUS_FREQ_SCORES = f"""
+WITH per AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS n
+  FROM (SELECT doc_id, unnest({_SQL_WORDS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+cnt AS (SELECT tok, sum(n)::BIGINT AS c FROM per GROUP BY tok)
+SELECT per.doc_id,
+       ((sum(per.n * cnt.c) * 1000) // sum(per.n))::BIGINT AS freq_score
+FROM per JOIN cnt USING (tok)
+GROUP BY per.doc_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # temporal joins (custom operators Ray Data lacks: stages/joins.py)
@@ -5284,6 +5312,7 @@ def build_queries():
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "jaccard_pairs": q_jaccard_pairs,
         "top_terms": q_top_terms,
+        "corpus_freq_scores": q_corpus_freq_scores,
         "length_quantiles": q_length_quantiles,
         "doc_sample": q_doc_sample,
         "doc_sample_stratified": q_doc_sample_stratified,
@@ -5404,6 +5433,7 @@ def build_oracle_sql():
         "entity_filtered_triples": oracles.sql_entity_filtered_triples(),
         "jaccard_pairs": _sql_jaccard_pairs(),
         "top_terms": SQL_TOP_TERMS,
+        "corpus_freq_scores": SQL_CORPUS_FREQ_SCORES,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "doc_sample": SQL_DOC_SAMPLE,
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,

@@ -1057,6 +1057,94 @@ def top_terms(docs_ds, *, k: int = 20, text_col: str = "text",
     )
 
 
+def corpus_freq_scores(docs_ds, *, text_col: str = "text",
+                       id_col: str = "doc_id", scale: int = 1000,
+                       num_parts: int | None = None):
+    """Corpus-statistics document scoring — the CCNet-LM-filter shape
+    with the corpus itself as the language model: each document scores
+    ``floor(scale * mean corpus frequency of its token instances)``.
+    Low scores flag rare-word/gibberish documents, high scores flag
+    stopword soup; both tails are what a quality-filtering pass trims.
+
+    Zero joins and zero broadcast: stage 1 explodes docs to
+    ``(doc_id, token, n_in_doc)`` rows (per-doc combiner inside the
+    batch) and coarse-partitions BY TOKEN, so every instance of a token
+    lands in the part that can compute that token's GLOBAL corpus count
+    from the very rows it holds (a groupby-transform, no count table is
+    ever built or shipped); stage 2 re-partitions the per-(doc, token)
+    contributions by doc and folds them to the integer score. Two
+    all-to-all exchanges of pre-combined rows — the count side never
+    exists as a separate dataset, so there is nothing to broadcast at
+    any corpus size. Hot tokens concentrate instances in one part
+    (vectorized kernel, same documented tradeoff as duplicate_spans).
+
+    Integer-exact end to end: counts are int64, the score is
+    ``(sum * scale) // n`` (floor division on positives — DuckDB ``//``
+    parity). Token rule: Python ``str.split()`` mirrored by the
+    ``_SQL_WORDS`` fragment (same proven pair as :func:`top_terms`).
+    Zero-token documents are absent from the output on both engines."""
+    import zlib
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, toks, ns, parts = [], [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            for w, n in Counter((t or "").split()).items():
+                ids.append(i)
+                toks.append(w)
+                ns.append(n)
+                parts.append(zlib.crc32(w.encode("utf-8")) % num_parts)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "tok": pa.array(toks, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "part": pa.array(parts, pa.int64()),
+            }
+        )
+
+    def per_token_part(g: pd.DataFrame) -> pd.DataFrame:
+        # bytes key: pandas' str hashtable truncates at embedded NULs
+        key = pd.Series(
+            [w.encode("utf-8") for w in g["tok"]], index=g.index
+        )
+        cnt = g["n"].groupby(key).transform("sum")  # global corpus count
+        out = pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "s": g["n"] * cnt,
+                "n": g["n"],
+            }
+        )
+        out = out.groupby(id_col, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+        out["part"] = out[id_col].astype("int64") % num_parts
+        return out
+
+    def per_doc_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+        out["freq_score"] = (out["s"] * scale) // out["n"]
+        return out[[id_col, "freq_score"]]
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_token_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_doc_part, batch_format="pandas")
+    )
+
+
 def length_quantiles(docs_ds, *, quantiles=(0.5, 0.9, 0.99),
                      text_col: str = "text"):
     """EXACT word-length quantiles via distributed counting: per-batch

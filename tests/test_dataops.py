@@ -3214,3 +3214,34 @@ def test_event_outliers_integer_exact_edges(ray_session, tmp_path):
         for r in build_queries()["event_outliers"](str(tmp_path)).take_all()
     }
     assert got == {9}
+
+
+def test_corpus_freq_scores_hand_checked_and_nul_safe(ray_session):
+    """Hand-checked integer scores, zero-token docs absent, NUL-bearing
+    tokens kept distinct (the per-part groupby-transform keys on utf-8
+    bytes), and partition invariance of the two-exchange plan."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import corpus_freq_scores
+
+    table = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a a b", "a c", "   ", "w\x00a w\x00b", "w\x00a"],
+        }
+    )
+    # corpus counts: a=3 b=1 c=1 w\0a=2 w\0b=1
+    expect = {
+        1: (2 * 3 + 1 * 1) * 1000 // 3,  # 2333
+        2: (1 * 3 + 1 * 1) * 1000 // 2,  # 2000
+        4: (1 * 2 + 1 * 1) * 1000 // 2,  # 1500  (3000 if NULs merged)
+        5: (1 * 2) * 1000 // 1,          # 2000
+    }
+    for parts in (1, 5):
+        docs = ray.data.from_arrow(table).repartition(parts)
+        got = {
+            r["doc_id"]: r["freq_score"]
+            for r in corpus_freq_scores(docs).take_all()
+        }
+        assert got == expect
