@@ -5270,6 +5270,362 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dup)
 
 
 # ---------------------------------------------------------------------------
+# multi-join analytics shapes (TPC-H Q7/Q8 analogues)
+
+
+def q_nation_trade(sf_dir):
+    """TPC-H Q7 shape: shipped-goods trade volume between NATION_1 and
+    NATION_2 per ship-year (both directions). Scale shape: BOTH big
+    sides are pre-filtered to ~2/25 of their rows via broadcast
+    dimension maps BEFORE the one big-big hash join (supplier-nation
+    filter on lineitem, customer-nation filter on orders); the ship
+    year is projected to int64 pre-join so no timestamp column rides
+    the shuffle; revenue pre-aggregates per (supp, cust, year) inside
+    the combiner batch so the global groupby sees O(groups) rows."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import equi_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    target = {k for k, v in nmap.items() if v in ("NATION_1", "NATION_2")}
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    smap = dict(zip(supp.column("s_suppkey").to_pylist(),
+                    supp.column("s_nationkey").to_pylist()))
+    cmap = dict(zip(cust.column("c_custkey").to_pylist(),
+                    cust.column("c_nationkey").to_pylist()))
+    maps_ref = ray.put((smap, cmap, nmap, target))
+
+    lo = datetime(1995, 1, 1)
+    hi = datetime(1997, 1, 1)
+
+    def li_prefilter(batch: pa.Table) -> pa.Table:
+        smap, _, _, target = ray.get(maps_ref)
+        d = batch.column("l_shipdate")
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, type=d.type)),
+            pc.less(d, pa.scalar(hi, type=d.type)),
+        )
+        batch = batch.filter(mask)
+        sn = np.array(
+            [smap[s] for s in batch.column("l_suppkey").to_pylist()],
+            dtype=np.int64,
+        )
+        keep = np.isin(sn, np.fromiter(target, dtype=np.int64))
+        batch = batch.append_column("_sn", pa.array(sn, pa.int64()))
+        batch = batch.append_column(
+            "l_year", pc.cast(pc.year(batch.column("l_shipdate")),
+                              pa.int64())
+        )
+        return batch.filter(pa.array(keep)).select(
+            ["l_orderkey", "_sn", "l_year", "l_extendedprice",
+             "l_discount"]
+        )
+
+    def o_prefilter(batch: pa.Table) -> pa.Table:
+        _, cmap, _, target = ray.get(maps_ref)
+        cn = np.array(
+            [cmap[c] for c in batch.column("o_custkey").to_pylist()],
+            dtype=np.int64,
+        )
+        keep = np.isin(cn, np.fromiter(target, dtype=np.int64))
+        batch = batch.append_column("_cn", pa.array(cn, pa.int64()))
+        return batch.filter(pa.array(keep)).select(["o_orderkey", "_cn"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    ).map_batches(li_prefilter, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(o_prefilter, batch_format="pyarrow")
+
+    # equi_join (tagged co-group), not Dataset.join: the nation
+    # prefilters can empty out a whole side at small sf, which the
+    # native join cannot survive (empty-partition hazard).
+    joined = equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        _, _, nmap, _ = ray.get(maps_ref)
+        batch = batch[batch["_sn"] != batch["_cn"]]
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "supp_nation": pd.Series([], dtype="object"),
+                    "cust_nation": pd.Series([], dtype="object"),
+                    "l_year": pd.Series([], dtype="int64"),
+                    "revenue": pd.Series([], dtype="float64"),
+                }
+            )
+        batch = batch.assign(
+            supp_nation=[nmap[n] for n in batch["_sn"]],
+            cust_nation=[nmap[n] for n in batch["_cn"]],
+            revenue=batch["l_extendedprice"] * (1 - batch["l_discount"]),
+        )
+        return batch.groupby(
+            ["supp_nation", "cust_nation", "l_year"], as_index=False
+        ).agg(revenue=("revenue", "sum"))
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "supp_nation": batch.column("supp_nation"),
+                "cust_nation": batch.column("cust_nation"),
+                "l_year": batch.column("l_year"),
+                "revenue_cents": pa.array(
+                    [_cents(v)
+                     for v in batch.column("revenue").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_NATION_TRADE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(FLOOR(SUM(l.l_extendedprice*(1-l.l_discount))*100 + 0.5)
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= DATE '1995-01-01'
+  AND l.l_shipdate < DATE '1997-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(sf_dir):
+    """TPC-H Q8 shape: NATION_3 suppliers' share of the PROMO-part
+    market sold to EUROPE customers, per order-year. Share is
+    computed from the already-rounded integer cents on both sides
+    (``target_cents*10000 // market_cents`` basis points) so the
+    ratio is bit-reproducible. Scale shape: lineitem is pre-filtered
+    by the broadcast promo-part id set, orders by the broadcast
+    customer→region map, both BEFORE the single big-big hash join;
+    at production scale the part filter becomes a hash semi-join
+    (part is not a broadcastable dimension at 100 TB), everything
+    else is unchanged."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import equi_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    rmap = dict(zip(region.column("r_regionkey").to_pylist(),
+                    region.column("r_name").to_pylist()))
+    nat_region = {
+        k: rmap[r]
+        for k, r in zip(nation.column("n_nationkey").to_pylist(),
+                        nation.column("n_regionkey").to_pylist())
+    }
+    target_nkey = {
+        k for k, v in zip(nation.column("n_nationkey").to_pylist(),
+                          nation.column("n_name").to_pylist())
+        if v == "NATION_3"
+    }
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo = {
+        k for k, t in zip(part.column("p_partkey").to_pylist(),
+                          part.column("p_type").to_pylist())
+        if t == "PROMO"
+    }
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_region = {
+        k: nat_region[n]
+        for k, n in zip(cust.column("c_custkey").to_pylist(),
+                        cust.column("c_nationkey").to_pylist())
+    }
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    smap = dict(zip(supp.column("s_suppkey").to_pylist(),
+                    supp.column("s_nationkey").to_pylist()))
+    maps_ref = ray.put((promo, cust_region, smap, target_nkey))
+
+    lo = datetime(1995, 1, 1)
+    hi = datetime(1997, 1, 1)
+
+    def li_prefilter(batch: pa.Table) -> pa.Table:
+        promo, _, smap, target = ray.get(maps_ref)
+        pk = np.array(batch.column("l_partkey").to_pylist(),
+                      dtype=np.int64)
+        keep = np.isin(pk, np.fromiter(promo, dtype=np.int64))
+        batch = batch.filter(pa.array(keep))
+        is_target = pa.array(
+            [smap[s] in target
+             for s in batch.column("l_suppkey").to_pylist()],
+            pa.bool_(),
+        )
+        batch = batch.append_column("_is_target", is_target)
+        return batch.select(
+            ["l_orderkey", "_is_target", "l_extendedprice", "l_discount"]
+        )
+
+    def o_prefilter(batch: pa.Table) -> pa.Table:
+        _, cust_region, _, _ = ray.get(maps_ref)
+        d = batch.column("o_orderdate")
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, type=d.type)),
+            pc.less(d, pa.scalar(hi, type=d.type)),
+        )
+        batch = batch.filter(mask)
+        keep = pa.array(
+            [cust_region[c] == "EUROPE"
+             for c in batch.column("o_custkey").to_pylist()],
+            pa.bool_(),
+        )
+        batch = batch.filter(keep)
+        batch = batch.append_column(
+            "o_year", pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64())
+        )
+        return batch.select(["o_orderkey", "o_year"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_prefilter, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_prefilter, batch_format="pyarrow")
+
+    # equi_join (tagged co-group) for the same empty-side safety as
+    # nation_trade: the region/part prefilters can zero out a side.
+    joined = equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "o_year": pd.Series([], dtype="int64"),
+                    "target_rev": pd.Series([], dtype="float64"),
+                    "market_rev": pd.Series([], dtype="float64"),
+                }
+            )
+        vol = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        batch = batch.assign(
+            market_rev=vol,
+            target_rev=vol.where(batch["_is_target"], 0.0),
+        )
+        return batch.groupby("o_year", as_index=False).agg(
+            target_rev=("target_rev", "sum"),
+            market_rev=("market_rev", "sum"),
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+        .groupby("o_year")
+        .aggregate(
+            Sum("target_rev", alias_name="target_rev"),
+            Sum("market_rev", alias_name="market_rev"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tc = [_cents(v) for v in batch.column("target_rev").to_pylist()]
+        mc = [_cents(v) for v in batch.column("market_rev").to_pylist()]
+        return pa.table(
+            {
+                "o_year": batch.column("o_year"),
+                "target_cents": pa.array(tc, pa.int64()),
+                "market_cents": pa.array(mc, pa.int64()),
+                "share_bp": pa.array(
+                    [t * 10000 // m if m else 0
+                     for t, m in zip(tc, mc)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_MARKET_SHARE = """
+WITH market AS (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice*(1-l.l_discount) AS vol,
+         CASE WHEN s.s_nationkey =
+                   (SELECT n_nationkey FROM nation
+                    WHERE n_name = 'NATION_3')
+              THEN l.l_extendedprice*(1-l.l_discount) ELSE 0 END
+           AS target_vol
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1997-01-01'
+),
+cents AS (
+  SELECT o_year,
+         CAST(FLOOR(SUM(target_vol)*100 + 0.5) AS BIGINT)
+           AS target_cents,
+         CAST(FLOOR(SUM(vol)*100 + 0.5) AS BIGINT) AS market_cents
+  FROM market GROUP BY o_year
+)
+SELECT o_year, target_cents, market_cents,
+       CASE WHEN market_cents = 0 THEN 0
+            ELSE (target_cents * 10000) // market_cents END AS share_bp
+FROM cents
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -5378,6 +5734,8 @@ def build_queries():
         "props_stats": q_props_stats,
         "doc_sample_exact_k": q_doc_sample_exact_k,
         "local_supplier_revenue": q_local_supplier_revenue,
+        "nation_trade": q_nation_trade,
+        "market_share": q_market_share,
         "label_centroids": q_label_centroids,
         "user_event_pivot": q_user_event_pivot,
         "revenue_share": q_revenue_share,
@@ -5495,6 +5853,8 @@ def build_oracle_sql():
         "props_stats": SQL_PROPS_STATS,
         "doc_sample_exact_k": SQL_DOC_SAMPLE_EXACT_K,
         "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
+        "nation_trade": SQL_NATION_TRADE,
+        "market_share": SQL_MARKET_SHARE,
         "label_centroids": SQL_LABEL_CENTROIDS,
         "user_event_pivot": SQL_USER_EVENT_PIVOT,
         "revenue_share": SQL_REVENUE_SHARE,

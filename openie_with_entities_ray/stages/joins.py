@@ -392,6 +392,64 @@ def range_join(
     )
 
 
+def equi_join(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    right_on: str,
+    num_parts: int | None = None,
+):
+    """Inner hash equi-join on the tagged co-group scaffold. Unlike
+    Ray's native ``Dataset.join`` this is safe when either side (or any
+    hash partition) is EMPTY — an empty side simply produces zero rows
+    instead of a schema-less block that crashes the Arrow join
+    finalizer (github.com/ray-project/ray/issues/53727 family; see
+    CLAUDE.md "Ray hash join empty-partition hazard").
+
+    Null keys match nothing (SQL inner semantics). Column names must be
+    disjoint across the sides; both key columns are kept in the output.
+
+    Shape: ONE co-partitioning shuffle on the key, then a compiled
+    pandas merge per partition — same exchange count as the native
+    join, partition-invariant output."""
+    from .dataops import _cluster_parts
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    union, fields = _conform_union(
+        left_ds, right_ds, left_key=on, right_key=right_on,
+        num_parts=num_parts,
+    )
+    lnames = list(left_ds.schema().names)
+    rnames = list(right_ds.schema().names)
+    out_fields = [(n, fields[n]) for n in lnames + rnames]
+
+    def empty_out() -> pa.Table:
+        return pa.table({n: pa.array([], t) for n, t in out_fields})
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        df = _to_pandas_exact(batch)
+        l = df[df[_SIDE] == 0][lnames]
+        r = df[df[_SIDE] == 1][rnames]
+        l = l[~l[on].isna()]
+        r = r[~r[right_on].isna()]
+        if len(l) == 0 or len(r) == 0:
+            return empty_out()
+        out = l.merge(r, left_on=on, right_on=right_on, how="inner")
+        cols = {
+            n: pa.Array.from_pandas(out[n].reset_index(drop=True),
+                                    type=t)
+            for n, t in out_fields
+        }
+        return pa.table(cols)
+
+    return (
+        union.groupby(_PART).map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-prefiltered anti-join
 

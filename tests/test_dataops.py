@@ -939,6 +939,71 @@ def test_near_dedup_corpus_keeps_min_id(ray_session):
     ) == [5, 9, 17, 23, 41]
 
 
+# --- inner equi-join (stages/joins.py: equi_join) --------------------------
+
+
+def test_equi_join_matches_pandas_merge(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import equi_join
+
+    rng = np.random.RandomState(7)
+    l = pd.DataFrame({
+        "lk": rng.randint(0, 20, 200).astype("int64"),
+        "lv": np.arange(200, dtype="int64"),
+    })
+    r = pd.DataFrame({
+        "rk": rng.randint(0, 20, 60).astype("int64"),
+        "rv": np.arange(1000, 1060, dtype="int64"),
+    })
+    got = sorted(
+        (x["lk"], x["lv"], x["rk"], x["rv"])
+        for x in equi_join(
+            ray.data.from_pandas(l).repartition(5),
+            ray.data.from_pandas(r).repartition(3),
+            on="lk", right_on="rk", num_parts=4,
+        ).take_all()
+    )
+    want = sorted(
+        tuple(row)
+        for row in l.merge(r, left_on="lk", right_on="rk")
+        [["lk", "lv", "rk", "rv"]].itertuples(index=False)
+    )
+    assert got == want
+
+
+def test_equi_join_empty_sides_and_null_keys(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import equi_join
+
+    full = ray.data.from_arrow(pa.table({
+        "lk": pa.array([1, None, 2], pa.int64()),
+        "lv": pa.array([10, 11, 12], pa.int64()),
+    }))
+    other = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, None], pa.int64()),
+        "rv": pa.array([7, 8], pa.int64()),
+    }))
+    # null keys never match (SQL inner semantics)
+    rows = equi_join(full, other, on="lk", right_on="rk",
+                     num_parts=3).take_all()
+    assert [(r["lk"], r["rv"]) for r in rows] == [(1, 7)]
+
+    # an entirely-empty side completes with zero rows (the native
+    # Dataset.join crashes on this — the hazard this helper exists for)
+    empty = ray.data.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64()),
+        "rv": pa.array([], pa.int64()),
+    }))
+    assert equi_join(full, empty, on="lk", right_on="rk",
+                     num_parts=3).count() == 0
+
+
 # --- temporal joins (stages/joins.py: asof_join / range_join) --------------
 
 
