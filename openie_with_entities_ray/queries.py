@@ -2137,6 +2137,40 @@ GROUP BY per.doc_id
 """
 
 
+def q_importance_weights(sf_dir):
+    """DSIR-shaped importance weighting: each doc scored by how
+    target-domain-like (lang='en' slice vs whole corpus) its unigram
+    instances are, in integer parts-per-million. Same join-free
+    token-partitioned groupby-transform shape as corpus_freq_scores
+    (stages/dataops.py:importance_weights)."""
+    from .stages.dataops import importance_weights
+
+    return importance_weights(_docs(sf_dir, num_blocks=_read_blocks()))
+
+
+# per-(doc,token) contribution n * ((t_cnt*1e6) // c_cnt), doc weight
+# = sum // n_tokens — all int64 floor divisions on both engines;
+# tokens absent from the 'en' slice contribute 0 via COALESCE
+SQL_IMPORTANCE_WEIGHTS = f"""
+WITH per AS (
+  SELECT doc_id, lang, tok, count(*)::BIGINT AS n
+  FROM (SELECT doc_id, lang, unnest({_SQL_WORDS}) AS tok
+        FROM documents)
+  GROUP BY doc_id, lang, tok
+),
+cnt AS (
+  SELECT tok, sum(n)::BIGINT AS c,
+         sum(CASE WHEN lang = 'en' THEN n ELSE 0 END)::BIGINT AS t
+  FROM per GROUP BY tok
+)
+SELECT per.doc_id,
+       (sum(per.n * ((cnt.t * 1000000) // cnt.c))
+        // sum(per.n))::BIGINT AS weight_ppm
+FROM per JOIN cnt USING (tok)
+GROUP BY per.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (custom operators Ray Data lacks: stages/joins.py)
 
@@ -5669,6 +5703,7 @@ def build_queries():
         "jaccard_pairs": q_jaccard_pairs,
         "top_terms": q_top_terms,
         "corpus_freq_scores": q_corpus_freq_scores,
+        "importance_weights": q_importance_weights,
         "length_quantiles": q_length_quantiles,
         "doc_sample": q_doc_sample,
         "doc_sample_stratified": q_doc_sample_stratified,
@@ -5792,6 +5827,7 @@ def build_oracle_sql():
         "jaccard_pairs": _sql_jaccard_pairs(),
         "top_terms": SQL_TOP_TERMS,
         "corpus_freq_scores": SQL_CORPUS_FREQ_SCORES,
+        "importance_weights": SQL_IMPORTANCE_WEIGHTS,
         "length_quantiles": SQL_LENGTH_QUANTILES,
         "doc_sample": SQL_DOC_SAMPLE,
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,

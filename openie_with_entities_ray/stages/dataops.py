@@ -1145,6 +1145,101 @@ def corpus_freq_scores(docs_ds, *, text_col: str = "text",
     )
 
 
+def importance_weights(docs_ds, *, target_lang: str = "en",
+                       lang_col: str = "lang", text_col: str = "text",
+                       id_col: str = "doc_id", scale: int = 1_000_000,
+                       num_parts: int | None = None):
+    """DSIR-shaped importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-domain-like its unigrams are, where
+    the target domain is the corpus slice with ``lang == target_lang``
+    and the proposal distribution is the whole corpus. High-weight
+    documents are the resampling candidates when curating a
+    domain-focused training mix from a general crawl.
+
+    Same join-free groupby-transform shape as
+    :func:`corpus_freq_scores`: stage 1 explodes docs to per-(doc,
+    token) count rows — carrying ``nt`` = the count if the doc is a
+    target-domain doc else 0 — and coarse-partitions BY TOKEN, so each
+    part computes every token's global target count and corpus count
+    from the rows it already holds (no count table is built, shipped,
+    or broadcast at any corpus size); stage 2 re-partitions by doc and
+    folds to the integer weight. Two all-to-all exchanges of
+    pre-combined rows.
+
+    Integer-exact end to end (DuckDB ``//`` parity): per-(doc, token)
+    contribution is ``n * ((t_cnt * scale) // c_cnt)`` and the doc
+    weight is ``(sum of contributions) // n_tokens``. Tokens absent
+    from the target slice contribute 0; ``t_cnt <= c_cnt`` always, so
+    weights live in ``[0, scale]``. Zero-token docs are absent from
+    the output on both engines."""
+    import zlib
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, toks, ns, nts, parts = [], [], [], [], []
+        for i, t, lg in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+            batch.column(lang_col).to_pylist(),
+        ):
+            is_target = lg == target_lang
+            for w, n in Counter((t or "").split()).items():
+                ids.append(i)
+                toks.append(w)
+                ns.append(n)
+                nts.append(n if is_target else 0)
+                parts.append(zlib.crc32(w.encode("utf-8")) % num_parts)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "tok": pa.array(toks, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "nt": pa.array(nts, pa.int64()),
+                "part": pa.array(parts, pa.int64()),
+            }
+        )
+
+    def per_token_part(g: pd.DataFrame) -> pd.DataFrame:
+        # bytes key: pandas' str hashtable truncates at embedded NULs
+        key = pd.Series(
+            [w.encode("utf-8") for w in g["tok"]], index=g.index
+        )
+        c_cnt = g["n"].groupby(key).transform("sum")
+        t_cnt = g["nt"].groupby(key).transform("sum")
+        out = pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "s": g["n"] * ((t_cnt * scale) // c_cnt),
+                "n": g["n"],
+            }
+        )
+        out = out.groupby(id_col, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+        out["part"] = out[id_col].astype("int64") % num_parts
+        return out
+
+    def per_doc_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+        out["weight_ppm"] = out["s"] // out["n"]
+        return out[[id_col, "weight_ppm"]]
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_token_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_doc_part, batch_format="pandas")
+    )
+
+
 def length_quantiles(docs_ds, *, quantiles=(0.5, 0.9, 0.99),
                      text_col: str = "text"):
     """EXACT word-length quantiles via distributed counting: per-batch

@@ -3281,6 +3281,41 @@ def test_event_outliers_integer_exact_edges(ray_session, tmp_path):
     assert got == {9}
 
 
+def test_importance_weights_hand_checked(ray_session):
+    """Hand-checked DSIR weights: a doc whose every token is exclusive
+    to the target slice scores exactly `scale`; off-target-only tokens
+    score 0; mixed docs land on the integer floor-division values.
+    Partition-invariant across the two exchanges."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import importance_weights
+
+    table = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "en", "de", "de"],
+            "text": ["a a b", "a c", "a d", ""],
+        }
+    )
+    # corpus counts: a=4 b=1 c=1 d=1; target (en) counts: a=3 b=1 c=1
+    s = 1_000_000
+    ra = (3 * s) // 4
+    expect = {
+        1: (2 * ra + 1 * s) // 3,
+        2: (1 * ra + 1 * s) // 2,
+        3: (1 * ra + 0) // 2,
+    }
+    for parts in (1, 4):
+        docs = ray.data.from_arrow(table).repartition(parts)
+        got = {
+            r["doc_id"]: r["weight_ppm"]
+            for r in importance_weights(docs).take_all()
+        }
+        assert got == expect
+        assert all(0 <= v <= s for v in got.values())
+
+
 def test_corpus_freq_scores_hand_checked_and_nul_safe(ray_session):
     """Hand-checked integer scores, zero-token docs absent, NUL-bearing
     tokens kept distinct (the per-part groupby-transform keys on utf-8
