@@ -5659,6 +5659,103 @@ FROM cents
 """
 
 
+def q_small_quantity_revenue(sf_dir):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average quantity. The fractional-average
+    predicate is cross-multiplied into pure integers —
+    ``5*qty*cnt < sum_qty`` instead of ``qty < 0.2*avg`` — so the row
+    set is bit-identical on both engines (quantities are
+    integer-valued doubles, cast exactly to int64).
+
+    Scale shape: pass 1 folds lineitem to one (partkey, sum_qty, cnt)
+    row per part via per-batch combiner → crc32 coarse partition (never
+    one Ray group per part); pass 2 joins the stats back on partkey
+    with the empty-safe equi_join co-group and sums the qualifying
+    revenue as per-batch partials — the driver sees two numbers."""
+    import zlib
+
+    import ray.data
+
+    from .stages.dataops import _cluster_parts
+    from .stages.joins import equi_join
+
+    num_parts = _cluster_parts()
+
+    li_stats_in = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity"],
+    )
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(qty=batch["l_quantity"].astype("int64"))
+        g = batch.groupby("l_partkey", as_index=False).agg(
+            sum_qty=("qty", "sum"), cnt=("qty", "size")
+        )
+        g["part"] = [
+            zlib.crc32(str(k).encode()) % num_parts
+            for k in g["l_partkey"]
+        ]
+        return g
+
+    def stats_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_partkey", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), cnt=("cnt", "sum")
+        )
+        return out.rename(columns={"l_partkey": "pk"})[
+            ["pk", "sum_qty", "cnt"]
+        ]
+
+    stats = (
+        li_stats_in.map_batches(stats_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(stats_merge, batch_format="pandas")
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    joined = equi_join(li, stats, on="l_partkey", right_on="pk")
+
+    def qualify(batch: pd.DataFrame) -> pd.DataFrame:
+        qty = batch["l_quantity"].astype("int64")
+        keep = 5 * qty * batch["cnt"] < batch["sum_qty"]
+        kept = batch[keep]
+        return pd.DataFrame(
+            {
+                "rev": [float(kept["l_extendedprice"].sum())],
+                "n": [int(len(kept))],
+            }
+        )
+
+    partials = joined.map_batches(qualify, batch_format="pandas")
+    totals = partials.sum(["rev", "n"])
+    rev = (totals or {}).get("sum(rev)") or 0.0
+    n = int((totals or {}).get("sum(n)") or 0)
+    return pa.table(
+        {
+            "revenue_cents": pa.array([_cents(rev)], pa.int64()),
+            "n_rows": pa.array([n], pa.int64()),
+        }
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH stats AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         COUNT(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(FLOOR(COALESCE(SUM(l.l_extendedprice), 0)*100 + 0.5)
+            AS BIGINT) AS revenue_cents,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem l
+JOIN stats s ON l.l_partkey = s.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5771,6 +5868,7 @@ def build_queries():
         "local_supplier_revenue": q_local_supplier_revenue,
         "nation_trade": q_nation_trade,
         "market_share": q_market_share,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "label_centroids": q_label_centroids,
         "user_event_pivot": q_user_event_pivot,
         "revenue_share": q_revenue_share,
@@ -5891,6 +5989,7 @@ def build_oracle_sql():
         "local_supplier_revenue": SQL_LOCAL_SUPPLIER_REVENUE,
         "nation_trade": SQL_NATION_TRADE,
         "market_share": SQL_MARKET_SHARE,
+        "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
         "label_centroids": SQL_LABEL_CENTROIDS,
         "user_event_pivot": SQL_USER_EVENT_PIVOT,
         "revenue_share": SQL_REVENUE_SHARE,
