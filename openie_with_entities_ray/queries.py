@@ -1584,6 +1584,53 @@ def q_near_dedup_corpus(sf_dir):
     )
 
 
+def q_leakage_safe_splits(sf_dir):
+    """Split-leakage repair: the md5 train/val/test assignment with
+    every MinHash near-duplicate cluster forced into its keeper
+    (min-id) doc's split — so a train doc can never be a near-copy of
+    a test doc. Pairs → connected components (labels as a Dataset) →
+    in-place keeper-split recompute + Bloom anti-join for untouched
+    docs (stages/dataops.py:leakage_safe_splits)."""
+    from .stages.dataops import leakage_safe_splits
+
+    return leakage_safe_splits(
+        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5
+    )
+
+
+def _sql_leakage_safe_splits(num_perm: int = 128,
+                             threshold: float = 0.5) -> str:
+    """The near-dedup recursive-CTE components + the md5 split rule:
+    clustered docs take their keeper's split, the rest their own."""
+    split_of = (
+        "CASE WHEN md5_number_lower('split|' || CAST({x} AS VARCHAR)) "
+        "% 1000 < 50 THEN 'val' "
+        "WHEN md5_number_lower('split|' || CAST({x} AS VARCHAR)) "
+        "% 1000 < 100 THEN 'test' ELSE 'train' END"
+    )
+    return f"""
+WITH RECURSIVE pairs AS (
+{_sql_minhash_pairs(num_perm=num_perm, threshold=threshold)}
+), padj AS (
+  SELECT id_a AS node, id_b AS nbr FROM pairs
+  UNION
+  SELECT id_b AS node, id_a AS nbr FROM pairs
+), preach AS (
+  SELECT node, node AS label FROM (SELECT DISTINCT node FROM padj) n
+  UNION
+  SELECT a.node, r.label FROM padj a JOIN preach r ON a.nbr = r.node
+), pcomp AS (
+  SELECT node, MIN(label) AS keeper FROM preach GROUP BY node
+)
+SELECT c.node AS doc_id, {split_of.format(x='c.keeper')} AS split
+FROM pcomp c
+UNION ALL
+SELECT d.doc_id, {split_of.format(x='d.doc_id')} AS split
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM pcomp)
+"""
+
+
 def q_simhash_pairs(sf_dir):
     from .stages.dataops import simhash_pairs
 
@@ -5794,6 +5841,7 @@ def build_queries():
         "text_stats": q_text_stats,
         "minhash_pairs": q_minhash_pairs,
         "near_dedup_corpus": q_near_dedup_corpus,
+        "leakage_safe_splits": q_leakage_safe_splits,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -5904,6 +5952,7 @@ def build_oracle_sql():
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "minhash_pairs": _sql_minhash_pairs(),
         "near_dedup_corpus": _sql_near_dedup_corpus(),
+        "leakage_safe_splits": _sql_leakage_safe_splits(),
         "embedding_dups": SQL_EMBEDDING_DUPS,
         "embedding_dups_lsh": _sql_embedding_dups_lsh(),
         # labeler-pipeline oracles: the deterministic labeler + decode is

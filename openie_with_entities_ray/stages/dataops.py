@@ -829,6 +829,125 @@ def near_dedup_corpus(
     )
 
 
+def leakage_safe_splits(
+    docs_ds,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs_ds=None,
+):
+    """Split-leakage repair: the deterministic train/val/test
+    assignment (:func:`dataset_splits`) with the guarantee that every
+    NEAR-DUPLICATE CLUSTER lands entirely in one split — the split of
+    its keeper (min-id) document. Without this, a doc in train and its
+    near-copy in test silently leaks eval data into training (the
+    standard failure the dedup-before-split literature warns about).
+
+    Shape: MinHash pairs → :func:`~.graph_algos.
+    connected_components_join` (labels stay a Dataset) → each clustered
+    doc's split recomputed in place as the pure md5 function of its
+    KEEPER id (no join back to the base assignment needed), un-clustered
+    docs keep their own md5 split via a Bloom-prefiltered anti-join —
+    no corpus-sized state on the driver at any point. Output:
+    (id_col, split).
+
+    ``pairs_ds`` overrides the pair source exactly as in
+    :func:`near_dedup_corpus` (e.g. the cross-shard job's pair table).
+    """
+    import ray.data
+
+    from .graph_algos import connected_components_join
+    from .joins import bloom_anti_join
+
+    if pairs_ds is None:
+        pairs_ds = minhash_candidate_pairs(
+            docs_ds, threshold=threshold, num_perm=num_perm,
+            num_bands=num_bands, text_col=text_col, id_col=id_col,
+        )
+    base = dataset_splits(
+        docs_ds.select_columns([id_col]),
+        val_permille=val_permille, test_permille=test_permille,
+        id_col=id_col,
+    )
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return base
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        return pa.table(
+            {
+                "src": pa.array([f"{x:020d}" for x in a], pa.string()),
+                "dst": pa.array([f"{x:020d}" for x in b], pa.string()),
+            }
+        )
+
+    comp = connected_components_join(
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    )
+
+    def decode_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "member": pa.array(
+                    [int(n)
+                     for n in batch.column("node_id").to_pylist()],
+                    pa.int64(),
+                ),
+                "keeper": pa.array(
+                    [int(c)
+                     for c in batch.column("component").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    labels = comp.map_batches(decode_labels, batch_format="pyarrow")
+
+    def keeper_split(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import _md5_number_lower
+
+        cut_val = val_permille
+        cut_test = val_permille + test_permille
+        buckets = [
+            _md5_number_lower(f"split|{k}") % 1000
+            for k in batch.column("keeper").to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: batch.column("member"),
+                "split": pa.array(
+                    [
+                        "val" if b < cut_val
+                        else "test" if b < cut_test
+                        else "train"
+                        for b in buckets
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    # clustered docs: the keeper's split is the same pure md5 function
+    # of the keeper id — recompute it in place instead of joining back
+    # to `base` (one exchange fewer; bit-identical by construction)
+    fixed = labels.map_batches(keeper_split, batch_format="pyarrow")
+    members = labels.map_batches(
+        lambda b: pa.table({"member": b.column("member")}),
+        batch_format="pyarrow",
+    )
+    untouched = bloom_anti_join(
+        lambda: base, members, on=id_col, right_on="member"
+    )
+    return untouched.union(fixed)
+
+
 def _bucketed_signatures(docs_ds, *, num_perm, num_bands, text_col,
                          id_col, seed):
     """Shared LSH scaffold: MinHash signatures exploded to (id, band,

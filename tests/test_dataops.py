@@ -3281,6 +3281,49 @@ def test_event_outliers_integer_exact_edges(ray_session, tmp_path):
     assert got == {9}
 
 
+def test_leakage_safe_splits_cluster_cohesion(ray_session):
+    """Every near-dup cluster lands entirely in its keeper's split;
+    docs outside any cluster keep their base md5 assignment."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        dataset_splits,
+        leakage_safe_splits,
+    )
+
+    ids = list(range(1, 40))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"doc {i}" for i in ids], pa.string()),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 10], pa.int64()),
+        "id_b": pa.array([2, 3, 11], pa.int64()),
+    }))
+    base = {
+        r["doc_id"]: r["split"]
+        for r in dataset_splits(
+            docs.select_columns(["doc_id"]),
+            val_permille=300, test_permille=300,
+        ).take_all()
+    }
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_splits(
+            docs, pairs_ds=pairs, val_permille=300, test_permille=300,
+        ).take_all()
+    }
+    assert set(got) == set(ids)  # a partition of the corpus, no dups
+    for m in (1, 2, 3):
+        assert got[m] == base[1]
+    for m in (10, 11):
+        assert got[m] == base[10]
+    for i in ids:
+        if i not in (1, 2, 3, 10, 11):
+            assert got[i] == base[i]
+
+
 def test_importance_weights_hand_checked(ray_session):
     """Hand-checked DSIR weights: a doc whose every token is exclusive
     to the target slice scores exactly `scale`; off-target-only tokens
