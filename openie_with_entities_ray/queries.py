@@ -1550,6 +1550,74 @@ def q_corpus_budget(sf_dir):
     return corpus_budget(docs)
 
 
+def q_mixture_weights(sf_dir):
+    """Temperature-scaled language-mixture sampling weights (the data
+    mixing rule behind multilingual LM corpora: sample language L with
+    probability ∝ (token share)^(1/τ), here τ=2): per-lang word counts
+    fold via the corpus_budget combiner, then one tiny driver-side pass
+    turns counts into integer basis points via EXACT integer square
+    roots — `weight_bp = isqrt(n)*10000 // Σ isqrt(n)` — so the hash
+    gate cannot drift on float pow."""
+    import math
+
+    import ray.data
+
+    from .stages.dataops import corpus_budget
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    # lang-cardinality rows — a true small result
+    rows = corpus_budget(docs).take_all()
+    langs = sorted(r["lang"] for r in rows)
+    roots = {
+        r["lang"]: math.isqrt(int(r["total_words"])) for r in rows
+    }
+    denom = sum(roots.values())
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "sqrt_words": pa.array(
+                [roots[lg] for lg in langs], pa.int64()
+            ),
+            "weight_bp": pa.array(
+                [roots[lg] * 10000 // denom if denom else 0
+                 for lg in langs],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+# FLOOR(SQRT(n)) alone can misround near perfect squares (sqrt is a
+# float); the two correction terms make it the EXACT integer sqrt,
+# matching Python math.isqrt bit-for-bit
+_SQL_ISQRT = (
+    "(CAST(FLOOR(SQRT({n})) AS BIGINT)"
+    " - CASE WHEN CAST(FLOOR(SQRT({n})) AS BIGINT)"
+    "            * CAST(FLOOR(SQRT({n})) AS BIGINT) > {n}"
+    "       THEN 1 ELSE 0 END"
+    " + CASE WHEN (CAST(FLOOR(SQRT({n})) AS BIGINT) + 1)"
+    "            * (CAST(FLOOR(SQRT({n})) AS BIGINT) + 1) <= {n}"
+    "       THEN 1 ELSE 0 END)"
+)
+
+def _sql_mixture_weights() -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang, SUM(len({_SQL_WORDS}))::BIGINT AS n
+  FROM documents GROUP BY lang
+),
+roots AS (
+  SELECT lang, {_SQL_ISQRT.format(n='n')} AS sqrt_words FROM counts
+)
+SELECT lang, sqrt_words,
+       ((sqrt_words * 10000)
+        // (SELECT SUM(sqrt_words) FROM roots))::BIGINT AS weight_bp
+FROM roots
+"""
+
+
 def _sql_corpus_budget() -> str:
     # _SQL_WORDS (not a bare regexp_split) so blank and tab/newline-
     # separated docs count words exactly like the engine's str.split()
@@ -5854,6 +5922,7 @@ def build_queries():
         "doc_sample_stratified": q_doc_sample_stratified,
         "clean_corpus": q_clean_corpus,
         "corpus_budget": q_corpus_budget,
+        "mixture_weights": q_mixture_weights,
         "revenue_by_nation_salted": q_revenue_by_nation_salted,
         "events_last_order": q_events_last_order,
         "purchase_followups": q_purchase_followups,
@@ -5980,6 +6049,7 @@ def build_oracle_sql():
         "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
         "clean_corpus": _sql_clean_corpus(),
         "corpus_budget": _sql_corpus_budget(),
+        "mixture_weights": _sql_mixture_weights(),
         "revenue_by_nation_salted": SQL_REVENUE_BY_NATION,
         "events_last_order": SQL_EVENTS_LAST_ORDER,
         "purchase_followups": SQL_PURCHASE_FOLLOWUPS,
