@@ -4028,6 +4028,71 @@ def range_bounds(ds, *, value_col: str, id_col: str,
     )
 
 
+def sorted_export(ds, out_dir: str, *, value_col: str, id_col: str,
+                  num_ranges: int = 8, rate_permille: int = 100):
+    """Globally-sorted Parquet export — the TotalOrderPartitioner
+    shape: plan equi-depth boundaries from the deterministic md5 sample
+    (:func:`range_bounds`), range-shuffle every row to its bucket, sort
+    each bucket ONCE in memory-bounded isolation, and write
+    ``part-{bucket:05d}.parquet`` files whose filename order IS the
+    global ``(value_col, id_col)`` order. Never a corpus-wide
+    ``Dataset.sort`` and never a driver-side row: the only all-to-all
+    exchange carries each row exactly once, pre-tagged with its bucket.
+
+    Writes happen inside the per-bucket kernel via tmp-file + atomic
+    rename, so a retried bucket task is idempotent. Returns the
+    manifest as a Dataset: (range_idx, path, n_rows, min_v, max_v) —
+    bucket boundaries are auditable without re-reading the data."""
+    import os
+
+    import numpy as np
+
+    bounds = [
+        int(r["upper_bound"])
+        for r in range_bounds(
+            ds, value_col=value_col, id_col=id_col,
+            num_ranges=num_ranges, rate_permille=rate_permille,
+        ).take_all()
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(value_col).to_pylist(),
+                       dtype=np.int64)
+        ridx = np.searchsorted(np.asarray(bounds, dtype=np.int64), v,
+                               side="left")
+        return batch.append_column(
+            "range_idx", pa.array(ridx.astype(np.int64), pa.int64())
+        )
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        ridx = int(g["range_idx"].iloc[0])
+        g = g.sort_values([value_col, id_col],
+                          kind="mergesort").drop(columns=["range_idx"])
+        path = os.path.join(out_dir, f"part-{ridx:05d}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                       tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "range_idx": [ridx],
+                "path": [path],
+                "n_rows": [len(g)],
+                "min_v": [int(g[value_col].iloc[0])],
+                "max_v": [int(g[value_col].iloc[-1])],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("range_idx")
+        .map_groups(write_bucket, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # broadcast semi-join kernel (shared by small-survivor-set queries)
 

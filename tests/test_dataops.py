@@ -3281,6 +3281,44 @@ def test_event_outliers_integer_exact_edges(ray_session, tmp_path):
     assert got == {9}
 
 
+def test_sorted_export_global_order(ray_session, tmp_path):
+    """Parts read in filename order concatenate to the exact global
+    (value, id) sort; the manifest's bucket stats are consistent and
+    buckets never overlap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import sorted_export
+
+    rng = np.random.RandomState(11)
+    n = 500
+    vals = rng.randint(0, 80, n).astype("int64")  # heavy duplicates
+    table = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype="int64")),
+        "n_chars": pa.array(vals),
+    })
+    out = str(tmp_path / "sorted")
+    manifest = sorted_export(
+        ray.data.from_arrow(table).repartition(7), out,
+        value_col="n_chars", id_col="doc_id",
+        num_ranges=4, rate_permille=500,
+    ).take_all()
+    manifest.sort(key=lambda r: r["range_idx"])
+    assert sum(r["n_rows"] for r in manifest) == n
+    for a, b in zip(manifest, manifest[1:]):
+        assert a["max_v"] <= b["min_v"]
+
+    got = []
+    for r in manifest:
+        t = pq.read_table(r["path"])
+        got += list(zip(t.column("n_chars").to_pylist(),
+                        t.column("doc_id").to_pylist()))
+    want = sorted(zip(vals.tolist(), range(n)))
+    assert got == want
+
+
 def test_leakage_safe_splits_cluster_cohesion(ray_session):
     """Every near-dup cluster lands entirely in its keeper's split;
     docs outside any cluster keep their base md5 assignment."""
