@@ -4990,6 +4990,37 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_novelty_scores(sf_dir):
+    """Per-doc 3-gram novelty in basis points: the fraction of a doc's
+    distinct grams globally first seen (min doc_id) in that doc —
+    boilerplate/near-dup docs score low. Join-free gram-partitioned
+    groupby-transform (stages/dataops.py:novelty_scores)."""
+    from .stages.dataops import novelty_scores
+
+    return novelty_scores(_docs(sf_dir, num_blocks=_read_blocks()))
+
+
+SQL_NOVELTY_SCORES = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[\\t\\n\\f\\r ]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + 2], ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3 + 2)) AS i
+        FROM toks)
+),
+firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       ((10000 * SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END))
+        // COUNT(*))::BIGINT AS novelty_bp
+FROM grams g JOIN firsts f USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 def q_event_outliers(sf_dir):
     """Per-user z-score outliers, INTEGER-EXACT and in ONE shuffle: flag
     events with |v - mean| > 2*stddev via the cross-multiplied form
@@ -5991,6 +6022,7 @@ def build_queries():
         "revenue_share": q_revenue_share,
         "training_order": q_training_order,
         "ngram_counts": q_ngram_counts,
+        "novelty_scores": q_novelty_scores,
         "event_outliers": q_event_outliers,
         "large_orders": q_large_orders,
         "key_skew": q_key_skew,
@@ -6114,6 +6146,7 @@ def build_oracle_sql():
         "revenue_share": SQL_REVENUE_SHARE,
         "training_order": SQL_TRAINING_ORDER,
         "ngram_counts": SQL_NGRAM_COUNTS,
+        "novelty_scores": SQL_NOVELTY_SCORES,
         "event_outliers": SQL_EVENT_OUTLIERS,
         "large_orders": SQL_LARGE_ORDERS,
         "key_skew": SQL_KEY_SKEW,

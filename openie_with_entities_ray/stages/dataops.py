@@ -3944,6 +3944,87 @@ def ngram_counts(docs_ds, *, n: int = 3, min_count: int = 5,
     )
 
 
+def novelty_scores(docs_ds, *, n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id", num_parts: int | None = None):
+    """Per-document n-gram novelty (the memorization/boilerplate signal
+    from the dedup literature): the integer basis-point fraction of a
+    doc's DISTINCT word n-grams whose globally FIRST occurrence (min
+    doc id) is this doc. Boilerplate-heavy and near-duplicate docs
+    score low; genuinely new text scores near 10000.
+
+    Same join-free token-partitioned groupby-transform shape as
+    :func:`corpus_freq_scores`: stage 1 explodes docs to distinct
+    (doc, gram) rows coarse-partitioned BY GRAM, so each part resolves
+    every gram's global min-doc from the rows it already holds (no
+    first-occurrence table is built or shipped); stage 2 folds per doc.
+    Two all-to-all exchanges of pre-deduped rows.
+
+    Token rule: lowercase + RE2 ``[\\t\\n\\f\\r ]`` split, identical to
+    :func:`ngram_counts` (DuckDB-reproducible byte-for-byte). Docs with
+    fewer than ``n`` words have no grams and are absent from the output
+    on both engines."""
+    import re
+    import zlib
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+    ws = re.compile(r"[\t\n\f\r ]+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams, parts = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = [x for x in ws.split((t or "").lower()) if x]
+            for g in {
+                " ".join(toks[j:j + n])
+                for j in range(len(toks) - n + 1)
+            }:
+                ids.append(i)
+                grams.append(g)
+                parts.append(zlib.crc32(g.encode("utf-8")) % num_parts)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+                "part": pa.array(parts, pa.int64()),
+            }
+        )
+
+    def per_gram_part(g: pd.DataFrame) -> pd.DataFrame:
+        key = pd.Series(
+            [x.encode("utf-8") for x in g["gram"]], index=g.index
+        )
+        first_doc = g[id_col].groupby(key).transform("min")
+        out = pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "novel": (g[id_col] == first_doc).astype("int64"),
+            }
+        )
+        out = out.groupby(id_col, as_index=False).agg(
+            novel=("novel", "sum"), total=("novel", "size")
+        )
+        out["part"] = out[id_col].astype("int64") % num_parts
+        return out
+
+    def per_doc_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, as_index=False).agg(
+            novel=("novel", "sum"), total=("total", "sum")
+        )
+        out["novelty_bp"] = (10000 * out["novel"]) // out["total"]
+        return out[[id_col, "novelty_bp"]]
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_gram_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_doc_part, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # range-partition boundary planning
 
