@@ -88,6 +88,51 @@ def test_missing_args_error():
     assert "requires --inp" in res.stderr
 
 
+def test_compact_job_plan_and_resume(tmp_path):
+    """jobs/compact_job.py: footer-metadata bin-packing, row-lossless
+    compaction, and manifest resume (second run writes nothing)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    # 5 tiny files of 40 rows -> target 100 packs [40,40,40]=120, [40,40]=80
+    for k in range(5):
+        ids = list(range(k * 40, k * 40 + 40))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64())}),
+            src / f"shard-{k}.parquet",
+        )
+    out = tmp_path / "compact"
+
+    def run_job():
+        return subprocess.run(
+            [sys.executable, "jobs/compact_job.py",
+             "--input", str(src / "*.parquet"),
+             "--out", str(out), "--target-rows", "100"],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+
+    first = run_job()
+    assert first.returncode == 0, first.stderr[-500:]
+    rep1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert rep1 == {"input_files": 5, "units": 2, "written": 2,
+                    "skipped": 0}
+    import pyarrow.dataset as pads
+
+    got = sorted(
+        pads.dataset(str(out), format="parquet")
+        .to_table(columns=["doc_id"]).column("doc_id").to_pylist()
+    )
+    assert got == list(range(200))  # row-lossless
+
+    second = run_job()
+    rep2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert rep2["written"] == 0 and rep2["skipped"] == 2
+
+
 def test_dedup_job_resumable(tmp_path):
     """jobs/dedup_job.py: per-shard manifests; a re-run skips finished
     shards and writes nothing new."""
