@@ -5805,6 +5805,138 @@ FROM cents
 """
 
 
+def q_returned_item_customers(sf_dir):
+    """TPC-H Q10 shape: the 20 customers losing the most revenue to
+    returned items in a half-year order window. Scale shape: lineitem
+    pre-filtered to returnflag='R' and column-pruned, orders
+    date-windowed, BEFORE the one big-big equi_join; customer/nation
+    names attach from broadcast maps only to the 20 surviving rows.
+    Deterministic under ties via (revenue DESC, custkey ASC)."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.joins import equi_join
+
+    lo = datetime(1995, 1, 1)
+    hi = datetime(1995, 7, 1)
+
+    def li_prefilter(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("l_returnflag"), pa.scalar("R"))
+        return batch.filter(mask).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+
+    def o_prefilter(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, type=d.type)),
+            pc.less(d, pa.scalar(hi, type=d.type)),
+        )
+        return batch.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_prefilter, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(o_prefilter, batch_format="pyarrow")
+
+    joined = equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            revenue=batch["l_extendedprice"] * (1 - batch["l_discount"])
+        )
+        return batch.groupby("o_custkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+
+    top = (
+        joined.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cmap = {
+        k: (nm, nk)
+        for k, nm, nk in zip(cust.column("c_custkey").to_pylist(),
+                             cust.column("c_name").to_pylist(),
+                             cust.column("c_nationkey").to_pylist())
+    }
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+    maps_ref = ray.put((cmap, nmap))
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "revenue_cents": pa.array(
+                    [_cents(v)
+                     for v in batch.column("revenue").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cmap, nmap = ray.get(maps_ref)
+        ks = batch.column("c_custkey").to_pylist()
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_name": pa.array(
+                    [cmap[k][0] for k in ks], pa.string()
+                ),
+                "n_name": pa.array(
+                    [nmap[cmap[k][1]] for k in ks], pa.string()
+                ),
+                "revenue_cents": batch.column("revenue_cents"),
+            }
+        )
+
+    return (
+        top.map_batches(cents, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(20)
+        .map_batches(attach, batch_format="pyarrow")
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(FLOOR(SUM(l.l_extendedprice*(1-l.l_discount))*100 + 0.5)
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate < DATE '1995-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+"""
+
+
 def q_small_quantity_revenue(sf_dir):
     """TPC-H Q17 shape: revenue from lineitems whose quantity is below
     20% of their part's average quantity. The fractional-average
@@ -6017,6 +6149,7 @@ def build_queries():
         "nation_trade": q_nation_trade,
         "market_share": q_market_share,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "returned_item_customers": q_returned_item_customers,
         "label_centroids": q_label_centroids,
         "user_event_pivot": q_user_event_pivot,
         "revenue_share": q_revenue_share,
@@ -6141,6 +6274,7 @@ def build_oracle_sql():
         "nation_trade": SQL_NATION_TRADE,
         "market_share": SQL_MARKET_SHARE,
         "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+        "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
         "label_centroids": SQL_LABEL_CENTROIDS,
         "user_event_pivot": SQL_USER_EVENT_PIVOT,
         "revenue_share": SQL_REVENUE_SHARE,
