@@ -4003,6 +4003,78 @@ def q_kmeans_clusters(sf_dir):
     return kmeans_embeddings(emb, k=8, iters=5)
 
 
+def q_hard_negatives(sf_dir):
+    """Contrastive hard-negative mining: the 10 vectors most similar to
+    the probe query that sit OUTSIDE the k-means cluster of the probe's
+    nearest neighbor — near-but-semantically-different examples, the
+    standard negatives for embedding-model training. Composes the
+    exact-integer k-means labeling with the brute-force cosine ranker;
+    the cluster labels attach to the embeddings via the empty-safe
+    equi_join co-group (labels are corpus-sized — never broadcast)."""
+    import ray.data
+
+    from .stages.dataops import ann_topk, kmeans_embeddings
+    from .stages.joins import equi_join
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # three passes (k-means rounds, top-1, rank)
+    q = ann_query_vector()
+
+    labels = kmeans_embeddings(emb, k=8, iters=5).map_batches(
+        lambda b: pa.table(
+            {"lbl_id": b.column("vec_id"), "cluster": b.column("cluster")}
+        ),
+        batch_format="pyarrow",
+    )
+    top1 = ann_topk(emb, q, k=1).take_all()[0]["vec_id"]
+    c_star = labels.filter(
+        lambda r: r["lbl_id"] == top1
+    ).take_all()[0]["cluster"]
+
+    tagged = equi_join(emb, labels, on="vec_id", right_on="lbl_id")
+    negatives = tagged.filter(
+        expr=f"cluster != {int(c_star)}"
+    )
+    top = ann_topk(negatives, q, k=_ANN_K)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, batch.num_rows + 1), pa.int64()
+                ),
+                "vec_id": batch.column("vec_id"),
+            }
+        )
+
+    return top.repartition(1).map_batches(add_rank, batch_format="pyarrow")
+
+
+def _sql_hard_negatives() -> str:
+    vec = ", ".join(f"{x:.4f}" for x in ann_query_vector())
+    return (
+        "WITH " + _sql_kmeans_ctes(8, 5)
+        + f""",
+sims AS (
+  SELECT vec_id,
+         list_cosine_similarity(embedding::DOUBLE[], [{vec}]) AS cosine
+  FROM embeddings
+),
+top1 AS (
+  SELECT a.cluster
+  FROM sims s JOIN af a ON a.vec_id = s.vec_id
+  ORDER BY s.cosine DESC, s.vec_id LIMIT 1
+)
+SELECT ROW_NUMBER() OVER (ORDER BY s.cosine DESC, s.vec_id) AS rank,
+       s.vec_id
+FROM sims s JOIN af a ON a.vec_id = s.vec_id
+WHERE a.cluster != (SELECT cluster FROM top1)
+ORDER BY s.cosine DESC, s.vec_id LIMIT {_ANN_K}
+"""
+    )
+
+
 def q_doc_chunks(sf_dir):
     """Fixed-length training-sequence chunking (32-token windows,
     remainder kept, whitespace tokens) — a stateless flat map with no
@@ -6121,6 +6193,7 @@ def build_queries():
         "normalized_dedup_docs": q_normalized_dedup_docs,
         "quality_buckets": q_quality_buckets,
         "kmeans_clusters": q_kmeans_clusters,
+        "hard_negatives": q_hard_negatives,
         "doc_chunks": q_doc_chunks,
         "semantic_dedup": q_semantic_dedup,
         "bpe_merges": q_bpe_merges,
@@ -6289,5 +6362,6 @@ def build_oracle_sql():
         "component_sizes": _sql_component_sizes(),
         "rolling_event_stats": SQL_ROLLING_EVENT_STATS,
         "kmeans_clusters": _sql_kmeans_clusters(),
+        "hard_negatives": _sql_hard_negatives(),
         "semantic_dedup": _sql_semantic_dedup(),
     }
