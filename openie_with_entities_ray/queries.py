@@ -6107,6 +6107,632 @@ WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_qty
 
 
 # ---------------------------------------------------------------------------
+# TPC-H long-tail shapes (Q6/Q14/Q15/Q19/Q21/Q22) + embedding Gram matrix
+
+
+def q_forecast_revenue(sf_dir):
+    """TPC-H Q6 shape: revenue delta from dropping small discounts —
+    a pure filtered aggregate. Columns pruned at the read; the
+    date/discount/quantity predicate and the per-row cents
+    (``FLOOR(p*d*100+0.5)`` — exact int64, no float-order drift)
+    run as one vectorized Arrow pass; the driver only ever sees one
+    tiny partial row per block."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    lo = datetime(1997, 1, 1)
+    hi = datetime(1998, 1, 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        centi_disc = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("l_discount"),
+                                        pa.scalar(100.0)),
+                            pa.scalar(0.5))),
+            pa.int64(),
+        )
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(d, pa.scalar(lo, type=d.type)),
+                pc.less(d, pa.scalar(hi, type=d.type)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(centi_disc, pa.scalar(5, pa.int64())),
+                    pc.less_equal(centi_disc, pa.scalar(7, pa.int64())),
+                ),
+                pc.less(batch.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        kept = batch.filter(mask)
+        cents = pc.cast(
+            pc.floor(pc.add(
+                pc.multiply(
+                    pc.multiply(kept.column("l_extendedprice"),
+                                kept.column("l_discount")),
+                    pa.scalar(100.0)),
+                pa.scalar(0.5))),
+            pa.int64(),
+        )
+        total = pc.sum(cents).as_py()
+        return pa.table({
+            "revenue_cents": pa.array([int(total or 0)], pa.int64()),
+            "n_rows": pa.array([kept.num_rows], pa.int64()),
+        })
+
+    import ray.data
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pd.DataFrame({
+        "revenue_cents": [int(parts["revenue_cents"].sum())],
+        "n_rows": [int(parts["n_rows"].sum())],
+    })
+    return ray.data.from_pandas(out)
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice*l_discount*100 + 0.5)
+                              AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_promo_revenue(sf_dir):
+    """TPC-H Q14 shape: per-month share of revenue from PROMO-type
+    parts, in basis points. part is the broadcast dimension (only the
+    promo partkey SET ships — one ``ray.put``, read per batch); revenue
+    is per-ROW cents (exact int64) pre-summed per month inside
+    ``map_batches``, so the Ray groupby sees months × blocks rows. The
+    bps ratio is integer floor-division on the final cents — bit-equal
+    to the oracle's ``// `` on both engines."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo = frozenset(
+        k for k, t in zip(part.column("p_partkey").to_pylist(),
+                          part.column("p_type").to_pylist())
+        if t == "PROMO"
+    )
+    promo_ref = ray.put(promo)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pr = ray.get(promo_ref)
+        cents = np.floor(
+            batch["l_extendedprice"] * (1 - batch["l_discount"]) * 100
+            + 0.5
+        ).astype("int64")
+        g = pd.DataFrame({
+            "month": batch["l_shipdate"].dt.strftime("%Y-%m"),
+            "promo_cents": np.where(
+                batch["l_partkey"].isin(pr), cents, 0
+            ).astype("int64"),
+            "total_cents": cents,
+        })
+        return g.groupby("month", as_index=False).agg(
+            promo_cents=("promo_cents", "sum"),
+            total_cents=("total_cents", "sum"),
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("month")
+        .aggregate(Sum("promo_cents", alias_name="promo_cents"),
+                   Sum("total_cents", alias_name="total_cents"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        p = [int(x) for x in batch.column("promo_cents").to_pylist()]
+        t = [int(x) for x in batch.column("total_cents").to_pylist()]
+        return pa.table({
+            "month": batch.column("month"),
+            "promo_cents": pa.array(p, pa.int64()),
+            "total_cents": pa.array(t, pa.int64()),
+            "promo_share_bps": pa.array(
+                [a * 10000 // b for a, b in zip(p, t)], pa.int64()
+            ),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_PROMO_REVENUE = """
+WITH cents AS (
+  SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+         CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+                        AS BIGINT) ELSE 0 END AS promo,
+         CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+              AS BIGINT) AS total
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT month,
+       SUM(promo)::BIGINT AS promo_cents,
+       SUM(total)::BIGINT AS total_cents,
+       (SUM(promo) * 10000 // SUM(total))::BIGINT AS promo_share_bps
+FROM cents
+GROUP BY month
+"""
+
+
+def q_top_supplier(sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in a
+    six-month ship window (ties all kept, as the spec requires).
+    Per-row cents pre-summed per supplier inside ``map_batches`` → a
+    supplier-cardinality Ray Sum; the winner scan + name attach happen
+    on the driver over the supplier-dimension-sized result."""
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+    lo = datetime(1997, 1, 1)
+    hi = datetime(1997, 7, 1)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[(batch["l_shipdate"] >= lo)
+                      & (batch["l_shipdate"] < hi)]
+        if not len(batch):
+            return pd.DataFrame({
+                "l_suppkey": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64"),
+            })
+        g = pd.DataFrame({
+            "l_suppkey": batch["l_suppkey"],
+            "revenue_cents": np.floor(
+                batch["l_extendedprice"] * (1 - batch["l_discount"]) * 100
+                + 0.5
+            ).astype("int64"),
+        })
+        return g.groupby("l_suppkey", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+
+    df = (
+        li.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()  # supplier-dimension cardinality — a small result
+    )
+    if not len(df):
+        out = pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+        })
+    else:
+        best = int(df["revenue_cents"].max())
+        win = df[df["revenue_cents"] == best]
+        sup = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        )
+        names = dict(zip(sup.column("s_suppkey").to_pylist(),
+                         sup.column("s_name").to_pylist()))
+        out = pd.DataFrame({
+            "s_suppkey": win["l_suppkey"].astype("int64").to_numpy(),
+            "s_name": [names[int(k)] for k in win["l_suppkey"]],
+            "revenue_cents": win["revenue_cents"].astype("int64")
+            .to_numpy(),
+        })
+    import ray.data
+
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+SQL_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5)
+                  AS BIGINT))::BIGINT AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.revenue_cents
+FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.revenue_cents = (SELECT MAX(revenue_cents) FROM revenue)
+"""
+
+
+def q_brand_bulk_revenue(sf_dir):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of
+    (brand, size-range, quantity-range) legs. Each leg's qualifying
+    partkeys come from one driver-side scan of the part dimension
+    (at production scale: a pruned read of (p_partkey, p_brand,
+    p_size) — still dimension-sized); the fact side evaluates all
+    legs as vectorized isin+between masks OR-ed together in a single
+    pass, so the disjunction never becomes three scans or a join."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    legs = [
+        ("Brand#1", 1, 5, 1.0, 11.0),
+        ("Brand#2", 1, 10, 10.0, 20.0),
+        ("Brand#3", 1, 15, 20.0, 30.0),
+    ]
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    pk = part.column("p_partkey").to_pylist()
+    pb = part.column("p_brand").to_pylist()
+    ps = part.column("p_size").to_pylist()
+    leg_keys = [
+        frozenset(k for k, b, s in zip(pk, pb, ps)
+                  if b == brand and size_lo <= s <= size_hi)
+        for brand, size_lo, size_hi, _, _ in legs
+    ]
+    legs_ref = ray.put(
+        [(keys, q_lo, q_hi)
+         for (_, _, _, q_lo, q_hi), keys in zip(legs, leg_keys)]
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mask = np.zeros(len(batch), dtype=bool)
+        for keys, q_lo, q_hi in ray.get(legs_ref):
+            mask |= (
+                batch["l_partkey"].isin(keys).to_numpy()
+                & (batch["l_quantity"].to_numpy() >= q_lo)
+                & (batch["l_quantity"].to_numpy() <= q_hi)
+            )
+        kept = batch[mask]
+        cents = np.floor(
+            kept["l_extendedprice"] * (1 - kept["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        return pd.DataFrame({
+            "revenue_cents": [int(cents.sum())],
+            "n_rows": [int(len(kept))],
+        })
+
+    parts = li.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame({
+        "revenue_cents": [int(parts["revenue_cents"].sum())],
+        "n_rows": [int(parts["n_rows"].sum())],
+    }))
+
+
+SQL_BRAND_BULK_REVENUE = """
+SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100
+                                    + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_sole_return_suppliers(sf_dir):
+    """TPC-H Q21 shape (adapted to this schema: returnflag plays the
+    late-delivery role): suppliers who were the ONLY supplier with a
+    returned line in a multi-supplier order, with how often. Pre-shuffle
+    combiner collapses lineitem to (order, supplier, any-returned); ONE
+    crc32(orderkey) coarse shuffle co-locates each order; the
+    exists/not-exists pair is a vectorized per-order group stat; the
+    final per-supplier count is supplier-cardinality."""
+    import zlib
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .stages.dataops import _cluster_parts
+
+    num_parts = _cluster_parts()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.assign(
+                returned=(batch["l_returnflag"] == "R").astype("int64")
+            )
+            .groupby(["l_orderkey", "l_suppkey"], as_index=False)
+            .agg(returned=("returned", "max"))
+        )
+        g["part"] = [
+            zlib.crc32(str(k).encode()) % num_parts
+            for k in g["l_orderkey"]
+        ]
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.groupby(["l_orderkey", "l_suppkey"], as_index=False).agg(
+            returned=("returned", "max")
+        )
+        stats = pairs.groupby("l_orderkey").agg(
+            nsupp=("l_suppkey", "nunique"), nret=("returned", "sum")
+        )
+        sole_orders = stats[(stats["nsupp"] > 1)
+                            & (stats["nret"] == 1)].index
+        sole = pairs[pairs["l_orderkey"].isin(sole_orders)
+                     & (pairs["returned"] == 1)]
+        out = (
+            sole.groupby("l_suppkey", as_index=False)
+            .size()
+            .rename(columns={"size": "numwait"})
+        )
+        return out.astype({"l_suppkey": "int64", "numwait": "int64"})
+
+    agg = (
+        li.map_batches(combine, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    names_ref = ray.put(
+        dict(zip(sup.column("s_suppkey").to_pylist(),
+                 sup.column("s_name").to_pylist()))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        keys = [int(k) for k in batch.column("l_suppkey").to_pylist()]
+        return pa.table({
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "s_name": pa.array([names[k] for k in keys], pa.string()),
+            "numwait": pa.array(
+                [int(v) for v in batch.column("numwait").to_pylist()],
+                pa.int64(),
+            ),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SOLE_RETURN_SUPPLIERS = """
+WITH osr AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+wins AS (
+  SELECT o1.l_orderkey, o1.l_suppkey FROM osr o1
+  WHERE o1.returned = 1
+    AND EXISTS (SELECT 1 FROM osr o2
+                WHERE o2.l_orderkey = o1.l_orderkey
+                  AND o2.l_suppkey <> o1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM osr o3
+                    WHERE o3.l_orderkey = o1.l_orderkey
+                      AND o3.l_suppkey <> o1.l_suppkey
+                      AND o3.returned = 1)
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*)::BIGINT AS numwait
+FROM wins w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+def q_sales_opportunity(sf_dir):
+    """TPC-H Q22 shape: count + total balance, per nation, of customers
+    with an above-average positive balance and no RECENT orders (the
+    date-windowed NOT EXISTS keeps the result non-degenerate on the
+    fixture). The global average is carried as an exact RATIONAL
+    (sum_cents, count) from one combiner pass — the filter compares
+    ``cents*cnt > sum`` in int64 so both engines agree bit-for-bit (no
+    float average). The no-orders predicate is the Bloom-prefiltered
+    exact anti-join (stages/joins.py:bloom_anti_join); the recent-orders
+    side folds into a fixed-size bit array and only Bloom-hit candidates
+    pay the hash shuffle."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.joins import bloom_anti_join
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def pos_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["c_acctbal"] * 100 + 0.5).astype("int64")
+        pos = cents[cents > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [int(len(pos))]})
+
+    stats = (
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_acctbal"])
+        .map_batches(pos_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = int(stats["s"].sum())
+    cnt = int(stats["n"].sum())
+
+    def rich_customers():
+        def above_avg(batch: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.floor(pc.add(
+                    pc.multiply(batch.column("c_acctbal"),
+                                pa.scalar(100.0)),
+                    pa.scalar(0.5))),
+                pa.int64(),
+            )
+            batch = batch.append_column("acctbal_cents", cents)
+            # cents * cnt > tot  <=>  cents > tot/cnt, exactly, in int64
+            mask = pc.greater(
+                pc.multiply(cents, pa.scalar(cnt, pa.int64())),
+                pa.scalar(tot, pa.int64()),
+            )
+            return batch.filter(mask)
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=cust_cols
+        ).map_batches(above_avg, batch_format="pyarrow")
+
+    from datetime import datetime
+
+    cutoff = datetime(1998, 1, 1)
+
+    def recent(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        return batch.filter(
+            pc.greater_equal(d, pa.scalar(cutoff, type=d.type))
+        ).select(["o_custkey"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent, batch_format="pyarrow")
+    lonely = bloom_anti_join(
+        rich_customers, orders, on="c_custkey", right_on="o_custkey"
+    )
+
+    df = (
+        lonely.groupby("c_nationkey")
+        .aggregate(Count(alias_name="numcust"),
+                   Sum("acctbal_cents", alias_name="totacctbal_cents"))
+        .to_pandas()  # nation-cardinality (<=25 rows) — a true small result
+    )
+    out = pd.DataFrame({
+        "c_nationkey": pd.Series(
+            df["c_nationkey"] if len(df) else [], dtype="int64"
+        ),
+        "numcust": pd.Series(
+            df["numcust"] if len(df) else [], dtype="int64"
+        ),
+        "totacctbal_cents": pd.Series(
+            df["totacctbal_cents"] if len(df) else [], dtype="int64"
+        ),
+    })
+    return ray.data.from_pandas(out)
+
+
+SQL_SALES_OPPORTUNITY = """
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents
+  FROM customer
+),
+thr AS (
+  SELECT SUM(acctbal_cents) AS tot, COUNT(*) AS cnt
+  FROM cents WHERE acctbal_cents > 0
+)
+SELECT c.c_nationkey::BIGINT AS c_nationkey,
+       COUNT(*)::BIGINT AS numcust,
+       SUM(c.acctbal_cents)::BIGINT AS totacctbal_cents
+FROM cents c, thr
+WHERE c.acctbal_cents * thr.cnt > thr.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c.c_nationkey
+"""
+
+
+def q_embedding_gram(sf_dir):
+    """Distributed Gram matrix X^T X over the embedding column — the
+    one-pass sufficient statistic for PCA / whitening / top-PC removal
+    at corpus scale: each batch contributes a d×d partial (numpy matmul
+    over EXACT int64 milli-quantized components), the shuffle carries
+    only d(d+1)/2 upper-triangle cells per block, and the Ray Sum runs
+    over dim² (not corpus-sized) groups. int64 stays exact up to ~3e11
+    rows at |x|<=5; shard the corpus and stack Gram partials beyond
+    that."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        q = np.floor(mat * 1000 + 0.5).astype(np.int64)
+        gram = q.T @ q
+        iu = np.triu_indices(gram.shape[0])
+        return pa.table({
+            "i": pa.array(iu[0].astype(np.int64)),
+            "j": pa.array(iu[1].astype(np.int64)),
+            "dot_milli2": pa.array(gram[iu]),
+        })
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("dot_milli2", alias_name="dot_milli2"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "i": pc.cast(batch.column("i"), pa.int64()),
+            "j": pc.cast(batch.column("j"), pa.int64()),
+            "dot_milli2": pc.cast(batch.column("dot_milli2"), pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_GRAM = """
+WITH flat AS (
+  SELECT vec_id, (i - 1)::BIGINT AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS q
+  FROM (
+    SELECT vec_id, embedding,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings
+  )
+)
+SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q)::BIGINT AS dot_milli2
+FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -6236,6 +6862,13 @@ def build_queries():
         "epoch_slice": q_epoch_slice,
         "component_sizes": q_component_sizes,
         "rolling_event_stats": q_rolling_event_stats,
+        "forecast_revenue": q_forecast_revenue,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "brand_bulk_revenue": q_brand_bulk_revenue,
+        "sole_return_suppliers": q_sole_return_suppliers,
+        "sales_opportunity": q_sales_opportunity,
+        "embedding_gram": q_embedding_gram,
     }
 
 
@@ -6364,4 +6997,11 @@ def build_oracle_sql():
         "kmeans_clusters": _sql_kmeans_clusters(),
         "hard_negatives": _sql_hard_negatives(),
         "semantic_dedup": _sql_semantic_dedup(),
+        "forecast_revenue": SQL_FORECAST_REVENUE,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "top_supplier": SQL_TOP_SUPPLIER,
+        "brand_bulk_revenue": SQL_BRAND_BULK_REVENUE,
+        "sole_return_suppliers": SQL_SOLE_RETURN_SUPPLIERS,
+        "sales_opportunity": SQL_SALES_OPPORTUNITY,
+        "embedding_gram": SQL_EMBEDDING_GRAM,
     }
