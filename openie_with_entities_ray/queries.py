@@ -166,11 +166,18 @@ def _sql_doc_sentences() -> str:
         )
         for d in multisentence_fixture_docs()
     )
-    return f"""
-WITH alldocs AS (
+    return _sql_sentence_rows(f"""
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT * FROM (VALUES {rows}) fix(doc_id, text)
+  SELECT * FROM (VALUES {rows}) fix(doc_id, text)""")
+
+
+def _sql_sentence_rows(alldocs_sql: str) -> str:
+    """The sentence CTE chain over an ``alldocs(doc_id, text)`` source —
+    shared by the doc_sentences oracle and every oracle that re-splits
+    documents, so the SQL mirror of the splitter lives in ONE place."""
+    return f"""
+WITH alldocs AS ({alldocs_sql}
 ), chunks AS (
   SELECT doc_id,
          string_split(
@@ -6715,6 +6722,87 @@ def q_embedding_gram(sf_dir):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def boilerplate_fixture_docs():
+    """Deterministic docs carrying real cross-doc boilerplate (the sf
+    documents are all unique single sentences, so without these the
+    removal path would never fire under the driver's gate): a footer
+    in 6 docs and a banner in 4 (both >= the min_docs=3 bar →
+    stripped), plus a sentence shared by only 2 docs (kept). Negative
+    ids below -1000 cannot collide with the corpus or the msfix
+    range."""
+    docs = []
+    footer = "subscribe to the newsletter today ."
+    banner = "all rights reserved by the corpus owner ."
+    rare = "this pair sentence appears twice only ."
+    for i in range(8):
+        sents = [f"unique body sentence number {i} for fixture doc ."]
+        if i < 6:
+            sents.append(footer)
+        if i < 4:
+            sents.insert(0, banner)
+        if i in (6, 7):
+            sents.append(rare)
+        docs.append({
+            "doc_id": -(1001 + i),
+            "text": " ".join(sents),
+            "lang": "en",
+        })
+    return docs
+
+
+def q_boilerplate_clean(sf_dir):
+    """Cross-document boilerplate sentence removal (RefinedWeb/CCNet
+    line-dedup shape): sentences appearing in >= 3 distinct documents
+    are stripped and each doc is reassembled from its survivors in
+    original order (stages/dataops.py:remove_boilerplate_sentences —
+    two streaming passes, one boilerplate-sized broadcast between
+    them). The corpus is unioned with the deterministic boilerplate
+    fixture so the gate exercises actual removals."""
+    import ray.data
+
+    from .stages.dataops import remove_boilerplate_sentences
+
+    fix = boilerplate_fixture_docs()
+    tbl = pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in fix], pa.int64()),
+        "text": pa.array([d["text"] for d in fix], pa.string()),
+        "lang": pa.array([d["lang"] for d in fix], pa.string()),
+    })
+    docs = _docs(sf_dir).union(ray.data.from_arrow(tbl))
+    return remove_boilerplate_sentences(docs, min_docs=3)
+
+
+def _sql_boilerplate_clean() -> str:
+    rows = ",\n    ".join(
+        "({id}, '{t}')".format(
+            id=d["doc_id"], t=d["text"].replace("'", "''")
+        )
+        for d in boilerplate_fixture_docs()
+    )
+    return f"""
+WITH sents AS (
+  SELECT * FROM ({_sql_sentence_rows(f'''
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {rows}) bfix(doc_id, text)''')}) s
+), freq AS (
+  SELECT sentence, COUNT(DISTINCT doc_id) AS ndocs
+  FROM sents GROUP BY sentence
+), tagged AS (
+  SELECT s.doc_id, s.sent_id, s.sentence,
+         (f.ndocs >= 3) AS boiler
+  FROM sents s JOIN freq f USING (sentence)
+)
+SELECT doc_id,
+       SUM(CASE WHEN boiler THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT boiler THEN sentence END,
+                           ' ' ORDER BY sent_id), '') AS clean_text
+FROM tagged
+GROUP BY doc_id
+"""
+
+
 SQL_EMBEDDING_GRAM = """
 WITH flat AS (
   SELECT vec_id, (i - 1)::BIGINT AS dim,
@@ -6869,6 +6957,7 @@ def build_queries():
         "sole_return_suppliers": q_sole_return_suppliers,
         "sales_opportunity": q_sales_opportunity,
         "embedding_gram": q_embedding_gram,
+        "boilerplate_clean": q_boilerplate_clean,
     }
 
 
@@ -7004,4 +7093,5 @@ def build_oracle_sql():
         "sole_return_suppliers": SQL_SOLE_RETURN_SUPPLIERS,
         "sales_opportunity": SQL_SALES_OPPORTUNITY,
         "embedding_gram": SQL_EMBEDDING_GRAM,
+        "boilerplate_clean": _sql_boilerplate_clean(),
     }

@@ -4199,3 +4199,145 @@ def filter_by_broadcast_map(batch: pa.Table, *, key_col: str,
         [mapping[k] for k in kept.column(key_col).to_pylist()], pa.int64()
     )
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate sentence removal (RefinedWeb/CCNet-style)
+
+
+def remove_boilerplate_sentences(
+    docs_ds,
+    *,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """Strip sentences that repeat across >= ``min_docs`` DISTINCT
+    documents (headers, footers, cookie banners) and reassemble each
+    document from its surviving sentences, in original order.
+
+    Two streaming passes over the corpus, one boilerplate-sized
+    broadcast between them:
+
+    1. explode to sentences (the engine splitter,
+       functions/text.py:extract_sentences) → per-batch DISTINCT
+       (md5(sentence), doc) pairs → crc32(hash) coarse partition →
+       per-part distinct-doc counts; only hashes with
+       ``ndocs >= min_docs`` reach the driver. Boilerplate is rare by
+       definition — the broadcast set is the FREQUENT-sentence tail,
+       not the corpus (same small-side contract as the promo/dimension
+       broadcasts).
+    2. re-explode, drop sentences whose hash is in the broadcast set,
+       and rebuild each doc in ONE crc32(doc) coarse partition
+       (vectorized per-part: sort by (doc, sent_id) + groupby-join).
+
+    Nothing corpus-sized ever sits on the driver; the shuffle carries
+    16-byte hashes (pass 1) and surviving sentences keyed by doc
+    (pass 2). Returns (doc_id, n_kept, n_removed, clean_text) — a doc
+    whose every sentence is boilerplate comes back with
+    ``clean_text = ''``, mirroring SQL ``COALESCE(string_agg(...), '')``.
+    """
+    import zlib
+
+    import ray.data
+
+    from ..functions.text import extract_sentences
+
+    num_parts = _cluster_parts()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        langs = (batch.column(lang_col).to_pylist()
+                 if lang_col in batch.column_names
+                 else ["en"] * batch.num_rows)
+        o_id, o_sid, o_sent, o_hash = [], [], [], []
+        for i, t, lg in zip(ids, texts, langs):
+            for sid, sent in enumerate(extract_sentences(t, lg)):
+                o_id.append(i)
+                o_sid.append(sid)
+                o_sent.append(sent)
+                o_hash.append(
+                    hashlib.md5(sent.encode("utf-8")).hexdigest()
+                )
+        return pa.table({
+            id_col: pa.array(o_id, pa.int64()),
+            "sent_id": pa.array(o_sid, pa.int64()),
+            "sentence": pa.array(o_sent, pa.string()),
+            "sent_hash": pa.array(o_hash, pa.string()),
+        })
+
+    # pass 1: frequent-sentence hashes
+    def pair_combine(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "sent_hash": batch.column("sent_hash").to_pylist(),
+            "doc": batch.column(id_col).to_pylist(),
+        }).drop_duplicates()
+        df["part"] = [
+            zlib.crc32(h.encode()) % num_parts for h in df["sent_hash"]
+        ]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_docs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.drop_duplicates(["sent_hash", "doc"])
+            .groupby("sent_hash")
+            .agg(ndocs=("doc", "nunique"))
+            .reset_index()
+        )
+        return agg[agg["ndocs"] >= min_docs][["sent_hash"]]
+
+    frequent = (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(pair_combine, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_docs, batch_format="pandas")
+        .to_pandas()  # boilerplate-cardinality — the small side
+    )
+    import ray
+
+    boiler_ref = ray.put(frozenset(frequent["sent_hash"]))
+
+    # pass 2: filter + reassemble
+    def tag_part(batch: pa.Table) -> pa.Table:
+        boiler = ray.get(boiler_ref)
+        keep = pa.array(
+            [h not in boiler
+             for h in batch.column("sent_hash").to_pylist()],
+            pa.bool_(),
+        )
+        ids = batch.column(id_col).to_pylist()
+        return pa.table({
+            id_col: batch.column(id_col),
+            "sent_id": batch.column("sent_id"),
+            "sentence": batch.column("sentence"),
+            "keep": keep,
+            "part": pa.array(
+                [zlib.crc32(str(i).encode()) % num_parts for i in ids],
+                pa.int64(),
+            ),
+        })
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "sent_id"], kind="mergesort")
+        kept = g[g["keep"]]
+        joined = kept.groupby(id_col)["sentence"].agg(" ".join)
+        stats = g.groupby(id_col)["keep"].agg(["sum", "count"])
+        out = pd.DataFrame({
+            id_col: stats.index.astype("int64"),
+            "n_kept": stats["sum"].astype("int64").to_numpy(),
+            "n_removed": (stats["count"] - stats["sum"])
+            .astype("int64").to_numpy(),
+        })
+        out["clean_text"] = (
+            out[id_col].map(joined).fillna("").astype(str)
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(tag_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rebuild, batch_format="pandas")
+    )

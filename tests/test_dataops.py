@@ -3426,3 +3426,55 @@ def test_corpus_freq_scores_hand_checked_and_nul_safe(ray_session):
             for r in corpus_freq_scores(docs).take_all()
         }
         assert got == expect
+
+
+def test_boilerplate_removal_hand_checked(ray_session):
+    """Footer in 3 docs stripped, pair-sentence (2 docs) kept, all-boiler
+    doc comes back with clean_text='' — and the result is partition
+    invariant (the two-pass hash broadcast must not depend on batching)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        remove_boilerplate_sentences,
+    )
+
+    footer = "visit our website today ."
+    rare = "seen in just two docs ."
+    rows = [
+        (1, f"alpha body one . {footer}", "en"),
+        (2, f"{footer} beta body two . {rare}", "en"),
+        (3, f"gamma body three . {footer} {rare}", "en"),
+        (4, footer, "en"),  # all sentences boilerplate
+        (5, "delta body five .", "en"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+    def run(ds):
+        got = (
+            remove_boilerplate_sentences(ds, min_docs=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return got
+
+    got = run(ray.data.from_arrow(tbl))
+    assert list(got["doc_id"]) == [1, 2, 3, 4, 5]
+    assert list(got["clean_text"]) == [
+        "alpha body one .",
+        f"beta body two . {rare}",
+        f"gamma body three . {rare}",
+        "",
+        "delta body five .",
+    ]
+    assert list(got["n_removed"]) == [1, 1, 1, 1, 0]
+    assert list(got["n_kept"]) == [1, 2, 2, 0, 1]
+
+    got_parts = run(ray.data.from_arrow(tbl).repartition(5))
+    pd.testing.assert_frame_equal(got, got_parts)
