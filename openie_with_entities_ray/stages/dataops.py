@@ -1691,25 +1691,22 @@ def seeded_reservoir_sample(
     )
 
 
-def ivf_build(
+def ivf_centroids(
     emb_ds,
     num_centroids: int = 16,
     sample_size: int = 2048,
     seed: int = 17,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-):
-    """IVF index build: deterministic k-means (seeded init + fixed Lloyd
-    iterations over a bounded driver-side sample) → centroid matrix + the
-    dataset with an ``ivf_bucket`` assignment column (map_batches against
-    the broadcast centroids).
-
-    The sample is the content-addressed
-    :func:`seeded_reservoir_sample` — deterministic given (seed, corpus)
-    regardless of partitioning or cluster size, and the driver holds only
-    ``sample_size`` vectors; centroids stay tiny and broadcast."""
-    import ray
-
+) -> np.ndarray:
+    """Deterministic IVF centroid training: seeded init + fixed Lloyd
+    iterations over a bounded driver-side sample. The sample is the
+    content-addressed :func:`seeded_reservoir_sample` — deterministic
+    given (seed, corpus) regardless of partitioning or cluster size, and
+    the driver holds only ``sample_size`` vectors; centroids stay tiny
+    and broadcast. Split out of :func:`ivf_build` so a persisted-index
+    job (jobs/ann_job.py) can train once over the full corpus and then
+    assign shard-by-shard with :func:`ivf_assign`."""
     sample_rows = seeded_reservoir_sample(
         emb_ds, sample_size, seed=seed, id_col=id_col
     ).take_all()
@@ -1727,7 +1724,16 @@ def ivf_build(
                 v = members.mean(axis=0)
                 n = np.linalg.norm(v)
                 centroids[c] = v / n if n else centroids[c]
-    cent_ref = ray.put(centroids)
+    return centroids
+
+
+def ivf_assign(emb_ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Append an ``ivf_bucket`` column: nearest (cosine) centroid per
+    row, computed as one batch matmul against the broadcast centroid
+    matrix (``ray.put`` once, read in every task)."""
+    import ray
+
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
     def assign_bucket(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
@@ -1739,7 +1745,26 @@ def ivf_build(
             "ivf_bucket", pa.array(buckets, pa.int64())
         )
 
-    return centroids, emb_ds.map_batches(assign_bucket, batch_format="pyarrow")
+    return emb_ds.map_batches(assign_bucket, batch_format="pyarrow")
+
+
+def ivf_build(
+    emb_ds,
+    num_centroids: int = 16,
+    sample_size: int = 2048,
+    seed: int = 17,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF index build: :func:`ivf_centroids` (deterministic k-means over
+    a bounded sample) → centroid matrix + the dataset with an
+    ``ivf_bucket`` assignment column (:func:`ivf_assign` against the
+    broadcast centroids)."""
+    centroids = ivf_centroids(
+        emb_ds, num_centroids, sample_size, seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    return centroids, ivf_assign(emb_ds, centroids, vec_col=vec_col)
 
 
 def ivf_search(

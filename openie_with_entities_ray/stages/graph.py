@@ -359,7 +359,8 @@ def completed_partitions(out_dir: str) -> set:
     return done
 
 
-def write_partition(ds_part, out_dir: str, part: int, extra_meta=None) -> dict:
+def write_partition(ds_part, out_dir: str, part: int, extra_meta=None,
+                    partition_cols=None) -> dict:
     """Write one partition's rows + manifest atomically. A partition is
     only declared done by its manifest (tmp file + rename); any parquet
     files from a previous crashed attempt are DELETED before rewriting —
@@ -367,7 +368,10 @@ def write_partition(ds_part, out_dir: str, part: int, extra_meta=None) -> dict:
     resume would double-count the partial files. Row counts come from the
     written files' own metadata (one pipeline execution, not two). The
     manifest carries the north rule's lineage + metrics: row count, wall
-    time, and whatever the caller adds (input shard path/sha)."""
+    time, and whatever the caller adds (input shard path/sha).
+    ``partition_cols`` hive-partitions the rows WITHIN the partition dir
+    (``part=<k>/<col>=<v>/...``) so downstream readers can prune at the
+    storage level (jobs/ann_job.py prunes IVF buckets this way)."""
     import shutil
     import time
 
@@ -377,7 +381,10 @@ def write_partition(ds_part, out_dir: str, part: int, extra_meta=None) -> dict:
     dest = os.path.join(out_dir, f"part={part}")
     if os.path.isdir(dest):
         shutil.rmtree(dest)  # crashed earlier attempt: manifest is absent
-    ds_part.write_parquet(dest)
+    if partition_cols:
+        ds_part.write_parquet(dest, partition_cols=list(partition_cols))
+    else:
+        ds_part.write_parquet(dest)
     # an empty partition writes no files/dir at all — still a valid,
     # completed partition (e.g. a dedup shard with zero dup pairs)
     rows = (

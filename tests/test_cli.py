@@ -577,3 +577,83 @@ def test_curate_job_benchmark_decontamination(tmp_path):
         for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
     ]
     assert ids == [2]
+
+
+def test_ann_job_build_probe_resume(tmp_path):
+    """jobs/ann_job.py: persisted IVF index — resumable build (centroids
+    trained once and reused, finished shards skipped on re-run),
+    storage-level bucket pruning at probe time (files_read <
+    files_total), and the probe's top-k agrees with a pure-numpy oracle
+    computed from the PERSISTED centroids over the fixture vectors."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fixture = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    half = fixture.num_rows // 2
+    pq.write_table(fixture.slice(0, half), shard_dir / "emb-0.parquet")
+    pq.write_table(fixture.slice(half), shard_dir / "emb-1.parquet")
+    out = tmp_path / "ann"
+
+    def run_build():
+        return subprocess.run(
+            [sys.executable, "jobs/ann_job.py", "build",
+             "--input", str(shard_dir / "*.parquet"), "--out", str(out),
+             "--num-centroids", "8", "--sample-size", "256",
+             "--seed", "17"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    first = run_build()
+    assert first.returncode == 0, first.stderr[-800:]
+    rep1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert rep1["centroids_trained"] is True
+    assert rep1["shards_written"] == 2 and rep1["shards_skipped"] == 0
+
+    second = run_build()
+    rep2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert rep2["centroids_trained"] is False
+    assert rep2["shards_written"] == 0 and rep2["shards_skipped"] == 2
+
+    query = fixture.column("embedding")[0].as_py()
+    res = subprocess.run(
+        [sys.executable, "jobs/ann_job.py", "probe",
+         "--out", str(out), "--query-json", json.dumps(query),
+         "--k", "10", "--nprobe", "3"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert len(rep["probe_buckets"]) == 3
+    assert 0 < rep["files_read"] < rep["files_total"]
+
+    # pure-numpy oracle from the persisted centroids: assign every
+    # fixture vector, restrict to the probe buckets, cosine top-k with
+    # the engine's (-sim, id) tie-break
+    cents = np.asarray(
+        json.load(open(out / "centroids.json"))["centroids"],
+        dtype=np.float64,
+    )
+    ids = np.asarray(fixture.column("vec_id").to_pylist())
+    mat = np.array(fixture.column("embedding").to_pylist(),
+                   dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    buckets = ((mat / nrm) @ cents.T).argmax(axis=1)
+    qn = np.asarray(query, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    probe = set(np.argsort(-(cents @ qn))[:3].tolist())
+    mask = np.isin(buckets, list(probe))
+    sims = (mat[mask] @ qn) / np.linalg.norm(mat[mask], axis=1)
+    sub_ids = ids[mask]
+    order = np.lexsort((sub_ids, -sims))[:10]
+    assert [r["vec_id"] for r in rep["results"]] == sub_ids[order].tolist()
+    got_cos = [r["cosine"] for r in rep["results"]]
+    assert np.allclose(got_cos, sims[order], atol=1e-8)
