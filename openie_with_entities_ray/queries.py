@@ -6803,6 +6803,121 @@ GROUP BY doc_id
 """
 
 
+def dupspan_fixture_docs():
+    """Deterministic docs carrying real cross-doc duplicated SPANS for
+    the dup_span_scrub gate: a 9-word passage embedded mid-doc in 3
+    docs (coalesces to one maximal span each), one doc that repeats a
+    5-gram within itself (within-doc occurrences count toward
+    min_count, as in Lee et al.), one doc that IS the passage (fully
+    scrubbed), and one clean doc. Ids below -2000 cannot collide with
+    the corpus, the msfix range, or the boilerplate fixture."""
+    passage = ("every large corpus repeats this exact nine word run"
+               )  # 9 words
+    return [
+        {"doc_id": -2001, "text": f"intro words {passage} outro one"},
+        {"doc_id": -2002, "text": f"second lead {passage} closing two"},
+        {"doc_id": -2003, "text": f"third opener {passage} finale three"},
+        {"doc_id": -2004,
+         "text": "aa bb fixed five gram repeated inside cc fixed five "
+                 "gram repeated inside dd"},
+        {"doc_id": -2005, "text": passage},
+        {"doc_id": -2006,
+         "text": "wholly original fixture sentence with no repeats"},
+    ]
+
+
+def q_dup_span_scrub(sf_dir):
+    """Exact duplicated-span scrubbing (Lee et al. 2022 shape): every
+    word covered by a 5-gram occurring >= 2 times corpus-wide is
+    removed, with overlapping/touching hits coalesced into maximal
+    spans (stages/dataops.py:dup_span_scrub — join-free gram-partition
+    duplicate detection, then one doc-keyed co-group that ships the
+    text exactly once). The corpus is unioned with the deterministic
+    span fixture so the gate exercises real multi-doc, within-doc and
+    full-coverage scrubs."""
+    import ray.data
+
+    from .stages.dataops import dup_span_scrub
+
+    fix = dupspan_fixture_docs()
+    tbl = pa.table({
+        "doc_id": pa.array([d["doc_id"] for d in fix], pa.int64()),
+        "text": pa.array([d["text"] for d in fix], pa.string()),
+    })
+    docs = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .union(ray.data.from_arrow(tbl))
+    )
+    return dup_span_scrub(docs, n=5, min_count=2)
+
+
+def _sql_dup_span_scrub() -> str:
+    rows = ",\n    ".join(
+        "({id}, '{t}')".format(
+            id=d["doc_id"], t=d["text"].replace("'", "''")
+        )
+        for d in dupspan_fixture_docs()
+    )
+    return f"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {rows}) dfix(doc_id, text)
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[\\t\\n\\f\\r ]+'),
+                     x -> x <> '') AS w
+  FROM alldocs
+), words AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, w[i] AS word
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks)
+), grams AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos,
+         array_to_string(w[i : i + 4], ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 5 + 2)) AS i
+        FROM toks)
+), dupg AS (
+  SELECT doc_id, pos, pos + 4 AS endpos
+  FROM (SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY gram) AS cnt
+        FROM grams)
+  WHERE cnt >= 2
+), isl AS (
+  SELECT doc_id, pos, endpos,
+         SUM(newisl) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, pos, endpos,
+           CASE WHEN pos > COALESCE(
+                    MAX(endpos) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), -2) + 1
+                THEN 1 ELSE 0 END AS newisl
+    FROM dupg)
+), spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(endpos) AS e
+  FROM isl GROUP BY doc_id, island
+), nsp AS (
+  SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+), wcov AS (
+  SELECT w.doc_id, w.pos, w.word,
+         EXISTS(SELECT 1 FROM spans sp
+                WHERE sp.doc_id = w.doc_id
+                  AND w.pos BETWEEN sp.s AND sp.e) AS covered
+  FROM words w
+)
+SELECT w.doc_id,
+       COUNT(*)::BIGINT AS total_words,
+       SUM(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT AS dup_words,
+       COALESCE(MAX(nsp.n_spans), 0)::BIGINT AS n_spans,
+       COALESCE(string_agg(CASE WHEN NOT covered THEN word END,
+                           ' ' ORDER BY pos), '') AS clean_text
+FROM wcov w LEFT JOIN nsp USING (doc_id)
+GROUP BY w.doc_id
+"""
+
+
 SQL_EMBEDDING_GRAM = """
 WITH flat AS (
   SELECT vec_id, (i - 1)::BIGINT AS dim,
@@ -6958,6 +7073,7 @@ def build_queries():
         "sales_opportunity": q_sales_opportunity,
         "embedding_gram": q_embedding_gram,
         "boilerplate_clean": q_boilerplate_clean,
+        "dup_span_scrub": q_dup_span_scrub,
     }
 
 
@@ -7094,4 +7210,5 @@ def build_oracle_sql():
         "sales_opportunity": SQL_SALES_OPPORTUNITY,
         "embedding_gram": SQL_EMBEDDING_GRAM,
         "boilerplate_clean": _sql_boilerplate_clean(),
+        "dup_span_scrub": _sql_dup_span_scrub(),
     }

@@ -4366,3 +4366,183 @@ def remove_boilerplate_sentences(
         .groupby("part")
         .map_groups(rebuild, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span scrubbing (exact substring dedup, Lee et al. 2022 shape)
+
+
+def dup_span_scrub(
+    docs_ds,
+    *,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Scrub every span of words covered by a word ``n``-gram that
+    occurs >= ``min_count`` times in the WHOLE corpus (within-doc
+    repeats count, as in the exact-substring dedup of "Deduplicating
+    Training Data Makes Language Models Better"): overlapping/adjacent
+    duplicated-gram hits are coalesced into maximal spans
+    (gaps-and-islands) and each document is re-emitted without the
+    covered words.
+
+    Returns (id_col, total_words, dup_words, n_spans, clean_text);
+    a document whose every word is covered comes back with
+    ``clean_text = ''``; a document with NO tokens has no output row
+    (both mirrored by the SQL oracle, which derives from the word
+    explode rather than the documents table).
+
+    Scale shape — three exchanges, text shipped exactly once:
+
+    1. gram explode (doc, pos, gram) → crc32(gram) coarse partition;
+       each part holds ALL occurrences of its grams, so duplicated-ness
+       is decided locally (join-free, like :func:`novelty_scores`) and
+       only qualifying (doc, pos) hits leave the part, re-keyed by doc.
+    2. word explode (doc, pos, word) — the single text-bearing pass —
+       keyed by the same crc32(doc) rule and UNIONed with the hits.
+    3. one groupby over the doc partitions: islands via per-doc cummax
+       (vectorized), word coverage via ``pd.merge_asof`` against the
+       disjoint sorted spans (vectorized), reassembly via sorted
+       group-join.
+
+    Token rule: lowercase + RE2 ``[\\t\\n\\f\\r ]`` split, byte-identical
+    to :func:`ngram_counts` / DuckDB ``regexp_split_to_array`` (see
+    CLAUDE.md). Gram strings cross the first shuffle verbatim for
+    bit-exact oracle parity; the scale knob there is hashing them to
+    16 bytes (same trade the minhash path takes).
+    """
+    import re
+    import zlib
+
+    num_parts = _cluster_parts()
+    ws = re.compile(r"[\t\n\f\r ]+")
+
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        ids, poss, grams = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = [x for x in ws.split((t or "").lower()) if x]
+            for j in range(len(toks) - n + 1):
+                ids.append(i)
+                poss.append(j)
+                grams.append(" ".join(toks[j:j + n]))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "gram": pa.array(grams, pa.string()),
+            "part": pa.array(
+                [zlib.crc32(g.encode("utf-8")) % num_parts
+                 for g in grams],
+                pa.int64(),
+            ),
+        })
+
+    def dup_hits(g: pd.DataFrame) -> pa.Table:
+        key = pd.Series(
+            [x.encode("utf-8") for x in g["gram"]], index=g.index
+        )
+        cnt = key.groupby(key).transform("size")
+        out = g.loc[cnt >= min_count, [id_col, "pos"]]
+        # Arrow out (not pandas): this table is UNIONed with the Arrow
+        # word explode, and Ray's sort refuses mixed block types
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+            "pos": pa.array(out["pos"].to_numpy(), pa.int64()),
+            "word": pa.array([""] * len(out), pa.string()),
+            "is_hit": pa.array([1] * len(out), pa.int64()),
+            "part": pa.array(
+                [zlib.crc32(str(i).encode()) % num_parts
+                 for i in out[id_col]],
+                pa.int64(),
+            ),
+        })
+
+    def explode_words(batch: pa.Table) -> pa.Table:
+        ids, poss, words_ = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = [x for x in ws.split((t or "").lower()) if x]
+            for j, w in enumerate(toks):
+                ids.append(i)
+                poss.append(j)
+                words_.append(w)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "word": pa.array(words_, pa.string()),
+            "is_hit": pa.array([0] * len(ids), pa.int64()),
+            "part": pa.array(
+                [zlib.crc32(str(i).encode()) % num_parts for i in ids],
+                pa.int64(),
+            ),
+        })
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        words = g[g["is_hit"] == 0]
+        hits = g[g["is_hit"] == 1]
+        # islands: coalesce [pos, pos+n-1] hit intervals per doc —
+        # adjacent (touching) intervals merge, so a span is maximal
+        if len(hits):
+            h = hits.sort_values([id_col, "pos"], kind="mergesort").copy()
+            h["end"] = h["pos"] + (n - 1)
+            h["cmx"] = h.groupby(id_col)["end"].cummax()
+            prev = h.groupby(id_col)["cmx"].shift()
+            newisl = (h["pos"] > prev.fillna(-2) + 1).astype("int64")
+            h["island"] = newisl.groupby(h[id_col].to_numpy()).cumsum()
+            spans = h.groupby([id_col, "island"], as_index=False).agg(
+                s=("pos", "min"), e=("end", "max")
+            )
+        else:
+            spans = pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "e": pd.Series([], dtype="int64"),
+            })
+        # coverage: last span with s <= pos per doc, covered iff pos <= e
+        w = words.sort_values("pos", kind="mergesort")
+        m = pd.merge_asof(
+            w[[id_col, "pos", "word"]],
+            spans.sort_values("s", kind="mergesort"),
+            by=id_col, left_on="pos", right_on="s",
+            direction="backward",
+        )
+        m["covered"] = m["pos"] <= m["e"].fillna(-1)
+        m = m.sort_values([id_col, "pos"], kind="mergesort")
+        joined = (
+            m.loc[~m["covered"]]
+            .groupby(id_col)["word"].agg(" ".join)
+        )
+        stats = m.groupby(id_col)["covered"].agg(["sum", "count"])
+        nsp = spans.groupby(id_col).size() if len(spans) else pd.Series(
+            dtype="int64"
+        )
+        out = pd.DataFrame({
+            id_col: stats.index.astype("int64"),
+            "total_words": stats["count"].astype("int64").to_numpy(),
+            "dup_words": stats["sum"].astype("int64").to_numpy(),
+        })
+        out["n_spans"] = (
+            out[id_col].map(nsp).fillna(0).astype("int64")
+        )
+        out["clean_text"] = (
+            out[id_col].map(joined).fillna("").astype(str)
+        )
+        return out.reset_index(drop=True)
+
+    hits_ds = (
+        docs_ds.map_batches(explode_grams, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_hits, batch_format="pandas")
+    )
+    words_ds = docs_ds.map_batches(explode_words, batch_format="pyarrow")
+    return (
+        words_ds.union(hits_ds)
+        .groupby("part")
+        .map_groups(rebuild, batch_format="pandas")
+    )

@@ -3478,3 +3478,65 @@ def test_boilerplate_removal_hand_checked(ray_session):
 
     got_parts = run(ray.data.from_arrow(tbl).repartition(5))
     pd.testing.assert_frame_equal(got, got_parts)
+
+
+def test_dup_span_scrub_hand_checked(ray_session):
+    """Spans from duplicated 5-grams coalesce (overlapping AND touching
+    hits merge into one maximal span), within-doc repeats count toward
+    min_count, fully-covered docs come back empty, and the result is
+    partition invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import dup_span_scrub
+
+    passage = "the shared passage of seven words here"  # 7 words
+    rows = [
+        # docs 1 and 2 share the 7-word passage -> every 5-gram in it is
+        # duplicated; hits at pos 2,3,4 coalesce to one span [2, 8]
+        (1, f"alpha one {passage} tail1 tail2"),
+        (2, f"beta two {passage} end2 end3"),
+        # doc 3 repeats a 5-gram within itself (counts toward min_count)
+        (3, "x y unique five gram block repeated q unique five gram "
+            "block repeated z"),
+        # doc 4 is exactly the passage -> fully covered
+        (4, passage),
+        # doc 5 shares nothing
+        (5, "totally fresh words nobody else wrote anywhere at all"),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+    def run(ds):
+        return (
+            dup_span_scrub(ds, n=5, min_count=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    got = run(ray.data.from_arrow(tbl))
+    assert list(got["doc_id"]) == [1, 2, 3, 4, 5]
+    # docs 1/2: words 0-1 kept, passage covered, trailing 2 kept
+    assert got.loc[0, "clean_text"] == "alpha one tail1 tail2"
+    assert got.loc[0, "n_spans"] == 1
+    assert got.loc[0, "dup_words"] == 7
+    assert got.loc[0, "total_words"] == 11
+    assert got.loc[1, "clean_text"] == "beta two end2 end3"
+    # doc 3: 'unique five gram block repeated' at pos 2 and 8 -> two
+    # spans [2,6] and [8,12] separated by 'q' at pos 7
+    assert got.loc[2, "clean_text"] == "x y q z"
+    assert got.loc[2, "n_spans"] == 2
+    assert got.loc[2, "dup_words"] == 10
+    # doc 4: fully covered
+    assert got.loc[3, "clean_text"] == ""
+    assert got.loc[3, "dup_words"] == 7 and got.loc[3, "n_spans"] == 1
+    # doc 5: untouched
+    assert got.loc[4, "dup_words"] == 0 and got.loc[4, "n_spans"] == 0
+    assert got.loc[4, "clean_text"] == rows[4][1]
+
+    got_parts = run(ray.data.from_arrow(tbl).repartition(5))
+    pd.testing.assert_frame_equal(got, got_parts)
