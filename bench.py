@@ -52,6 +52,8 @@ def run_bench() -> dict:
     )
     from openie_with_entities_ray.queries import (
         q_ann_topk,
+        q_boilerplate_clean,
+        q_dup_span_scrub,
         q_events_windows,
         q_lineitem_agg,
         q_minhash_pairs,
@@ -128,6 +130,13 @@ def run_bench() -> dict:
         )
         timed(
             "training_order", lambda: q_training_order(SF_DIR).count()
+        )
+        timed(
+            "boilerplate_clean",
+            lambda: q_boilerplate_clean(SF_DIR).count(),
+        )
+        timed(
+            "dup_span_scrub", lambda: q_dup_span_scrub(SF_DIR).count()
         )
 
     # hardware-ceiling probe (best-of-2, ~11 s) in the driver-visible
