@@ -6918,6 +6918,38 @@ GROUP BY w.doc_id
 """
 
 
+# row-local statement shared verbatim by the engine (per Arrow batch,
+# FROM batch) and the oracle (whole table, FROM orders): row-locality is
+# what makes the distributed result equal the single-node one
+_SQL_ROWLOCAL_ORDERS = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS priority,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       (o_orderdate >= TIMESTAMP '1995-01-01') AS recent
+FROM {src}
+WHERE o_orderstatus <> 'F' AND o_totalprice > 50000
+"""
+
+
+def q_sql_projection(sf_dir):
+    """The DuckDB-per-batch extension surface
+    (stages/dataops.py:DuckDBBatchSQL): an arbitrary row-local SQL
+    projection+filter pushed into the distributed map — connection per
+    actor, zero-copy Arrow both ways. The oracle runs the IDENTICAL
+    statement over the whole table, which is exactly the equivalence
+    row-locality guarantees."""
+    import ray.data
+
+    from .stages.dataops import sql_map_batches
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    return sql_map_batches(orders, _SQL_ROWLOCAL_ORDERS.format(src="batch"))
+
+
 SQL_EMBEDDING_GRAM = """
 WITH flat AS (
   SELECT vec_id, (i - 1)::BIGINT AS dim,
@@ -7074,6 +7106,7 @@ def build_queries():
         "embedding_gram": q_embedding_gram,
         "boilerplate_clean": q_boilerplate_clean,
         "dup_span_scrub": q_dup_span_scrub,
+        "sql_projection": q_sql_projection,
     }
 
 
@@ -7211,4 +7244,5 @@ def build_oracle_sql():
         "embedding_gram": SQL_EMBEDDING_GRAM,
         "boilerplate_clean": _sql_boilerplate_clean(),
         "dup_span_scrub": _sql_dup_span_scrub(),
+        "sql_projection": _SQL_ROWLOCAL_ORDERS.format(src="orders"),
     }

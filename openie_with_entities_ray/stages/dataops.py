@@ -4546,3 +4546,51 @@ def dup_span_scrub(
         .groupby("part")
         .map_groups(rebuild, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# row-local DuckDB SQL as a distributed batch stage (extension surface)
+
+
+class DuckDBBatchSQL:
+    """Actor that runs ONE row-local DuckDB SQL statement over every
+    Arrow batch (registered as the view ``batch``): an escape hatch
+    that pushes arbitrary SQL projections / filters / scalar functions
+    into the distributed map without writing a kernel. The connection
+    is opened once per actor (``__init__``), each call is zero-copy
+    Arrow in / Arrow out.
+
+    ONLY row-local statements are sound: an aggregate or window in the
+    statement sees one BATCH, not the dataset — use the engine's
+    groupby/window operators for those. ``sql_map_batches`` is the
+    callable-function wrapper."""
+
+    def __init__(self, sql: str):
+        import duckdb
+
+        self._con = duckdb.connect()
+        self._sql = sql
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._con.register("batch", batch)
+        try:
+            return self._con.sql(self._sql).arrow()
+        finally:
+            self._con.unregister("batch")
+
+
+def sql_map_batches(ds, sql: str, *, concurrency=(1, 8),
+                    batch_size: int | None = None):
+    """Apply a row-local DuckDB SQL statement (``... FROM batch``) to
+    every batch of ``ds`` via a :class:`DuckDBBatchSQL` actor pool.
+    Because the statement is row-local, the distributed result equals
+    running the same statement over the whole table on one node — which
+    is exactly what the oracle gate checks."""
+    kwargs = dict(
+        fn_constructor_kwargs=dict(sql=sql),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    return ds.map_batches(DuckDBBatchSQL, **kwargs)

@@ -3540,3 +3540,38 @@ def test_dup_span_scrub_hand_checked(ray_session):
 
     got_parts = run(ray.data.from_arrow(tbl).repartition(5))
     pd.testing.assert_frame_equal(got, got_parts)
+
+
+def test_sql_map_batches_rowlocal_equivalence(ray_session):
+    """DuckDBBatchSQL: the distributed per-batch run of a row-local
+    statement equals DuckDB over the whole table, including batches the
+    filter empties out entirely."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import sql_map_batches
+
+    tbl = pa.table({
+        "k": pa.array(list(range(20)), pa.int64()),
+        "v": pa.array([float(i) * 1.5 for i in range(20)], pa.float64()),
+        "s": pa.array([f"tag{i % 3}" for i in range(20)], pa.string()),
+    })
+    sql = ("SELECT k, upper(s) AS s_up, "
+           "CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS v_cents "
+           "FROM {src} WHERE k % 4 <> 0 AND v > 3")
+    # 5 blocks of 4 rows: block [0..3] keeps rows 1-3 only after v>3
+    # kicks in, block [4..7] drops k=4 — several partially/fully
+    # filtered batches exercise the empty/short paths
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = (
+        sql_map_batches(ds, sql.format(src="batch"))
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect().execute(
+            sql.format(src="tbl") + " ORDER BY k"
+        ).arrow().to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
