@@ -1226,6 +1226,87 @@ def _sql_component_sizes() -> str:
     )
 
 
+def q_khop_neighbors(sf_dir):
+    """2-hop undirected neighborhood of the lexicographically smallest
+    source node in the KG (the subgraph-retrieval primitive:
+    stages/graph_algos.py:khop_neighbors — one broadcast-filtered edge
+    pass per hop, only new neighbor ids return to the driver). Edges
+    are materialized once since the expansion scans them per hop."""
+    from .pipelines.flagship import build_graph, extract_triples
+
+    import zlib
+
+    from .stages.dataops import _cluster_parts
+
+    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    num_parts = _cluster_parts()
+
+    # seeds = the 3 sources with the largest distinct-dst fan-out (so
+    # the expansion actually reaches hop 2): per-batch distinct pairs →
+    # crc32(src) coarse partition (every (src,*) row lands together, so
+    # nunique is exact) → tiny global sort+limit
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.drop_duplicates(["src", "dst"]).copy()
+        out["part"] = [
+            zlib.crc32(s.encode("utf-8")) % num_parts for s in out["src"]
+        ]
+        return out
+
+    def fanout(g: pd.DataFrame) -> pd.DataFrame:
+        sk = pd.Series(
+            [s.encode("utf-8") for s in g["src"]], index=g.index
+        )
+        agg = g.groupby(sk).agg(
+            node=("src", "first"), c=("dst", "nunique")
+        )
+        return agg.sort_values(
+            ["c", "node"], ascending=[False, True]
+        ).head(3).reset_index(drop=True)
+
+    seeds = list(
+        edges.map_batches(pair_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(fanout, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["c", "node"], ascending=[False, True])
+        .head(3)["node"]
+    )
+    from .stages.graph_algos import khop_neighbors
+
+    return khop_neighbors(edges, seeds, k=2)
+
+
+def _sql_khop_neighbors() -> str:
+    return f"""
+WITH edges AS (
+{oracles.sql_graph_edges()}
+), adj AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst, src FROM edges
+), seeds AS (
+  SELECT src AS node
+  FROM (SELECT src, COUNT(DISTINCT dst) AS c FROM edges GROUP BY src)
+  ORDER BY c DESC, node LIMIT 3
+), h1 AS (
+  SELECT DISTINCT adj.b AS node
+  FROM adj JOIN seeds ON adj.a = seeds.node
+  WHERE adj.b NOT IN (SELECT node FROM seeds)
+), h2 AS (
+  SELECT DISTINCT adj.b AS node
+  FROM adj JOIN h1 ON adj.a = h1.node
+  WHERE adj.b NOT IN (SELECT node FROM seeds)
+    AND adj.b NOT IN (SELECT node FROM h1)
+)
+SELECT node AS node_id, 0::BIGINT AS hop FROM seeds
+UNION ALL
+SELECT node, 1::BIGINT FROM h1
+UNION ALL
+SELECT node, 2::BIGINT FROM h2
+"""
+
+
 def q_pagerank(sf_dir):
     """Integer-exact PageRank (3 rounds, damping 85/100, scale 1e12)
     over the flagship edge graph via the labels-stay-a-Dataset path
@@ -7107,6 +7188,7 @@ def build_queries():
         "boilerplate_clean": q_boilerplate_clean,
         "dup_span_scrub": q_dup_span_scrub,
         "sql_projection": q_sql_projection,
+        "khop_neighbors": q_khop_neighbors,
     }
 
 
@@ -7245,4 +7327,5 @@ def build_oracle_sql():
         "boilerplate_clean": _sql_boilerplate_clean(),
         "dup_span_scrub": _sql_dup_span_scrub(),
         "sql_projection": _SQL_ROWLOCAL_ORDERS.format(src="orders"),
+        "khop_neighbors": _sql_khop_neighbors(),
     }

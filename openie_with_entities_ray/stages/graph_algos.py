@@ -1399,3 +1399,56 @@ def common_neighbors_topk(edges_ds, *, k: int = 20, src: str = "src",
         )
         .limit(k)
     )
+
+
+def khop_neighbors(edges_ds, seeds, k: int = 2, *, src: str = "src",
+                   dst: str = "dst", directed: bool = False):
+    """(node_id, hop) for every node within ``k`` hops of ``seeds``
+    (hop = first hop at which the node is reached; seeds are hop 0) —
+    the subgraph-retrieval primitive (entity neighborhood for RAG /
+    KG-QA lookups).
+
+    Scale contract: each hop is ONE broadcast-filtered pass over the
+    edge Dataset (frontier set via ``ray.put``, per-batch set-lookup +
+    per-batch dedup), and only the NEW neighbor ids come back to the
+    driver — so this is the bounded-neighborhood path: the visited set
+    must fit on the driver, which is the definition of a retrieval
+    query (k small, neighborhoods bounded). Corpus-wide expansion is
+    :func:`connected_components_join`, where labels stay a Dataset.
+
+    The caller should pass a materialized (or cheap-to-recompute)
+    ``edges_ds`` — it is scanned once per hop. Early-exits when a hop
+    adds nothing. Returns a driver-built single-block Dataset (the
+    result is retrieval-sized by contract)."""
+    import ray
+    import ray.data
+
+    visited: dict = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, k + 1):
+        if not frontier:
+            break
+        ref = ray.put(frozenset(frontier))
+
+        def nbrs(batch: pa.Table, _ref=ref) -> pa.Table:
+            fr = ray.get(_ref)
+            ss = batch.column(src).to_pylist()
+            dd = batch.column(dst).to_pylist()
+            out = {y for x, y in zip(ss, dd) if x in fr}
+            if not directed:
+                out |= {x for x, y in zip(ss, dd) if y in fr}
+            return pa.table({"node_id": pa.array(sorted(out))})
+
+        reached = set(
+            edges_ds.map_batches(nbrs, batch_format="pyarrow")
+            .to_pandas()["node_id"]
+        )
+        frontier = reached - visited.keys()
+        for n in frontier:
+            visited[n] = hop
+
+    nodes = sorted(visited)
+    return ray.data.from_arrow(pa.table({
+        "node_id": pa.array(nodes),
+        "hop": pa.array([visited[n] for n in nodes], pa.int64()),
+    }))

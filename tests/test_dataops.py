@@ -3575,3 +3575,40 @@ def test_sql_map_batches_rowlocal_equivalence(ray_session):
         ).arrow().to_pandas()
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_khop_neighbors_hand_checked(ray_session):
+    """Chain + star graph: hop assignment is first-reach, undirected
+    expansion follows both edge directions, directed=True follows only
+    src->dst, and the expansion early-exits on an exhausted frontier."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import khop_neighbors
+
+    # a -> b -> c -> d, plus e -> a (reverse reach), plus isolated f -> g
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(["a", "b", "c", "e", "f"]),
+        "dst": pa.array(["b", "c", "d", "a", "g"]),
+    })).repartition(3).materialize()
+
+    got = {
+        r["node_id"]: r["hop"]
+        for r in khop_neighbors(edges, ["a"], k=2).take_all()
+    }
+    assert got == {"a": 0, "b": 1, "e": 1, "c": 2}
+
+    directed = {
+        r["node_id"]: r["hop"]
+        for r in khop_neighbors(
+            edges, ["a"], k=3, directed=True
+        ).take_all()
+    }
+    assert directed == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    # frontier exhausts after hop 1 (g has no outgoing/incoming beyond f)
+    tiny = {
+        r["node_id"]: r["hop"]
+        for r in khop_neighbors(edges, ["f"], k=5).take_all()
+    }
+    assert tiny == {"f": 0, "g": 1}
