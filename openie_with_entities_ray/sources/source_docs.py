@@ -165,3 +165,54 @@ def synthetic_source_docs(n: int, seed: int = 42, parallelism: int = 8):
     return ray.data.range(n, override_num_blocks=parallelism).map_batches(
         gen, batch_format="pyarrow"
     )
+
+
+def _normalize_docs(ds, *, default_lang: str = "en",
+                    default_source: str = "ingest"):
+    """Coerce an arbitrary ingest Dataset to the documents contract
+    ``(doc_id int64, text string, lang string, source string)``:
+    ``doc_id``/``text`` are required (KeyError otherwise — fail loud at
+    the first batch, not deep in a pipeline), ``lang``/``source`` are
+    filled with defaults when the ingest format lacks them, extra
+    columns are dropped, column order is fixed."""
+
+    def conform(batch: pa.Table) -> pa.Table:
+        names = set(batch.column_names)
+        for req in ("doc_id", "text"):
+            if req not in names:
+                raise KeyError(
+                    f"ingest batch lacks required column {req!r}; "
+                    f"has {sorted(names)}"
+                )
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text": batch.column("text").cast(pa.string()),
+            "lang": (batch.column("lang").cast(pa.string())
+                     if "lang" in names
+                     else pa.array([default_lang] * n, pa.string())),
+            "source": (batch.column("source").cast(pa.string())
+                       if "source" in names
+                       else pa.array([default_source] * n, pa.string())),
+        })
+
+    return ds.map_batches(conform, batch_format="pyarrow")
+
+
+def read_docs_jsonl(paths, **normalize_kwargs):
+    """Documents from JSON-Lines file(s) (one object per line — the
+    interchange format most crawled-corpus dumps arrive in), normalized
+    to the documents contract by :func:`_normalize_docs`. Reading
+    streams per file via ``ray.data.read_json``; at scale the file
+    count provides block parallelism, same as the parquet path."""
+    import ray.data
+
+    return _normalize_docs(ray.data.read_json(paths), **normalize_kwargs)
+
+
+def read_docs_csv(paths, **normalize_kwargs):
+    """Documents from CSV file(s) (header row required), normalized to
+    the documents contract by :func:`_normalize_docs`."""
+    import ray.data
+
+    return _normalize_docs(ray.data.read_csv(paths), **normalize_kwargs)

@@ -3612,3 +3612,56 @@ def test_khop_neighbors_hand_checked(ray_session):
         for r in khop_neighbors(edges, ["f"], k=5).take_all()
     }
     assert tiny == {"f": 0, "g": 1}
+
+
+def test_jsonl_csv_doc_sources_match_parquet(ray_session, tmp_path):
+    """read_docs_jsonl / read_docs_csv: the same corpus ingested from
+    JSONL (full columns) and CSV (lang/source absent -> defaults)
+    normalizes to the documents contract; JSONL content matches the
+    parquet fixture row-for-row and extra ingest columns are dropped."""
+    import json
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from openie_with_entities_ray.sources.source_docs import (
+        read_docs_csv,
+        read_docs_jsonl,
+    )
+
+    fixture = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).to_pandas().head(50)
+
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for r in fixture.to_dict("records"):
+            r["extra_junk"] = "dropme"  # must be dropped
+            f.write(json.dumps(r) + "\n")
+    got_j = (
+        read_docs_jsonl(str(jl)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_j, fixture.sort_values("doc_id").reset_index(drop=True)
+    )
+
+    cs = tmp_path / "docs.csv"
+    safe = fixture[~fixture["text"].str.contains('[",\n]')][
+        ["doc_id", "text"]
+    ].head(20)
+    safe.to_csv(cs, index=False)
+    got_c = (
+        read_docs_csv(str(cs)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(got_c.columns) == ["doc_id", "text", "lang", "source"]
+    assert (got_c["lang"] == "en").all()
+    assert (got_c["source"] == "ingest").all()
+    assert list(got_c["doc_id"]) == sorted(safe["doc_id"])
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"text": "no id here"}\n')
+    with pytest.raises(Exception, match="doc_id"):
+        read_docs_jsonl(str(bad)).materialize()
