@@ -3665,3 +3665,156 @@ def test_jsonl_csv_doc_sources_match_parquet(ray_session, tmp_path):
     bad.write_text('{"text": "no id here"}\n')
     with pytest.raises(Exception, match="doc_id"):
         read_docs_jsonl(str(bad)).materialize()
+
+
+def test_dup_span_scrub_matches_brute_force_on_random_corpus(ray_session):
+    """Seeded random word-salad corpus (dense duplicate 3-grams, an
+    empty doc, length-<n docs) vs a pure-Python mirror of the
+    definition: global n-gram counts -> covered-position union ->
+    maximal covered runs."""
+    import random
+    import re
+
+    import pyarrow as pa
+    import ray.data
+    from collections import Counter
+
+    from openie_with_entities_ray.stages.dataops import dup_span_scrub
+
+    rng = random.Random(123)
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 16))))
+            for i in range(30)]
+    n, min_count = 3, 2
+    ws = re.compile(r"[\t\n\f\r ]+")
+    toks = {i: [x for x in ws.split(t.lower()) if x] for i, t in docs}
+    cnt = Counter(
+        " ".join(tk[j:j + n])
+        for tk in toks.values() for j in range(len(tk) - n + 1)
+    )
+    expect = {}
+    for i, tk in toks.items():
+        if not tk:
+            continue  # token-less docs have no output row
+        cov = [False] * len(tk)
+        for j in range(len(tk) - n + 1):
+            if cnt[" ".join(tk[j:j + n])] >= min_count:
+                for p in range(j, j + n):
+                    cov[p] = True
+        nsp = sum(
+            1 for p in range(len(tk)) if cov[p] and (p == 0 or not cov[p - 1])
+        )
+        expect[i] = (
+            len(tk), sum(cov), nsp,
+            " ".join(w for w, c in zip(tk, cov) if not c),
+        )
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })).repartition(4)
+    got = {
+        r["doc_id"]: (r["total_words"], r["dup_words"], r["n_spans"],
+                      r["clean_text"])
+        for r in dup_span_scrub(ds, n=n, min_count=min_count).take_all()
+    }
+    assert got == expect
+
+
+def test_boilerplate_removal_matches_brute_force_on_random_corpus(
+    ray_session,
+):
+    """Seeded random sentence-salad corpus vs a pure-Python mirror:
+    distinct-doc frequency per sentence (via the engine's own gated
+    splitter), strip >= min_docs, reassemble in order."""
+    import random
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.functions.text import extract_sentences
+    from openie_with_entities_ray.stages.dataops import (
+        remove_boilerplate_sentences,
+    )
+
+    rng = random.Random(7)
+    pool = [f"sentence variant {k} ends here ." for k in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(pool)
+                     for _ in range(rng.randrange(1, 6))), "en")
+        for i in range(25)
+    ]
+    min_docs = 3
+    by_sent = defaultdict(set)
+    split = {i: extract_sentences(t, lg) for i, t, lg in docs}
+    for i, sents in split.items():
+        for s in sents:
+            by_sent[s].add(i)
+    expect = {}
+    for i, sents in split.items():
+        kept = [s for s in sents if len(by_sent[s]) < min_docs]
+        expect[i] = (len(kept), len(sents) - len(kept), " ".join(kept))
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+    })).repartition(4)
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"], r["clean_text"])
+        for r in remove_boilerplate_sentences(
+            ds, min_docs=min_docs
+        ).take_all()
+    }
+    assert got == expect
+
+
+def test_khop_matches_bfs_brute_force(ray_session):
+    """Seeded random digraph vs a dict-adjacency BFS, undirected and
+    directed, several k values."""
+    import random
+    from collections import defaultdict, deque
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import khop_neighbors
+
+    rng = random.Random(42)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+
+    def bfs(seeds, k, directed):
+        adj = defaultdict(set)
+        for s, d in edges:
+            adj[s].add(d)
+            if not directed:
+                adj[d].add(s)
+        hop = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if hop[u] == k:
+                continue
+            for v in adj[u]:
+                if v not in hop:
+                    hop[v] = hop[u] + 1
+                    q.append(v)
+        return hop
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges]),
+        "dst": pa.array([e[1] for e in edges]),
+    })).repartition(3).materialize()
+
+    for k in (1, 2, 3):
+        for directed in (False, True):
+            got = {
+                r["node_id"]: r["hop"]
+                for r in khop_neighbors(
+                    ds, ["n0", "n7"], k=k, directed=directed
+                ).take_all()
+            }
+            assert got == bfs(["n0", "n7"], k, directed), (k, directed)
