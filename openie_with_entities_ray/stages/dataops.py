@@ -4230,46 +4230,11 @@ def filter_by_broadcast_map(batch: pa.Table, *, key_col: str,
 # cross-document boilerplate sentence removal (RefinedWeb/CCNet-style)
 
 
-def remove_boilerplate_sentences(
-    docs_ds,
-    *,
-    min_docs: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    lang_col: str = "lang",
-):
-    """Strip sentences that repeat across >= ``min_docs`` DISTINCT
-    documents (headers, footers, cookie banners) and reassemble each
-    document from its surviving sentences, in original order.
-
-    Two streaming passes over the corpus, one boilerplate-sized
-    broadcast between them:
-
-    1. explode to sentences (the engine splitter,
-       functions/text.py:extract_sentences) → per-batch DISTINCT
-       (md5(sentence), doc) pairs → crc32(hash) coarse partition →
-       per-part distinct-doc counts; only hashes with
-       ``ndocs >= min_docs`` reach the driver. Boilerplate is rare by
-       definition — the broadcast set is the FREQUENT-sentence tail,
-       not the corpus (same small-side contract as the promo/dimension
-       broadcasts).
-    2. re-explode, drop sentences whose hash is in the broadcast set,
-       and rebuild each doc in ONE crc32(doc) coarse partition
-       (vectorized per-part: sort by (doc, sent_id) + groupby-join).
-
-    Nothing corpus-sized ever sits on the driver; the shuffle carries
-    16-byte hashes (pass 1) and surviving sentences keyed by doc
-    (pass 2). Returns (doc_id, n_kept, n_removed, clean_text) — a doc
-    whose every sentence is boilerplate comes back with
-    ``clean_text = ''``, mirroring SQL ``COALESCE(string_agg(...), '')``.
-    """
-    import zlib
-
-    import ray.data
-
+def _sentence_explode_fn(id_col: str, text_col: str, lang_col: str):
+    """The shared (doc → sentence rows) explode for the boilerplate
+    passes: (id, sent_id, sentence, md5 sent_hash) via the engine
+    splitter (functions/text.py:extract_sentences)."""
     from ..functions.text import extract_sentences
-
-    num_parts = _cluster_parts()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -4293,7 +4258,31 @@ def remove_boilerplate_sentences(
             "sent_hash": pa.array(o_hash, pa.string()),
         })
 
-    # pass 1: frequent-sentence hashes
+    return explode
+
+
+def frequent_sentence_hashes(
+    docs_ds,
+    *,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> list:
+    """Pass 1 of the boilerplate scrub, standalone so a job can persist
+    the result (jobs/scrub_job.py writes it once and reuses it on
+    resume — shards stripped before and after a crash must see the SAME
+    set): explode to sentences → per-batch DISTINCT (md5, doc) pairs →
+    crc32(hash) coarse partition → per-part distinct-doc counts; only
+    hashes with ``ndocs >= min_docs`` reach the driver. Boilerplate is
+    rare by definition — the returned sorted list is the
+    FREQUENT-sentence tail, not the corpus (same small-side contract as
+    the promo/dimension broadcasts)."""
+    import zlib
+
+    num_parts = _cluster_parts()
+    explode = _sentence_explode_fn(id_col, text_col, lang_col)
+
     def pair_combine(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "sent_hash": batch.column("sent_hash").to_pylist(),
@@ -4320,11 +4309,32 @@ def remove_boilerplate_sentences(
         .map_groups(count_docs, batch_format="pandas")
         .to_pandas()  # boilerplate-cardinality — the small side
     )
+    return sorted(frequent["sent_hash"])
+
+
+def strip_boilerplate(
+    docs_ds,
+    boiler_hashes,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """Pass 2 of the boilerplate scrub given an already-known
+    frequent-sentence hash set (broadcast once via ``ray.put``):
+    explode, drop matching sentences, rebuild each doc in ONE
+    crc32(doc) coarse partition (vectorized per-part: sort by
+    (doc, sent_id) + groupby-join). Returns
+    (id_col, n_kept, n_removed, clean_text); a doc whose every sentence
+    is boilerplate comes back with ``clean_text = ''``."""
+    import zlib
+
     import ray
 
-    boiler_ref = ray.put(frozenset(frequent["sent_hash"]))
+    num_parts = _cluster_parts()
+    explode = _sentence_explode_fn(id_col, text_col, lang_col)
+    boiler_ref = ray.put(frozenset(boiler_hashes))
 
-    # pass 2: filter + reassemble
     def tag_part(batch: pa.Table) -> pa.Table:
         boiler = ray.get(boiler_ref)
         keep = pa.array(
@@ -4366,6 +4376,32 @@ def remove_boilerplate_sentences(
         .groupby("part")
         .map_groups(rebuild, batch_format="pandas")
     )
+
+
+def remove_boilerplate_sentences(
+    docs_ds,
+    *,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """Strip sentences that repeat across >= ``min_docs`` DISTINCT
+    documents (headers, footers, cookie banners) and reassemble each
+    document from its surviving sentences, in original order.
+
+    Composition of :func:`frequent_sentence_hashes` (pass 1: count →
+    frequent tail to the driver) and :func:`strip_boilerplate` (pass 2:
+    broadcast-filter + per-doc rebuild) — two streaming passes over the
+    corpus, one boilerplate-sized broadcast between them. Nothing
+    corpus-sized ever sits on the driver; the shuffle carries 16-byte
+    hashes (pass 1) and surviving sentences keyed by doc (pass 2).
+    Returns (id_col, n_kept, n_removed, clean_text), with
+    ``clean_text = ''`` for fully-boilerplate docs, mirroring SQL
+    ``COALESCE(string_agg(...), '')``."""
+    kw = dict(id_col=id_col, text_col=text_col, lang_col=lang_col)
+    boiler = frequent_sentence_hashes(docs_ds, min_docs=min_docs, **kw)
+    return strip_boilerplate(docs_ds, boiler, **kw)
 
 
 # ---------------------------------------------------------------------------

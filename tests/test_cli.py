@@ -657,3 +657,65 @@ def test_ann_job_build_probe_resume(tmp_path):
     assert [r["vec_id"] for r in rep["results"]] == sub_ids[order].tolist()
     got_cos = [r["cosine"] for r in rep["results"]]
     assert np.allclose(got_cos, sims[order], atol=1e-8)
+
+
+def test_scrub_job_build_resume(tmp_path):
+    """jobs/scrub_job.py: the frequent-sentence set is counted over ALL
+    shards (a footer spread one-per-shard is still caught), persisted
+    once and reused on resume; per-shard strip outputs match the
+    in-process operator; a re-run writes nothing."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    footer = "click here to subscribe now ."
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    # the footer appears ONCE PER SHARD (3 shards) — only a global
+    # count sees min_docs=3
+    for k in range(3):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([k * 10 + 1, k * 10 + 2], pa.int64()),
+                "text": pa.array([
+                    f"shard {k} body one . {footer}",
+                    f"shard {k} body two has no footer .",
+                ], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+            }),
+            shard_dir / f"docs-{k}.parquet",
+        )
+    out = tmp_path / "scrub"
+
+    def run_job():
+        return subprocess.run(
+            [sys.executable, "jobs/scrub_job.py",
+             "--input", str(shard_dir / "*.parquet"),
+             "--out", str(out), "--min-docs", "3"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    first = run_job()
+    assert first.returncode == 0, first.stderr[-800:]
+    rep1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert rep1["boiler_counted"] is True
+    assert rep1["n_boilerplate_sentences"] == 1
+    assert rep1["shards_written"] == 3 and rep1["shards_skipped"] == 0
+
+    rows = {}
+    for f in sorted(out.glob("scrubbed/part=*/*.parquet")):
+        t = pq.read_table(f)
+        for r in t.to_pylist():
+            rows[r["doc_id"]] = (r["n_removed"], r["clean_text"])
+    # every footer instance stripped, bodies intact
+    for k in range(3):
+        assert rows[k * 10 + 1] == (1, f"shard {k} body one .")
+        assert rows[k * 10 + 2] == (
+            0, f"shard {k} body two has no footer ."
+        )
+
+    second = run_job()
+    rep2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert rep2["boiler_counted"] is False
+    assert rep2["shards_written"] == 0 and rep2["shards_skipped"] == 3
