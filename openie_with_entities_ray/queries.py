@@ -7031,6 +7031,51 @@ def q_sql_projection(sf_dir):
     return sql_map_batches(orders, _SQL_ROWLOCAL_ORDERS.format(src="batch"))
 
 
+def q_user_customer_coverage(sf_dir):
+    """FULL OUTER join exposure (stages/joins.py:full_outer_join — the
+    tagged co-group scaffold, empty-side-safe, SQL null-key semantics):
+    per-user event counts (users < 10) against a customer slice
+    (custkey 5..14), so the gate sees left-only, matched, and
+    right-only rows with real nulls on both sides."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from .stages.joins import full_outer_join
+
+    ev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id"]
+        )
+        .filter(expr="user_id < 10")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr="c_custkey >= 5 and c_custkey <= 14").map_batches(
+        lambda b: pa.table({
+            "cust_id": b.column("c_custkey"),
+            "mktsegment": b.column("c_mktsegment"),
+        }),
+        batch_format="pyarrow",
+    )
+    return full_outer_join(ev, cust, on="user_id", right_on="cust_id")
+
+
+SQL_USER_CUSTOMER_COVERAGE = """
+WITH l AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events
+  FROM events WHERE user_id < 10 GROUP BY user_id
+), r AS (
+  SELECT c_custkey AS cust_id, c_mktsegment AS mktsegment
+  FROM customer WHERE c_custkey BETWEEN 5 AND 14
+)
+SELECT l.user_id, l.n_events, r.cust_id, r.mktsegment
+FROM l FULL OUTER JOIN r ON l.user_id = r.cust_id
+"""
+
+
 SQL_EMBEDDING_GRAM = """
 WITH flat AS (
   SELECT vec_id, (i - 1)::BIGINT AS dim,
@@ -7189,6 +7234,7 @@ def build_queries():
         "dup_span_scrub": q_dup_span_scrub,
         "sql_projection": q_sql_projection,
         "khop_neighbors": q_khop_neighbors,
+        "user_customer_coverage": q_user_customer_coverage,
     }
 
 
@@ -7328,4 +7374,5 @@ def build_oracle_sql():
         "dup_span_scrub": _sql_dup_span_scrub(),
         "sql_projection": _SQL_ROWLOCAL_ORDERS.format(src="orders"),
         "khop_neighbors": _sql_khop_neighbors(),
+        "user_customer_coverage": SQL_USER_CUSTOMER_COVERAGE,
     }

@@ -627,3 +627,70 @@ def bloom_anti_join(
         kernel, batch_format="pyarrow"
     )
     return definite.union(survivors)
+
+
+def full_outer_join(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    right_on: str,
+    num_parts: int | None = None,
+):
+    """FULL OUTER hash equi-join on the tagged co-group scaffold —
+    matched rows plus each side's unmatched rows padded with nulls.
+    SQL null-key semantics: a null-key row matches nothing but still
+    APPEARS in the output (alone, other side null) — pandas' outer
+    merge would wrongly match NaN keys to each other, so null-key rows
+    are split out before the merge and appended afterwards.
+
+    Same scaffold, exchange count and empty-side safety as
+    :func:`equi_join`; column names must be disjoint; both key columns
+    are kept (the unmatched side's key is null, exactly as SQL returns
+    it)."""
+    from .dataops import _cluster_parts
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    import pandas as pd
+
+    union, fields = _conform_union(
+        left_ds, right_ds, left_key=on, right_key=right_on,
+        num_parts=num_parts,
+    )
+    lnames = list(left_ds.schema().names)
+    rnames = list(right_ds.schema().names)
+    out_fields = [(n, fields[n]) for n in lnames + rnames]
+
+    def empty_out() -> pa.Table:
+        return pa.table({n: pa.array([], t) for n, t in out_fields})
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        df = _to_pandas_exact(batch)
+        l = df[df[_SIDE] == 0][lnames]
+        r = df[df[_SIDE] == 1][rnames]
+        ln, lx = l[~l[on].isna()], l[l[on].isna()]
+        rn, rx = r[~r[right_on].isna()], r[r[right_on].isna()]
+        parts = []
+        if len(ln) or len(rn):
+            parts.append(
+                ln.merge(rn, left_on=on, right_on=right_on, how="outer")
+            )
+        if len(lx):
+            parts.append(lx)
+        if len(rx):
+            parts.append(rx)
+        if not parts:
+            return empty_out()
+        out = pd.concat(parts, ignore_index=True)
+        out = out.reindex(columns=[n for n, _ in out_fields])
+        cols = {
+            n: pa.Array.from_pandas(out[n], type=t)
+            for n, t in out_fields
+        }
+        return pa.table(cols)
+
+    return (
+        union.groupby(_PART).map_groups(kernel, batch_format="pyarrow")
+    )

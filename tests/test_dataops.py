@@ -3818,3 +3818,68 @@ def test_khop_matches_bfs_brute_force(ray_session):
                 ).take_all()
             }
             assert got == bfs(["n0", "n7"], k, directed), (k, directed)
+
+
+def test_full_outer_join_hand_checked_and_null_keys(ray_session):
+    """full_outer_join: matched + both unmatched sides null-padded; m:n
+    duplicate keys multiply; null keys appear alone (SQL semantics —
+    pandas would match NaN to NaN); empty-side and partition-invariance
+    safe. Verified against DuckDB's FULL OUTER JOIN on the same frames."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import full_outer_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 2, None, 7], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+    })
+    right = pa.table({
+        "rk": pa.array([2, 2, 3, None], pa.int64()),
+        "rv": pa.array(["x", "y", "z", "w"], pa.string()),
+    })
+
+    def run(lp, rp):
+        got = full_outer_join(
+            ray.data.from_arrow(left).repartition(lp),
+            ray.data.from_arrow(right).repartition(rp),
+            on="k", right_on="rk", num_parts=3,
+        ).to_pandas()
+        # Ray's to_pandas widens null-bearing int64 to float64; restore
+        # the nullable dtype for an exact frame compare (tiny values)
+        for c in ("k", "rk"):
+            got[c] = got[c].astype("Int64")
+        return got.sort_values(
+            ["k", "lv", "rk", "rv"], na_position="last"
+        ).reset_index(drop=True)
+
+    got = run(2, 2)
+    con = duckdb.connect()
+    con.register("left_t", left)
+    con.register("right_t", right)
+    want = con.execute(
+        "SELECT l.k, l.lv, r.rk, r.rv FROM left_t l "
+        "FULL OUTER JOIN right_t r ON l.k = r.rk "
+        "ORDER BY k NULLS LAST, lv NULLS LAST, rk NULLS LAST, rv NULLS LAST"
+    ).arrow().to_pandas(
+        types_mapper=lambda t: pd.Int64Dtype()
+        if pa.types.is_integer(t) else None
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # 2x2 match + 1 left-only(7) + 1 null-key left + 1 right-only(3)
+    # + 1 null-key right + 1 left-only(1)
+    assert len(got) == 9
+
+    pd.testing.assert_frame_equal(run(1, 4), got)  # partition invariant
+
+    # empty right side: every left row survives null-padded
+    empty = pa.table({
+        "rk": pa.array([], pa.int64()), "rv": pa.array([], pa.string()),
+    })
+    got_e = full_outer_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(empty),
+        on="k", right_on="rk", num_parts=3,
+    ).to_pandas()
+    assert len(got_e) == 5 and got_e["rv"].isna().all()
