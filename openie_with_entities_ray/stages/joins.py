@@ -629,20 +629,22 @@ def bloom_anti_join(
     return definite.union(survivors)
 
 
-def full_outer_join(
+def outer_join(
     left_ds,
     right_ds,
     *,
     on: str,
     right_on: str,
+    how: str = "full",
     num_parts: int | None = None,
 ):
-    """FULL OUTER hash equi-join on the tagged co-group scaffold —
-    matched rows plus each side's unmatched rows padded with nulls.
-    SQL null-key semantics: a null-key row matches nothing but still
-    APPEARS in the output (alone, other side null) — pandas' outer
-    merge would wrongly match NaN keys to each other, so null-key rows
-    are split out before the merge and appended afterwards.
+    """LEFT / RIGHT / FULL OUTER hash equi-join on the tagged co-group
+    scaffold — matched rows plus the preserved side(s)' unmatched rows
+    padded with nulls. SQL null-key semantics: a null-key row matches
+    nothing but (on a preserved side) still APPEARS in the output —
+    pandas' outer merge would wrongly match NaN keys to each other, so
+    null-key rows are split out before the merge and the preserved
+    sides' appended afterwards.
 
     Same scaffold, exchange count and empty-side safety as
     :func:`equi_join`; column names must be disjoint; both key columns
@@ -650,11 +652,14 @@ def full_outer_join(
     it)."""
     from .dataops import _cluster_parts
 
+    if how not in ("left", "right", "full"):
+        raise ValueError(f"how must be left/right/full, got {how!r}")
     if num_parts is None:
         num_parts = _cluster_parts()
 
     import pandas as pd
 
+    merge_how = {"full": "outer", "left": "left", "right": "right"}[how]
     union, fields = _conform_union(
         left_ds, right_ds, left_key=on, right_key=right_on,
         num_parts=num_parts,
@@ -675,11 +680,12 @@ def full_outer_join(
         parts = []
         if len(ln) or len(rn):
             parts.append(
-                ln.merge(rn, left_on=on, right_on=right_on, how="outer")
+                ln.merge(rn, left_on=on, right_on=right_on,
+                         how=merge_how)
             )
-        if len(lx):
+        if len(lx) and how in ("left", "full"):
             parts.append(lx)
-        if len(rx):
+        if len(rx) and how in ("right", "full"):
             parts.append(rx)
         if not parts:
             return empty_out()
@@ -693,4 +699,13 @@ def full_outer_join(
 
     return (
         union.groupby(_PART).map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def full_outer_join(left_ds, right_ds, *, on: str, right_on: str,
+                    num_parts: int | None = None):
+    """FULL OUTER equi-join — :func:`outer_join` with ``how="full"``."""
+    return outer_join(
+        left_ds, right_ds, on=on, right_on=right_on, how="full",
+        num_parts=num_parts,
     )

@@ -3883,3 +3883,49 @@ def test_full_outer_join_hand_checked_and_null_keys(ray_session):
         on="k", right_on="rk", num_parts=3,
     ).to_pandas()
     assert len(got_e) == 5 and got_e["rv"].isna().all()
+
+
+def test_outer_join_left_right_match_duckdb(ray_session):
+    """outer_join how=left/right vs DuckDB LEFT/RIGHT JOIN on frames
+    with m:n keys and null keys (null-key rows appear only on the
+    preserved side)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import outer_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 2, None, 7], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+    })
+    right = pa.table({
+        "rk": pa.array([2, 2, 3, None], pa.int64()),
+        "rv": pa.array(["x", "y", "z", "w"], pa.string()),
+    })
+    con = duckdb.connect()
+    con.register("left_t", left)
+    con.register("right_t", right)
+
+    for how, sqlkw in (("left", "LEFT"), ("right", "RIGHT")):
+        got = outer_join(
+            ray.data.from_arrow(left).repartition(2),
+            ray.data.from_arrow(right).repartition(3),
+            on="k", right_on="rk", how=how, num_parts=3,
+        ).to_pandas()
+        for c in ("k", "rk"):
+            got[c] = got[c].astype("Int64")
+        got = got.sort_values(
+            ["k", "lv", "rk", "rv"], na_position="last"
+        ).reset_index(drop=True)
+        want = con.execute(
+            f"SELECT l.k, l.lv, r.rk, r.rv FROM left_t l "
+            f"{sqlkw} JOIN right_t r ON l.k = r.rk "
+            f"ORDER BY k NULLS LAST, lv NULLS LAST, rk NULLS LAST, "
+            f"rv NULLS LAST"
+        ).arrow().to_pandas(
+            types_mapper=lambda t: pd.Int64Dtype()
+            if pa.types.is_integer(t) else None
+        )
+        pd.testing.assert_frame_equal(got, want, check_like=False), how
