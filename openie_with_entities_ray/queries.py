@@ -3263,14 +3263,11 @@ FROM per_cust GROUP BY c_count
 """
 
 
-def q_revenue_rollup(sf_dir):
-    """GROUP BY ROLLUP(region, nation): revenue subtotals at nation,
-    region and grand-total level ('ALL' sentinels). Orders is the only
-    table that moves: customer→nation→region are broadcast lookups
-    inside the combiner; the rollup levels are derived from the final
-    25-row nation aggregate (pre-aggregate at the finest level once,
-    roll up from the smallest table — never re-scan the fact table per
-    level). Cents are per-row integers so every level is exact."""
+def _per_nation_revenue(sf_dir):
+    """The shared finest-level aggregate under the ROLLUP/CUBE queries:
+    (region, nation, revenue_cents) — orders is the only table that
+    moves; customer→nation→region are broadcast lookups inside the
+    combiner; per-row integer cents so every derived level is exact."""
     import ray
     import ray.data
     import pyarrow.parquet as pq
@@ -3321,11 +3318,19 @@ def q_revenue_rollup(sf_dir):
             revenue_cents=("cents", "sum")
         )
 
-    per_nation = (
+    return (
         orders.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby(["region", "nation"])
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
+
+
+def q_revenue_rollup(sf_dir):
+    """GROUP BY ROLLUP(region, nation): revenue subtotals at nation,
+    region and grand-total level ('ALL' sentinels), derived from the
+    25-row finest aggregate (:func:`_per_nation_revenue` — the fact
+    table is scanned once, never re-scanned per level)."""
+    per_nation = _per_nation_revenue(sf_dir)
 
     def rollup(batch: pd.DataFrame) -> pd.DataFrame:
         fine = batch[["region", "nation", "revenue_cents"]]
@@ -3362,6 +3367,56 @@ FROM (SELECT r_name, n_name,
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey)
 GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_revenue_cube(sf_dir):
+    """GROUP BY CUBE(region, nation): the ROLLUP levels plus the
+    ('ALL', nation) cross-slice, all derived from the same 25-row
+    finest aggregate (:func:`_per_nation_revenue`) — one fact-table
+    scan feeds all four grouping sets."""
+    per_nation = _per_nation_revenue(sf_dir)
+
+    def cube(batch: pd.DataFrame) -> pd.DataFrame:
+        fine = batch[["region", "nation", "revenue_cents"]]
+        by_region = fine.groupby("region", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+        by_region["nation"] = "ALL"
+        by_nation = fine.groupby("nation", as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum")
+        )
+        by_nation["region"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "region": ["ALL"],
+                "nation": ["ALL"],
+                "revenue_cents": [fine["revenue_cents"].sum()],
+            }
+        )
+        cols = ["region", "nation", "revenue_cents"]
+        return pd.concat(
+            [fine, by_region[cols], by_nation[cols], total],
+            ignore_index=True,
+        )
+
+    # 25 nation rows: the cube needs all of them together
+    return per_nation.repartition(1).map_batches(
+        cube, batch_format="pandas"
+    )
+
+
+SQL_REVENUE_CUBE = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       SUM(cents)::BIGINT AS revenue_cents
+FROM (SELECT r_name, n_name,
+             CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey)
+GROUP BY CUBE(r_name, n_name)
 """
 
 
@@ -7235,6 +7290,7 @@ def build_queries():
         "sql_projection": q_sql_projection,
         "khop_neighbors": q_khop_neighbors,
         "user_customer_coverage": q_user_customer_coverage,
+        "revenue_cube": q_revenue_cube,
     }
 
 
@@ -7375,4 +7431,5 @@ def build_oracle_sql():
         "sql_projection": _SQL_ROWLOCAL_ORDERS.format(src="orders"),
         "khop_neighbors": _sql_khop_neighbors(),
         "user_customer_coverage": SQL_USER_CUSTOMER_COVERAGE,
+        "revenue_cube": SQL_REVENUE_CUBE,
     }
