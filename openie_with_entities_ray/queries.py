@@ -7131,6 +7131,84 @@ FROM l FULL OUTER JOIN r ON l.user_id = r.cust_id
 """
 
 
+def _setop_sides(sf_dir):
+    import ray.data
+
+    li = lambda: ray.data.read_parquet(  # noqa: E731
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_quantity"],
+    )
+
+    def even_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("l_partkey"), 1), 0)
+        )
+
+    left = li().map_batches(even_part, batch_format="pyarrow")
+    right = li().filter(expr="l_quantity > 25")
+    return left, right
+
+
+def q_supplier_part_intersect(sf_dir):
+    """SQL INTERSECT (distinct semantics) as a first-class operator
+    (stages/dataops.py:set_op_distinct — per-batch distinct projection,
+    one crc32(row) co-partitioning exchange, per-part membership):
+    (supplier, part) pairs appearing both on even-part lineitems and on
+    quantity>25 lineitems."""
+    from .stages.dataops import set_op_distinct
+
+    left, right = _setop_sides(sf_dir)
+    return set_op_distinct(
+        left, right, "intersect", cols=["l_suppkey", "l_partkey"]
+    )
+
+
+def q_supplier_part_except(sf_dir):
+    """SQL EXCEPT (distinct) — the sibling of
+    `supplier_part_intersect`: pairs on even-part lineitems never seen
+    with quantity>25."""
+    from .stages.dataops import set_op_distinct
+
+    left, right = _setop_sides(sf_dir)
+    return set_op_distinct(
+        left, right, "except", cols=["l_suppkey", "l_partkey"]
+    )
+
+
+_SQL_SETOP = """
+SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_partkey % 2 = 0
+{op}
+SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_quantity > 25
+"""
+
+
+def q_event_type_mode(sf_dir):
+    """Deterministic per-user mode (most frequent event_type, ties to
+    the lexicographically smaller type — stages/dataops.py:
+    mode_per_group: combiner → crc32(group) coarse partition →
+    vectorized per-part argmax)."""
+    import ray.data
+
+    from .stages.dataops import mode_per_group
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return mode_per_group(ev, group_col="user_id", value_col="event_type")
+
+
+SQL_EVENT_TYPE_MODE = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, COUNT(*)::BIGINT AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type
+) WHERE rk = 1
+"""
+
+
 SQL_EMBEDDING_GRAM = """
 WITH flat AS (
   SELECT vec_id, (i - 1)::BIGINT AS dim,
@@ -7291,6 +7369,9 @@ def build_queries():
         "khop_neighbors": q_khop_neighbors,
         "user_customer_coverage": q_user_customer_coverage,
         "revenue_cube": q_revenue_cube,
+        "supplier_part_intersect": q_supplier_part_intersect,
+        "supplier_part_except": q_supplier_part_except,
+        "event_type_mode": q_event_type_mode,
     }
 
 
@@ -7432,4 +7513,7 @@ def build_oracle_sql():
         "khop_neighbors": _sql_khop_neighbors(),
         "user_customer_coverage": SQL_USER_CUSTOMER_COVERAGE,
         "revenue_cube": SQL_REVENUE_CUBE,
+        "supplier_part_intersect": _SQL_SETOP.format(op="INTERSECT"),
+        "supplier_part_except": _SQL_SETOP.format(op="EXCEPT"),
+        "event_type_mode": SQL_EVENT_TYPE_MODE,
     }

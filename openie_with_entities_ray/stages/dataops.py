@@ -4630,3 +4630,97 @@ def sql_map_batches(ds, sql: str, *, concurrency=(1, 8),
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     return ds.map_batches(DuckDBBatchSQL, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# distinct set operations (INTERSECT / EXCEPT) and per-group mode
+
+
+def set_op_distinct(left_ds, right_ds, op: str, *, cols: list):
+    """SQL ``INTERSECT`` / ``EXCEPT`` (DISTINCT semantics) on ``cols``:
+    per-batch distinct projection tagged by side → crc32(row-key)
+    coarse partition (both sides of a given key land together) →
+    per-part vectorized membership decision. One co-partitioning
+    exchange of pre-deduped rows; output is globally distinct because
+    each key lives in exactly one partition. Null-safe row keys (NUL
+    separator over repr for ints / utf-8 for strings — per-part pandas
+    drop_duplicates does the exact comparison; the crc key only
+    routes)."""
+    import zlib
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect/except, got {op!r}")
+    num_parts = _cluster_parts()
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = batch.select(cols).to_pandas().drop_duplicates()
+            keys = [
+                zlib.crc32(
+                    b"\x00".join(repr(v).encode("utf-8") for v in row)
+                ) % num_parts
+                for row in df.itertuples(index=False)
+            ]
+            df = df.assign(_side=side, _part=keys)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return fn
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][cols].drop_duplicates()
+        r = g[g["_side"] == 1][cols].drop_duplicates()
+        merged = l.merge(r, on=cols, how="left", indicator=True)
+        if op == "intersect":
+            out = merged[merged["_merge"] == "both"][cols]
+        else:
+            out = merged[merged["_merge"] == "left_only"][cols]
+        return out.reset_index(drop=True)
+
+    union = left_ds.map_batches(
+        project(0), batch_format="pyarrow"
+    ).union(right_ds.map_batches(project(1), batch_format="pyarrow"))
+    return union.groupby("_part").map_groups(
+        decide, batch_format="pandas"
+    )
+
+
+def mode_per_group(ds, *, group_col: str, value_col: str):
+    """Deterministic per-group mode: the most frequent ``value_col``
+    per ``group_col``, ties broken by the smaller value (SQL mirror:
+    ``row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v)`` = 1 —
+    never bare ``mode()``, whose tie-break is engine-defined).
+    Per-batch (group, value, n) combiner → crc32(group) coarse
+    partition (a group's every value lands together) → per-part count
+    merge + vectorized argmax. Emits (group_col, value_col, n)."""
+    import zlib
+
+    num_parts = _cluster_parts()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([group_col, value_col], as_index=False).agg(
+            n=(value_col, "size")
+        )
+        g["_part"] = [
+            zlib.crc32(repr(k).encode("utf-8")) % num_parts
+            for k in g[group_col]
+        ]
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby([group_col, value_col], as_index=False).agg(
+            n=("n", "sum")
+        )
+        agg = agg.sort_values(
+            [group_col, "n", value_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return agg.groupby(group_col, as_index=False).head(1)[
+            [group_col, value_col, "n"]
+        ].reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(merge, batch_format="pandas")
+    )
