@@ -4654,7 +4654,14 @@ def set_op_distinct(left_ds, right_ds, op: str, *, cols: list):
 
     def project(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            df = batch.select(cols).to_pandas().drop_duplicates()
+            # nullable Int64 (never per-batch int→float drift: a batch
+            # that happens to hold a null would otherwise flip ints to
+            # float64, changing both the routing repr and the merge
+            # dtype for THAT batch only)
+            df = batch.select(cols).to_pandas(
+                types_mapper=lambda t: pd.Int64Dtype()
+                if pa.types.is_integer(t) else None
+            ).drop_duplicates()
             keys = [
                 zlib.crc32(
                     b"\x00".join(repr(v).encode("utf-8") for v in row)
@@ -4662,13 +4669,15 @@ def set_op_distinct(left_ds, right_ds, op: str, *, cols: list):
                 for row in df.itertuples(index=False)
             ]
             df = df.assign(_side=side, _part=keys)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return df
 
         return fn
 
     def decide(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][cols].drop_duplicates()
         r = g[g["_side"] == 1][cols].drop_duplicates()
+        # pandas merge matches NA==NA for nullable dtypes — exactly the
+        # set-op NULL semantics (NULL IS NOT DISTINCT FROM NULL)
         merged = l.merge(r, on=cols, how="left", indicator=True)
         if op == "intersect":
             out = merged[merged["_merge"] == "both"][cols]

@@ -3929,3 +3929,65 @@ def test_outer_join_left_right_match_duckdb(ray_session):
             if pa.types.is_integer(t) else None
         )
         pd.testing.assert_frame_equal(got, want, check_like=False), how
+
+
+def test_set_op_distinct_and_mode_null_semantics(ray_session):
+    """set_op_distinct vs DuckDB INTERSECT/EXCEPT on frames with NULL
+    keys (set ops treat NULLs as equal, unlike joins) and duplicate
+    rows; mode_per_group tie-break = (count DESC, value ASC)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        mode_per_group,
+        set_op_distinct,
+    )
+
+    left = pa.table({
+        "a": pa.array([1, 1, 2, None, None, 3], pa.int64()),
+        "b": pa.array(["x", "x", "y", "z", None, "w"], pa.string()),
+    })
+    right = pa.table({
+        "a": pa.array([1, None, None, 4], pa.int64()),
+        "b": pa.array(["x", "z", None, "q"], pa.string()),
+    })
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+
+    def norm(df):
+        for c in ("a",):
+            df[c] = df[c].astype("Int64")
+        return df.sort_values(["a", "b"], na_position="last").reset_index(
+            drop=True
+        )
+
+    for op, kw in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = norm(set_op_distinct(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(2),
+            op, cols=["a", "b"],
+        ).to_pandas())
+        want = norm(con.execute(
+            f"SELECT a, b FROM l {kw} SELECT a, b FROM r"
+        ).arrow().to_pandas(
+            types_mapper=lambda t: pd.Int64Dtype()
+            if pa.types.is_integer(t) else None
+        ))
+        pd.testing.assert_frame_equal(got, want), op
+
+    ev = pa.table({
+        "u": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "t": pa.array(["b", "b", "a", "a", "c", "c"], pa.string()),
+    })
+    got = {
+        r["u"]: (r["t"], r["n"])
+        for r in mode_per_group(
+            ray.data.from_arrow(ev).repartition(3),
+            group_col="u", value_col="t",
+        ).take_all()
+    }
+    # user 1: a and b tie at 2 -> 'a' wins (value ASC)
+    assert got == {1: ("a", 2), 2: ("c", 2)}
