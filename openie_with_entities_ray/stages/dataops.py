@@ -4705,10 +4705,17 @@ def mode_per_group(ds, *, group_col: str, value_col: str):
 
     num_parts = _cluster_parts()
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby([group_col, value_col], as_index=False).agg(
-            n=(value_col, "size")
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        # nullable Int64 + dropna=False: SQL groups NULL keys together
+        # (pandas would silently drop them, and a null-bearing batch
+        # would flip int groups to float64)
+        b = batch.to_pandas(
+            types_mapper=lambda t: pd.Int64Dtype()
+            if pa.types.is_integer(t) else None
         )
+        g = b.groupby(
+            [group_col, value_col], as_index=False, dropna=False
+        ).agg(n=(value_col, "size"))
         g["_part"] = [
             zlib.crc32(repr(k).encode("utf-8")) % num_parts
             for k in g[group_col]
@@ -4716,20 +4723,23 @@ def mode_per_group(ds, *, group_col: str, value_col: str):
         return g
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby([group_col, value_col], as_index=False).agg(
-            n=("n", "sum")
-        )
+        agg = g.groupby(
+            [group_col, value_col], as_index=False, dropna=False
+        ).agg(n=("n", "sum"))
         agg = agg.sort_values(
             [group_col, "n", value_col],
             ascending=[True, False, True],
             kind="mergesort",
+            na_position="last",
         )
-        return agg.groupby(group_col, as_index=False).head(1)[
+        return agg.groupby(
+            group_col, as_index=False, dropna=False
+        ).head(1)[
             [group_col, value_col, "n"]
         ].reset_index(drop=True)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(merge, batch_format="pandas")
     )

@@ -3979,8 +3979,9 @@ def test_set_op_distinct_and_mode_null_semantics(ray_session):
         pd.testing.assert_frame_equal(got, want), op
 
     ev = pa.table({
-        "u": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
-        "t": pa.array(["b", "b", "a", "a", "c", "c"], pa.string()),
+        "u": pa.array([1, 1, 1, 1, 2, 2, None, None], pa.int64()),
+        "t": pa.array(["b", "b", "a", "a", "c", "c", "d", "d"],
+                      pa.string()),
     })
     got = {
         r["u"]: (r["t"], r["n"])
@@ -3989,5 +3990,6 @@ def test_set_op_distinct_and_mode_null_semantics(ray_session):
             group_col="u", value_col="t",
         ).take_all()
     }
-    # user 1: a and b tie at 2 -> 'a' wins (value ASC)
-    assert got == {1: ("a", 2), 2: ("c", 2)}
+    # user 1: a and b tie at 2 -> 'a' wins (value ASC); the NULL user
+    # is a group of its own (SQL GROUP BY semantics, dropna=False)
+    assert got == {1: ("a", 2), 2: ("c", 2), None: ("d", 2)}
