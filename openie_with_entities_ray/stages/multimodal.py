@@ -252,3 +252,82 @@ def sample_frames(media_ds, *, num_frames: int = 4, backend: str = "fake",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizer:
+    """Actor: resize image payloads to (out_h, out_w) and re-encode.
+
+    ``backend='stdlib'`` REALLY resizes: PNG decode
+    (functions/codecs.py:read_png) → vectorized nearest-neighbor index
+    gather → PNG encode; ``backend='fake'`` emits a deterministic
+    payload of the right nominal size (sha256-seeded) so the Ray-side
+    plumbing (schema, batch sizing, actor lifecycle) is exercised
+    without a codec; ``backend='real'`` is the PIL slot and raises
+    NotImplementedError here. Non-image rows pass through untouched
+    (resize is a per-kind stage, same contract as FrameSampler's video
+    filter — callers usually pre-filter, but passthrough keeps the
+    stage composable in a mixed pipeline)."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16,
+                 backend: str = "fake"):
+        if backend == "real":
+            raise NotImplementedError(
+                "real image codecs (PIL) are not available in this "
+                "environment; use backend='stdlib' (PNG) or 'fake'"
+            )
+        if backend not in ("fake", "stdlib"):
+            raise ValueError(f"unknown media backend: {backend}")
+        self.out_h = out_h
+        self.out_w = out_w
+        self.backend = backend
+
+    def _resize_rgb(self, rgb: np.ndarray) -> np.ndarray:
+        h, w = rgb.shape[:2]
+        # nearest-neighbor: index gather at pixel centers (the exact
+        # rule PIL's NEAREST uses), fully vectorized
+        rows = np.minimum(
+            ((np.arange(self.out_h) + 0.5) * h / self.out_h).astype(int),
+            h - 1,
+        )
+        cols = np.minimum(
+            ((np.arange(self.out_w) + 0.5) * w / self.out_w).astype(int),
+            w - 1,
+        )
+        return rgb[rows][:, cols]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        out = []
+        for k, p in zip(kinds, payloads):
+            if k != "image":
+                out.append(p)
+            elif self.backend == "stdlib":
+                out.append(
+                    codecs.write_png(self._resize_rgb(codecs.read_png(p)))
+                )
+            else:
+                seed = hashlib.sha256(p).digest()
+                nominal = self.out_h * self.out_w * 3
+                out.append(
+                    (seed * (nominal // len(seed) + 1))[:nominal]
+                )
+        cols = {c: batch.column(c) for c in batch.column_names}
+        cols["payload"] = pa.array(out, pa.binary())
+        return pa.table(cols)
+
+
+def resize_images(media_ds, *, out_h: int = 16, out_w: int = 16,
+                  backend: str = "fake", batch_size: int = 32,
+                  concurrency=(1, 4)):
+    """Large binary payloads → SMALL batches (the guide's memory rule);
+    output schema identical to the input, payload replaced."""
+    return media_ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=dict(
+            out_h=out_h, out_w=out_w, backend=backend
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

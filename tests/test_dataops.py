@@ -3993,3 +3993,53 @@ def test_set_op_distinct_and_mode_null_semantics(ray_session):
     # user 1: a and b tie at 2 -> 'a' wins (value ASC); the NULL user
     # is a group of its own (SQL GROUP BY semantics, dropna=False)
     assert got == {1: ("a", 2), 2: ("c", 2), None: ("d", 2)}
+
+
+def test_image_resize_stdlib_and_fake(ray_session):
+    """ImageResizer: stdlib backend really resizes (output PNG decodes
+    to (out_h, out_w, 3), nearest-neighbor pixel-center gather matches
+    a hand-computed index map on a gradient image); fake backend emits
+    the nominal byte count; non-image rows pass through untouched."""
+    import numpy as np
+    import ray.data
+
+    from openie_with_entities_ray.functions.codecs import read_png, write_png
+    from openie_with_entities_ray.stages.multimodal import (
+        resize_images,
+        synthetic_real_media_table,
+    )
+
+    # a deterministic 8x6 gradient so the nearest-neighbor gather is
+    # hand-checkable
+    h, w = 8, 6
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = np.arange(h, dtype=np.uint8)[:, None] * 10
+    rgb[..., 1] = np.arange(w, dtype=np.uint8)[None, :] * 10
+    import pyarrow as pa
+
+    media = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["image", "audio"], pa.string()),
+        "payload": pa.array([write_png(rgb), b"not-an-image"],
+                            pa.binary()),
+    }))
+    got = {
+        r["id"]: bytes(r["payload"])
+        for r in resize_images(
+            media, out_h=4, out_w=3, backend="stdlib"
+        ).take_all()
+    }
+    small = read_png(got[1])
+    assert small.shape == (4, 3, 3)
+    rows = np.minimum(((np.arange(4) + 0.5) * h / 4).astype(int), h - 1)
+    cols = np.minimum(((np.arange(3) + 0.5) * w / 3).astype(int), w - 1)
+    assert np.array_equal(small, rgb[rows][:, cols])
+    assert got[2] == b"not-an-image"  # passthrough
+
+    real = ray.data.from_arrow(synthetic_real_media_table(12))
+    fake = resize_images(real, out_h=4, out_w=4,
+                         backend="fake").take_all()
+    assert len(fake) == 12
+    for r in fake:
+        if r["kind"] == "image":
+            assert len(bytes(r["payload"])) == 4 * 4 * 3
