@@ -4331,16 +4331,16 @@ def strip_boilerplate(
 
     import ray
 
+    import pyarrow.compute as pc
+
     num_parts = _cluster_parts()
     explode = _sentence_explode_fn(id_col, text_col, lang_col)
-    boiler_ref = ray.put(frozenset(boiler_hashes))
+    boiler_ref = ray.put(pa.array(sorted(boiler_hashes), pa.string()))
 
     def tag_part(batch: pa.Table) -> pa.Table:
         boiler = ray.get(boiler_ref)
-        keep = pa.array(
-            [h not in boiler
-             for h in batch.column("sent_hash").to_pylist()],
-            pa.bool_(),
+        keep = pc.invert(
+            pc.is_in(batch.column("sent_hash"), value_set=boiler)
         )
         ids = batch.column(id_col).to_pylist()
         return pa.table({
