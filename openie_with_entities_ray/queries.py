@@ -2130,6 +2130,23 @@ def q_user_event_pivot(sf_dir):
     )
 
 
+def q_user_event_unpivot(sf_dir):
+    """UNPIVOT (wide→long reshape, stages/dataops.py:unpivot — a
+    stateless vectorized melt per batch, zero shuffle) applied to the
+    pivot query's output: the round-trip exposes both reshapes under
+    one gate, zeros kept as DuckDB UNPIVOT keeps them (only NULLs are
+    dropped)."""
+    from .stages.dataops import unpivot
+
+    wide = q_user_event_pivot(sf_dir)
+    return unpivot(
+        wide, id_cols=["user_id"],
+        value_cols=["n_click", "n_error", "n_purchase", "n_signup",
+                    "n_view"],
+        name_col="event_type", value_col="n",
+    )
+
+
 SQL_USER_EVENT_PIVOT = """
 SELECT user_id,
        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
@@ -2144,6 +2161,12 @@ SELECT user_id,
          AS n_view
 FROM events
 GROUP BY user_id
+"""
+
+
+SQL_USER_EVENT_UNPIVOT = """
+UNPIVOT ({pivot}) ON n_click, n_error, n_purchase, n_signup, n_view
+INTO NAME event_type VALUE n
 """
 
 
@@ -7345,6 +7368,7 @@ def build_queries():
         "returned_item_customers": q_returned_item_customers,
         "label_centroids": q_label_centroids,
         "user_event_pivot": q_user_event_pivot,
+        "user_event_unpivot": q_user_event_unpivot,
         "revenue_share": q_revenue_share,
         "training_order": q_training_order,
         "ngram_counts": q_ngram_counts,
@@ -7486,6 +7510,7 @@ def build_oracle_sql():
         "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
         "label_centroids": SQL_LABEL_CENTROIDS,
         "user_event_pivot": SQL_USER_EVENT_PIVOT,
+        "user_event_unpivot": SQL_USER_EVENT_UNPIVOT.format(pivot=SQL_USER_EVENT_PIVOT),
         "revenue_share": SQL_REVENUE_SHARE,
         "training_order": SQL_TRAINING_ORDER,
         "ngram_counts": SQL_NGRAM_COUNTS,

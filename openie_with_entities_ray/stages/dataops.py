@@ -4743,3 +4743,22 @@ def mode_per_group(ds, *, group_col: str, value_col: str):
         .groupby("_part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def unpivot(ds, *, id_cols: list, value_cols: list,
+            name_col: str = "name", value_col: str = "value"):
+    """Wide→long reshape (SQL UNPIVOT): each input row yields
+    ``len(value_cols)`` output rows ``(id_cols..., name_col,
+    value_col)``. Row-local by construction — a stateless vectorized
+    ``pandas.melt`` per batch, NO shuffle — so the distributed result
+    equals the single-node one (same row-locality argument as
+    :func:`sql_map_batches`). Zero values are kept (DuckDB UNPIVOT
+    drops only NULLs)."""
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        return b.melt(
+            id_vars=id_cols, value_vars=value_cols,
+            var_name=name_col, value_name=value_col,
+        )
+
+    return ds.map_batches(melt, batch_format="pandas")
