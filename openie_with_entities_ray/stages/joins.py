@@ -128,6 +128,19 @@ def _conform_union(left_ds, right_ds, *, left_key: str, right_key: str,
     fields maps every payload column to its pyarrow type."""
     lschema = left_ds.schema()
     rschema = right_ds.schema()
+    if lschema is None or rschema is None:
+        # Ray loses the schema of an EMPTY dataset once a transform
+        # (e.g. repartition) touches it — from_arrow on a 0-row table
+        # keeps it, repartition() of the same returns None. The join
+        # needs both sides' column types to build the null-padded
+        # superset; fail with the remedy rather than AttributeError.
+        side = "left" if lschema is None else "right"
+        raise ValueError(
+            f"{side} side has no observable schema (an empty dataset "
+            "whose transforms erased it); pass the un-transformed "
+            "typed dataset, or skip the empty-side op on the caller "
+            "side"
+        )
     overlap = set(lschema.names) & set(rschema.names)
     if overlap:
         raise ValueError(

@@ -4043,3 +4043,74 @@ def test_image_resize_stdlib_and_fake(ray_session):
     for r in fake:
         if r["kind"] == "image":
             assert len(bytes(r["payload"])) == 4 * 4 * 3
+
+
+def test_outer_join_randomized_vs_duckdb(ray_session):
+    """Seeded random frames (duplicate keys, null keys, null payloads,
+    disjoint and overlapping ranges) x {left, right, full} vs DuckDB —
+    the multi-seed differential sweep for the outer-join family."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import outer_join
+
+    con = duckdb.connect()
+
+    def rand_table(rng, key_name, val_name, n):
+        keys = [
+            rng.choice([None] + list(range(rng.randint(2, 6))))
+            for _ in range(n)
+        ]
+        vals = [
+            rng.choice([None, "p", "q", "r"]) for _ in range(n)
+        ]
+        return pa.table({
+            key_name: pa.array(keys, pa.int64()),
+            val_name: pa.array(vals, pa.string()),
+        })
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        # n >= 1: a 0-row dataset loses its schema after repartition
+        # (Ray limitation; _conform_union raises a clear error for it,
+        # covered below)
+        left = rand_table(rng, "k", "lv", rng.randint(1, 12))
+        right = rand_table(rng, "rk", "rv", rng.randint(1, 12))
+        con.register("l", left)
+        con.register("r", right)
+        for how, sqlkw in (("left", "LEFT"), ("right", "RIGHT"),
+                           ("full", "FULL OUTER")):
+            got = outer_join(
+                ray.data.from_arrow(left).repartition(3),
+                ray.data.from_arrow(right).repartition(2),
+                on="k", right_on="rk", how=how, num_parts=3,
+            ).to_pandas()
+            for c in ("k", "rk"):
+                got[c] = got[c].astype("Int64")
+            got = got.sort_values(
+                ["k", "lv", "rk", "rv"], na_position="last"
+            ).reset_index(drop=True)
+            want = con.execute(
+                f"SELECT l.k, l.lv, r.rk, r.rv FROM l "
+                f"{sqlkw} JOIN r ON l.k = r.rk "
+                f"ORDER BY k NULLS LAST, lv NULLS LAST, "
+                f"rk NULLS LAST, rv NULLS LAST"
+            ).arrow().to_pandas(
+                types_mapper=lambda t: pd.Int64Dtype()
+                if pa.types.is_integer(t) else None
+            )
+            pd.testing.assert_frame_equal(got, want), (seed, how)
+
+    # schema-erased empty side -> the clear contract error, not a crash
+    empty = pa.table({"rk": pa.array([], pa.int64()),
+                      "rv": pa.array([], pa.string())})
+    with pytest.raises(Exception, match="no observable schema"):
+        outer_join(
+            ray.data.from_arrow(rand_table(random.Random(0), "k", "lv", 3)),
+            ray.data.from_arrow(empty).repartition(2),
+            on="k", right_on="rk", how="full",
+        ).to_pandas()
