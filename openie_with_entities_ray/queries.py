@@ -48,6 +48,34 @@ def _read_blocks() -> int:
     return max(8, cluster_cpus())
 
 
+def _from_pandas_exact(df: pd.DataFrame) -> pa.Table:
+    """0-row-safe small-result constructor.
+
+    Ray's ``Dataset.to_pandas()`` on a 0-row dataset returns a frame
+    with ZERO columns regardless of the dataset's schema (the block
+    builder never sees a batch — round-4 hazard family, CLAUDE.md), so
+    wrapping a tiny driver-side result back into a Dataset fails the
+    oracle gate whenever the result window is legitimately empty.
+    Return an explicit ``pyarrow.Table`` instead — the ``queries()``
+    contract allows it, ``.to_pandas()`` keeps working, and an empty
+    table keeps its columns and types. Empty ``object`` columns are
+    pinned to ``string`` — Arrow would otherwise infer ``null``.
+    """
+    fields = []
+    for name in df.columns:
+        dt = df[name].dtype
+        if dt == object or str(dt) in ("string", "str"):
+            typ = pa.string()
+        elif str(dt) == "Int64":
+            typ = pa.int64()
+        else:
+            typ = pa.from_numpy_dtype(dt)
+        fields.append(pa.field(name, typ))
+    return pa.Table.from_pandas(
+        df, schema=pa.schema(fields), preserve_index=False
+    )
+
+
 def ann_query_vector(dim: int = 64) -> np.ndarray:
     """Deterministic query vector, rounded so the SQL literal is exact."""
     v = np.random.RandomState(_ANN_SEED).randn(dim)
@@ -558,9 +586,7 @@ def q_revenue_share(sf_dir):
     df["share_bps"] = [
         int(c) * 10000 // total for c in df["revenue_cents"]
     ]
-    import ray.data
-
-    return ray.data.from_pandas(
+    return _from_pandas_exact(
         df.astype({"revenue_cents": "int64", "share_bps": "int64"})
     )
 
@@ -6340,7 +6366,7 @@ def q_forecast_revenue(sf_dir):
         "revenue_cents": [int(parts["revenue_cents"].sum())],
         "n_rows": [int(parts["n_rows"].sum())],
     })
-    return ray.data.from_pandas(out)
+    return _from_pandas_exact(out)
 
 
 SQL_FORECAST_REVENUE = """
@@ -6508,9 +6534,7 @@ def q_top_supplier(sf_dir):
             "revenue_cents": win["revenue_cents"].astype("int64")
             .to_numpy(),
         })
-    import ray.data
-
-    return ray.data.from_pandas(out.reset_index(drop=True))
+    return _from_pandas_exact(out.reset_index(drop=True))
 
 
 SQL_TOP_SUPPLIER = """
@@ -6589,9 +6613,7 @@ def q_brand_bulk_revenue(sf_dir):
     parts = li.map_batches(
         partial, batch_format="pandas", batch_size=65536
     ).to_pandas()
-    import ray.data
-
-    return ray.data.from_pandas(pd.DataFrame({
+    return _from_pandas_exact(pd.DataFrame({
         "revenue_cents": [int(parts["revenue_cents"].sum())],
         "n_rows": [int(parts["n_rows"].sum())],
     }))
@@ -6810,7 +6832,7 @@ def q_sales_opportunity(sf_dir):
             df["totacctbal_cents"] if len(df) else [], dtype="int64"
         ),
     })
-    return ray.data.from_pandas(out)
+    return _from_pandas_exact(out)
 
 
 SQL_SALES_OPPORTUNITY = """

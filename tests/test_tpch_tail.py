@@ -223,6 +223,64 @@ def test_sales_opportunity_rational_threshold_edge(ray_session, tmp_path):
     assert int(got["totacctbal_cents"].iloc[0]) == 20001
 
 
+def test_sales_opportunity_empty_window_keeps_schema(ray_session, tmp_path):
+    """A legitimately-empty result must still carry its 3 columns —
+    from_pandas on a 0-row frame erases the block schema (round-4
+    hazard), which fails the oracle gate's column comparison."""
+    # the single above-average customer has a recent order → anti-joined
+    # away → empty result
+    pq.write_table(
+        pa.table({
+            "c_custkey": [1, 2],
+            "c_nationkey": [0, 1],
+            "c_acctbal": [100.0, 300.0],
+        }),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "o_custkey": pa.array([2], pa.int64()),
+            "o_orderdate": pa.array(
+                [pd.Timestamp("1998-06-01")], pa.timestamp("us")
+            ),
+        }),
+        tmp_path / "orders.parquet",
+    )
+    got = _queries()["sales_opportunity"](str(tmp_path)).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == [
+        "c_nationkey", "numcust", "totacctbal_cents"
+    ]
+    assert all(str(got[c].dtype) == "int64" for c in got.columns)
+
+
+def test_top_supplier_empty_window_keeps_schema(ray_session, tmp_path):
+    """Same 0-row schema gate for the Q15 shape: no lineitem falls in
+    the revenue window → empty result with the declared columns."""
+    pq.write_table(
+        pa.table({
+            "l_suppkey": pa.array([7], pa.int64()),
+            "l_extendedprice": pa.array([100.0], pa.float64()),
+            "l_discount": pa.array([0.0], pa.float64()),
+            "l_shipdate": pa.array(
+                [pd.Timestamp("1995-01-01")], pa.timestamp("us")
+            ),
+        }),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "s_suppkey": pa.array([7], pa.int64()),
+            "s_name": pa.array(["Supplier#7"], pa.string()),
+        }),
+        tmp_path / "supplier.parquet",
+    )
+    got = _queries()["top_supplier"](str(tmp_path)).to_pandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["s_suppkey", "s_name", "revenue_cents"]
+    assert str(got["s_name"].dtype) in ("object", "string")
+
+
 def test_embedding_gram_matches_numpy(ray_session):
     emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
     mat = np.array(emb["embedding"].to_list(), dtype=np.float64)
