@@ -82,6 +82,20 @@ def run_build(files, out_dir: str, *, num_centroids: int = 16,
     )
 
     cent_meta = _load_centroids(out_dir) if resume else None
+    if cent_meta is not None:
+        requested = {"num_centroids": num_centroids,
+                     "sample_size": sample_size, "seed": seed,
+                     "vec_col": vec_col, "id_col": id_col}
+        stored = {k: cent_meta.get(k) for k in requested}
+        if stored != requested:
+            # Reusing a centroid set trained under different parameters
+            # would silently ignore the CLI's request, and finished
+            # assignment shards would mix two index definitions.
+            raise SystemExit(
+                f"{out_dir}/centroids.json was built with {stored} but "
+                f"this run requests {requested}; re-run with "
+                "--no-resume to retrain and rewrite every shard."
+            )
     if cent_meta is None:
         corpus = ray.data.read_parquet(files, columns=[id_col, vec_col])
         cents = ivf_centroids(

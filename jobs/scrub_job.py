@@ -70,7 +70,19 @@ def run_scrub(files, out_dir: str, *, min_docs: int = 3,
     )
 
     meta = _load_boiler(out_dir) if resume else None
-    if meta is None or meta.get("min_docs") != min_docs:
+    if meta is not None and meta.get("min_docs") != min_docs:
+        # A resumed run with a DIFFERENT min_docs would recount the set
+        # but completed_partitions would still skip shards written under
+        # the OLD set — the exact mixed-definition inconsistency the
+        # persisted-set design exists to prevent. Fail loudly instead.
+        raise SystemExit(
+            f"{out_dir}/boilerplate.json was built with "
+            f"min_docs={meta.get('min_docs')} but this run requests "
+            f"min_docs={min_docs}; finished shards would mix two "
+            "boilerplate definitions. Re-run with --no-resume to "
+            "recount the set and rewrite every shard."
+        )
+    if meta is None:
         corpus = ray.data.read_parquet(files)
         hashes = frequent_sentence_hashes(corpus, min_docs=min_docs)
         meta = {

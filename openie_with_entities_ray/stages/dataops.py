@@ -4752,13 +4752,15 @@ def unpivot(ds, *, id_cols: list, value_cols: list,
     value_col)``. Row-local by construction — a stateless vectorized
     ``pandas.melt`` per batch, NO shuffle — so the distributed result
     equals the single-node one (same row-locality argument as
-    :func:`sql_map_batches`). Zero values are kept (DuckDB UNPIVOT
-    drops only NULLs)."""
+    :func:`sql_map_batches`). Zero values are kept but NULL values are
+    dropped, matching DuckDB UNPIVOT exactly."""
 
     def melt(b: pd.DataFrame) -> pd.DataFrame:
-        return b.melt(
+        out = b.melt(
             id_vars=id_cols, value_vars=value_cols,
             var_name=name_col, value_name=value_col,
         )
+        # DuckDB UNPIVOT drops rows whose value is NULL (zeros stay)
+        return out.dropna(subset=[value_col]).reset_index(drop=True)
 
     return ds.map_batches(melt, batch_format="pandas")

@@ -1437,7 +1437,13 @@ def khop_neighbors(edges_ds, seeds, k: int = 2, *, src: str = "src",
             out = {y for x, y in zip(ss, dd) if x in fr}
             if not directed:
                 out |= {x for x, y in zip(ss, dd) if y in fr}
-            return pa.table({"node_id": pa.array(sorted(out))})
+            # type the output explicitly: pa.array([]) infers null,
+            # giving an empty batch a DIFFERENT schema from non-empty
+            # ones (the mixed-block-schema hazard class in CLAUDE.md)
+            return pa.table({
+                "node_id": pa.array(sorted(out),
+                                    type=batch.column(dst).type)
+            })
 
         reached = set(
             edges_ds.map_batches(nbrs, batch_format="pyarrow")

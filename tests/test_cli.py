@@ -622,6 +622,17 @@ def test_ann_job_build_probe_resume(tmp_path):
     assert rep2["centroids_trained"] is False
     assert rep2["shards_written"] == 0 and rep2["shards_skipped"] == 2
 
+    # resume with DIFFERENT build parameters must refuse, not silently
+    # reuse the stale centroid set
+    mismatch = subprocess.run(
+        [sys.executable, "jobs/ann_job.py", "build",
+         "--input", str(shard_dir / "*.parquet"), "--out", str(out),
+         "--num-centroids", "4", "--sample-size", "256", "--seed", "17"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert mismatch.returncode != 0
+    assert "--no-resume" in mismatch.stderr
+
     query = fixture.column("embedding")[0].as_py()
     res = subprocess.run(
         [sys.executable, "jobs/ann_job.py", "probe",
@@ -719,3 +730,26 @@ def test_scrub_job_build_resume(tmp_path):
     rep2 = json.loads(second.stdout.strip().splitlines()[-1])
     assert rep2["boiler_counted"] is False
     assert rep2["shards_written"] == 0 and rep2["shards_skipped"] == 3
+
+    # resume with a DIFFERENT --min-docs must refuse: finished shards
+    # would otherwise mix two boilerplate definitions
+    mismatch = subprocess.run(
+        [sys.executable, "jobs/scrub_job.py",
+         "--input", str(shard_dir / "*.parquet"),
+         "--out", str(out), "--min-docs", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert mismatch.returncode != 0
+    assert "--no-resume" in mismatch.stderr
+
+    # --no-resume recounts under the new threshold and rewrites all
+    redo = subprocess.run(
+        [sys.executable, "jobs/scrub_job.py",
+         "--input", str(shard_dir / "*.parquet"),
+         "--out", str(out), "--min-docs", "2", "--no-resume"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert redo.returncode == 0, redo.stderr[-800:]
+    rep3 = json.loads(redo.stdout.strip().splitlines()[-1])
+    assert rep3["boiler_counted"] is True
+    assert rep3["shards_written"] == 3

@@ -3614,6 +3614,27 @@ def test_khop_neighbors_hand_checked(ray_session):
     assert tiny == {"f": 0, "g": 1}
 
 
+def test_khop_empty_batches_keep_column_type(ray_session):
+    """A per-batch match set can be EMPTY on some partitions;
+    pa.array([]) would infer a null-typed node_id there, producing
+    mixed block schemas across the hop dataset (the union/sort hazard
+    class). With int64 ids and many empty partitions the result must
+    still come back typed and correct."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import khop_neighbors
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "dst": pa.array([2, 3, 4, 5, 6, 7, 8, 9], pa.int64()),
+    })).repartition(8).materialize()
+
+    got = khop_neighbors(edges, [1], k=2, directed=True).to_pandas()
+    assert dict(zip(got["node_id"], got["hop"])) == {1: 0, 2: 1, 3: 2}
+    assert str(got["node_id"].dtype) == "int64"
+
+
 def test_jsonl_csv_doc_sources_match_parquet(ray_session, tmp_path):
     """read_docs_jsonl / read_docs_csv: the same corpus ingested from
     JSONL (full columns) and CSV (lang/source absent -> defaults)
@@ -4114,3 +4135,41 @@ def test_outer_join_randomized_vs_duckdb(ray_session):
             ray.data.from_arrow(empty).repartition(2),
             on="k", right_on="rk", how="full",
         ).to_pandas()
+
+
+def test_unpivot_drops_nulls_like_duckdb(ray_session):
+    """DuckDB UNPIVOT drops rows whose VALUE is NULL (zeros stay); the
+    melt kernel must match — the pivot round-trip gate can never
+    produce NULLs, so this differential covers the nullable case."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import unpivot
+
+    wide = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array([10, None, 0], pa.int64()),
+        "b": pa.array([None, 20, 5], pa.int64()),
+    })
+    got = unpivot(
+        ray.data.from_arrow(wide).repartition(2),
+        id_cols=["id"], value_cols=["a", "b"],
+        name_col="name", value_col="value",
+    ).to_pandas()
+    got["value"] = got["value"].astype("int64")
+    got = got.sort_values(["id", "name"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("wide", wide)
+    want = con.execute(
+        "SELECT id, name, value FROM wide "
+        "UNPIVOT (value FOR name IN (a, b)) "
+        "ORDER BY id, name"
+    ).df()
+    want["value"] = want["value"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # zero kept, both NULLs gone
+    assert len(got) == 4
+    assert ((got["id"] == 3) & (got["value"] == 0)).any()
