@@ -86,7 +86,38 @@ def build_parser() -> argparse.ArgumentParser:
                         "flair|spacy switch; both deterministic here)")
     p.add_argument("--oie_model", type=str, default="")
     p.add_argument("--conj_model", type=str, default="")
+    p.add_argument("--vocab", type=str, default="",
+                   help="wordpiece vocab.txt for the grid labeler "
+                        "(absent -> the demo vocab)")
     return p
+
+
+def _labeler_spec(args):
+    """--oie_model/--conj_model select the labeler backend
+    (run.py:229-236 loads a conj and an oie checkpoint): ``.npz`` →
+    the torch-free numpy GridLabeler (state/labeler.py:GridLabeler);
+    ``.ckpt`` needs torch — convert once with
+    state/labeler.py:ckpt_to_npz and pass the .npz. Absent → the
+    deterministic surrogate (seeded by --seed)."""
+    oie = getattr(args, "oie_model", "") or ""
+    conj = getattr(args, "conj_model", "") or ""
+    if not oie and not conj:
+        return None
+    for path in (oie, conj):
+        if path.endswith(".ckpt"):
+            raise SystemExit(
+                f"{path}: .ckpt needs torch to deserialize; convert "
+                "once with openie_with_entities_ray.state.labeler."
+                "ckpt_to_npz and pass the .npz here"
+            )
+    spec = {"kind": "grid"}
+    if oie:
+        spec["oie_weights"] = oie
+    if conj:
+        spec["conj_weights"] = conj
+    if getattr(args, "vocab", ""):
+        spec["vocab_path"] = args.vocab
+    return spec
 
 
 def _read_sentence_file(path: str):
@@ -114,12 +145,13 @@ def _read_sentence_file(path: str):
     return ray.data.from_arrow(pa.table(rows))
 
 
-def _conj_stage(sentences_ds, seed: int, batch_size: int):
+def _conj_stage(sentences_ds, seed: int, batch_size: int,
+                labeler_spec=None):
     from .stages.extract import ConjSplitter
 
     return sentences_ds.map_batches(
         ConjSplitter,
-        fn_constructor_kwargs=dict(seed=seed),
+        fn_constructor_kwargs=dict(seed=seed, labeler_spec=labeler_spec),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 8),
@@ -352,10 +384,11 @@ class _LabelProjector:
     """Actor: label each split sentence and project the label rows onto
     original word positions (O11) on WORKERS; the driver only renders."""
 
-    def __init__(self, seed: int):
-        from .state.labeler import DeterministicLabeler
+    def __init__(self, seed: int, labeler_spec=None):
+        from .state.labeler import DeterministicLabeler, make_labeler
 
-        self.labeler = DeterministicLabeler(seed=seed)
+        self.labeler = (make_labeler(labeler_spec) if labeler_spec
+                        else DeterministicLabeler(seed=seed))
 
     def __call__(self, batch):
         import pyarrow as pa
@@ -385,13 +418,14 @@ class _LabelProjector:
         )
 
 
-def _write_labels(splits_ds, out: str, seed: int, no_lt: bool) -> None:
+def _write_labels(splits_ds, out: str, seed: int, no_lt: bool,
+                  labeler_spec=None) -> None:
     """K3/O11: label rows projected onto original word positions
     (run.py:246-291 file shape, incl. the leading blank line per block).
     Projection runs in an actor pool; the driver streams the sorted rows."""
     proj = splits_ds.map_batches(
         _LabelProjector,
-        fn_constructor_kwargs=dict(seed=seed),
+        fn_constructor_kwargs=dict(seed=seed, labeler_spec=labeler_spec),
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -460,6 +494,7 @@ def run_splitpredict(args) -> None:
     from .stages.extract import OIEExtractor
     from .stages.group import dedup_topk_grouped
 
+    spec = _labeler_spec(args)
     if args.split_fp:
         splits = _presplit_dataset(args.split_fp).materialize()
     else:
@@ -468,12 +503,14 @@ def run_splitpredict(args) -> None:
         # key table, the OIE stage and the labels writer (a lazy Dataset
         # would re-run the labeler per consumer); pinned blocks spill to
         # the object store, nothing corpus-sized lands on the driver
-        splits = _conj_stage(sentences, args.seed, args.batch_size).materialize()
+        splits = _conj_stage(sentences, args.seed, args.batch_size,
+                             labeler_spec=spec).materialize()
     _write_conj(splits, args.out)
 
     raw = splits.drop_columns(["conj_words", "split_indices"]).map_batches(
         OIEExtractor,
-        fn_constructor_kwargs=dict(seed=args.seed, no_lt=args.no_lt),
+        fn_constructor_kwargs=dict(seed=args.seed, no_lt=args.no_lt,
+                                   labeler_spec=spec),
         batch_format="pyarrow",
         batch_size=args.batch_size,
         concurrency=(1, 8),
@@ -481,7 +518,8 @@ def run_splitpredict(args) -> None:
     triples = dedup_topk_grouped(raw, args.num_extractions)
     _write_oie_allennlp(triples, splits, args.out, args.type)
     if "labels" in (args.type or ""):
-        _write_labels(splits, args.out, args.seed, args.no_lt)
+        _write_labels(splits, args.out, args.seed, args.no_lt,
+                      labeler_spec=spec)
     print(
         f"Triples written to {args.out}.oie, Conjunctions written to "
         f"{args.out}.conj"
@@ -489,10 +527,12 @@ def run_splitpredict(args) -> None:
 
 
 def run_predict(args) -> None:
+    spec = _labeler_spec(args)
     if args.task == "conj":
         sentences = _read_sentence_file(args.inp)
         _write_conj(
-            _conj_stage(sentences, args.seed, args.batch_size), args.out
+            _conj_stage(sentences, args.seed, args.batch_size,
+                        labeler_spec=spec), args.out
         )
         print(f"Conjunctions written to {args.out}.conj")
         return
@@ -517,7 +557,8 @@ def run_predict(args) -> None:
     ).materialize()  # consumed by both the OIE stage and the key table
     raw = splits.map_batches(
         OIEExtractor,
-        fn_constructor_kwargs=dict(seed=args.seed, no_lt=args.no_lt),
+        fn_constructor_kwargs=dict(seed=args.seed, no_lt=args.no_lt,
+                                   labeler_spec=spec),
         batch_format="pyarrow",
         batch_size=args.batch_size,
         concurrency=(1, 8),

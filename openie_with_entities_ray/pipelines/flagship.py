@@ -59,8 +59,14 @@ def extract_triples(
     fused: bool = True,
     concurrency=None,
     batch_size: int = 512,
+    labeler_spec: dict | None = None,
 ):
-    """source_docs Dataset → final triples Dataset (TRIPLES schema)."""
+    """source_docs Dataset → final triples Dataset (TRIPLES schema).
+
+    ``labeler_spec`` selects the grid labeler per actor (see
+    state/labeler.py:make_labeler) — e.g. ``{"kind": "grid",
+    "oie_weights": "w.npz", "conj_weights": "w.npz"}`` runs the numpy
+    BERT forward inside the pool instead of the surrogate."""
     if concurrency is None:
         concurrency = _default_concurrency()
     sentences = docs_to_sentences(docs_ds)
@@ -68,7 +74,8 @@ def extract_triples(
         return sentences.map_batches(
             FusedExtractor,
             fn_constructor_kwargs=dict(
-                seed=seed, num_extractions=num_extractions, no_lt=no_lt
+                seed=seed, num_extractions=num_extractions, no_lt=no_lt,
+                labeler_spec=labeler_spec,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -77,14 +84,15 @@ def extract_triples(
     # staged variant: conj-split stage → OIE stage → grouped dedup/top-k
     splits = sentences.map_batches(
         ConjSplitter,
-        fn_constructor_kwargs=dict(seed=seed),
+        fn_constructor_kwargs=dict(seed=seed, labeler_spec=labeler_spec),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     ).drop_columns(["conj_words", "split_indices"])
     raw = splits.map_batches(
         OIEExtractor,
-        fn_constructor_kwargs=dict(seed=seed, no_lt=no_lt),
+        fn_constructor_kwargs=dict(seed=seed, no_lt=no_lt,
+                                   labeler_spec=labeler_spec),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -107,13 +115,14 @@ def extract_triples_with_entities(docs_ds, ent_backend: str = "dictionary",
         seed = kwargs.pop("seed", 777)
         num_extractions = kwargs.pop("num_extractions", 5)
         no_lt = kwargs.pop("no_lt", False)
+        labeler_spec = kwargs.pop("labeler_spec", None)
         concurrency = kwargs.pop("concurrency", None) or _single_pool_concurrency()
         batch_size = kwargs.pop("batch_size", 512)
         return docs_to_sentences(docs_ds).map_batches(
             FusedExtractorWithEntities,
             fn_constructor_kwargs=dict(
                 seed=seed, num_extractions=num_extractions, no_lt=no_lt,
-                backend=ent_backend,
+                backend=ent_backend, labeler_spec=labeler_spec,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,

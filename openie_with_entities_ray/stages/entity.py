@@ -176,11 +176,13 @@ class FusedExtractorWithEntities:
     two pools) and halves the actor footprint."""
 
     def __init__(self, seed: int = 777, num_extractions: int = 5,
-                 no_lt: bool = False, backend: str = "dictionary"):
+                 no_lt: bool = False, backend: str = "dictionary",
+                 labeler_spec: dict | None = None):
         from .extract import FusedExtractor
 
         self.extract = FusedExtractor(
-            seed=seed, num_extractions=num_extractions, no_lt=no_lt
+            seed=seed, num_extractions=num_extractions, no_lt=no_lt,
+            labeler_spec=labeler_spec,
         )
         self.tag = EntityTagger(backend=backend)
 

@@ -32,7 +32,7 @@ from ..functions.triples import (
     dedup_near,
     top_k,
 )
-from ..state.labeler import DeterministicLabeler
+from ..state.labeler import DeterministicLabeler, make_labeler
 
 _SENT_KEY_COLS = ("repo", "path", "commit", "content_sha256", "sent_id")
 
@@ -58,8 +58,9 @@ def _split_sentence_rows(labeler, sentence: str, with_indices: bool = False):
 class ConjSplitter:
     """sentences → split_sentences (SPLIT_SENTENCES schema)."""
 
-    def __init__(self, seed: int = 777):
-        self.labeler = DeterministicLabeler(seed=seed)
+    def __init__(self, seed: int = 777, labeler_spec: dict | None = None):
+        self.labeler = (make_labeler(labeler_spec) if labeler_spec
+                        else DeterministicLabeler(seed=seed))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = {c: batch.column(c).to_pylist() for c in _SENT_KEY_COLS}
@@ -101,8 +102,10 @@ class OIEExtractor:
     dedup stage can reproduce the reference's first-wins order even when
     splits of one sentence land in different blocks (stages/group.py)."""
 
-    def __init__(self, seed: int = 777, no_lt: bool = False):
-        self.labeler = DeterministicLabeler(seed=seed)
+    def __init__(self, seed: int = 777, no_lt: bool = False,
+                 labeler_spec: dict | None = None):
+        self.labeler = (make_labeler(labeler_spec) if labeler_spec
+                        else DeterministicLabeler(seed=seed))
         self.no_lt = no_lt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -151,8 +154,10 @@ class FusedExtractor:
         num_extractions: int = 5,
         no_lt: bool = False,
         near_dedup: bool = False,
+        labeler_spec: dict | None = None,
     ):
-        self.labeler = DeterministicLabeler(seed=seed)
+        self.labeler = (make_labeler(labeler_spec) if labeler_spec
+                        else DeterministicLabeler(seed=seed))
         self.num_extractions = num_extractions
         self.no_lt = no_lt
         self.near_dedup = near_dedup  # off by default (metric.py:426-430)

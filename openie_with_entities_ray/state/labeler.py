@@ -400,6 +400,173 @@ def state_dict_to_grid_weights(arrays, *, iterative_layers: int = 2,
     )
 
 
+def grid_weights_to_state_arrays(weights) -> dict:
+    """Inverse of :func:`state_dict_to_grid_weights`: flatten a
+    ``GridModelWeights`` back to the reference Lightning state_dict key
+    layout (model.py:58-91), so ``.npz`` files and torch ``.ckpt``
+    files are interconvertible and one mapping is tested round-trip."""
+    arrays = {}
+
+    def put_layer(prefix: str, lw) -> None:
+        arrays[f"{prefix}.attention.self.query.weight"] = lw.q_w
+        arrays[f"{prefix}.attention.self.query.bias"] = lw.q_b
+        arrays[f"{prefix}.attention.self.key.weight"] = lw.k_w
+        arrays[f"{prefix}.attention.self.key.bias"] = lw.k_b
+        arrays[f"{prefix}.attention.self.value.weight"] = lw.v_w
+        arrays[f"{prefix}.attention.self.value.bias"] = lw.v_b
+        arrays[f"{prefix}.attention.output.dense.weight"] = lw.attn_out_w
+        arrays[f"{prefix}.attention.output.dense.bias"] = lw.attn_out_b
+        arrays[f"{prefix}.attention.output.LayerNorm.weight"] = lw.attn_ln_g
+        arrays[f"{prefix}.attention.output.LayerNorm.bias"] = lw.attn_ln_b
+        arrays[f"{prefix}.intermediate.dense.weight"] = lw.inter_w
+        arrays[f"{prefix}.intermediate.dense.bias"] = lw.inter_b
+        arrays[f"{prefix}.output.dense.weight"] = lw.out_w
+        arrays[f"{prefix}.output.dense.bias"] = lw.out_b
+        arrays[f"{prefix}.output.LayerNorm.weight"] = lw.out_ln_g
+        arrays[f"{prefix}.output.LayerNorm.bias"] = lw.out_ln_b
+
+    emb = "_base_model.embeddings"
+    arrays[f"{emb}.word_embeddings.weight"] = weights.embeddings.word
+    arrays[f"{emb}.position_embeddings.weight"] = weights.embeddings.position
+    arrays[f"{emb}.token_type_embeddings.weight"] = weights.embeddings.token_type
+    arrays[f"{emb}.LayerNorm.weight"] = weights.embeddings.ln_g
+    arrays[f"{emb}.LayerNorm.bias"] = weights.embeddings.ln_b
+    for i, lw in enumerate(weights.base_layers):
+        put_layer(f"_base_model.encoder.layer.{i}", lw)
+    for j, lw in enumerate(weights.iterative_layers):
+        put_layer(f"_iterative_transformer.{j}", lw)
+    arrays["_label_embeddings.weight"] = weights.label_emb
+    arrays["_merge_layer.weight"] = weights.merge_w
+    arrays["_merge_layer.bias"] = weights.merge_b
+    arrays["_labelling_layer.weight"] = weights.label_w
+    arrays["_labelling_layer.bias"] = weights.label_b
+    return arrays
+
+
+_NPZ_META_NUM_HEADS = "__meta__.num_heads"
+
+
+def save_grid_weights_npz(path: str, weights) -> None:
+    """Persist grid-model weights as a torch-free ``.npz`` — the
+    deployment format this environment CAN execute end-to-end (a real
+    user converts a reference ``.ckpt`` once with :func:`ckpt_to_npz`,
+    then every worker loads weights with numpy alone)."""
+    import numpy as np
+
+    arrays = grid_weights_to_state_arrays(weights)
+    arrays[_NPZ_META_NUM_HEADS] = np.asarray(weights.num_heads,
+                                             dtype=np.int64)
+    np.savez_compressed(path, **arrays)
+
+
+def load_grid_weights_npz(path: str):
+    """Load :func:`save_grid_weights_npz` output. The iterative-layer
+    count is recovered from the ``_iterative_transformer.{j}`` keys and
+    ``num_heads`` from the meta entry — the file is self-describing."""
+    import numpy as np
+
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files}
+    num_heads = int(arrays.pop(_NPZ_META_NUM_HEADS))
+    n_iter = 0
+    while (f"_iterative_transformer.{n_iter}.attention.self.query.weight"
+           in arrays):
+        n_iter += 1
+    return state_dict_to_grid_weights(
+        arrays, iterative_layers=n_iter, num_heads=num_heads,
+    )
+
+
+def ckpt_to_npz(checkpoint_path: str, npz_path: str, *,
+                iterative_layers: int = 2, num_heads: int = 12) -> None:
+    """One-time converter: reference Lightning ``.ckpt`` → torch-free
+    ``.npz``. The ONLY function in the deployment path that needs torch
+    (deserialization only, run.py:46-51 analogue); everything after it
+    is numpy. Raises ImportError here (torch absent)."""
+    try:
+        import torch
+    except ImportError as e:
+        raise ImportError(
+            "ckpt_to_npz needs torch to deserialize the checkpoint; "
+            "run it once where torch exists, then deploy the .npz "
+            "torch-free"
+        ) from e
+    ckpt = torch.load(checkpoint_path, map_location="cpu")
+    state = ckpt.get("state_dict", ckpt)
+    weights = state_dict_to_grid_weights(
+        {k: v.numpy() for k, v in state.items()},
+        iterative_layers=iterative_layers, num_heads=num_heads,
+    )
+    save_grid_weights_npz(npz_path, weights)
+
+
+class GridLabeler:
+    """Torch-free real-model deployment slot: ``.npz`` weights → numpy
+    BERT forward (state/gridmodel.py) behind the ``SequenceLabeler``
+    contract. Mirrors the reference's two-model serving shape
+    (run.py:229-236 loads a conj checkpoint and an oie checkpoint):
+    pass ``oie_weights`` / ``conj_weights`` (either may be shared).
+
+    Instantiated inside an actor's ``__init__`` — one weight load per
+    worker, the same deployment shape as DeterministicLabeler /
+    TorchGridLabeler."""
+
+    def __init__(self, *, vocab_path: str | None = None,
+                 vocab: dict | None = None,
+                 oie_weights: str | None = None,
+                 conj_weights: str | None = None,
+                 max_oie_depth: int = MAX_OIE_DEPTH,
+                 max_conj_depth: int = MAX_CONJ_DEPTH):
+        from ..functions.wordpiece import demo_vocab, load_vocab
+        from .gridmodel import GridModel, NumpyGridLabeler
+
+        if vocab is None:
+            vocab = load_vocab(vocab_path) if vocab_path else demo_vocab()
+        oie_model = (GridModel(load_grid_weights_npz(oie_weights))
+                     if oie_weights else None)
+        if conj_weights == oie_weights and oie_model is not None:
+            conj_model = oie_model
+        else:
+            conj_model = (GridModel(load_grid_weights_npz(conj_weights))
+                          if conj_weights else None)
+        self._inner = NumpyGridLabeler(
+            vocab, oie_model=oie_model, conj_model=conj_model,
+            max_oie_depth=max_oie_depth, max_conj_depth=max_conj_depth,
+        )
+
+    def label_oie(self, sentence: str):
+        return self._inner.label_oie(sentence)
+
+    def label_conj(self, sentence: str):
+        return self._inner.label_conj(sentence)
+
+
+def make_labeler(spec=None):
+    """Labeler factory for actor constructors: ``spec`` is a plain
+    picklable dict shipped through ``fn_constructor_kwargs``, resolved
+    once per actor in ``__init__``.
+
+    - ``None`` / ``{"kind": "deterministic", "seed": 777}`` →
+      :class:`DeterministicLabeler` (the surrogate);
+    - ``{"kind": "grid", "oie_weights": "w.npz", "conj_weights":
+      "w.npz", "vocab_path": "vocab.txt"}`` → :class:`GridLabeler`
+      (torch-free numpy forward);
+    - ``{"kind": "torch", "checkpoint_path": ..., "vocab_path": ...}``
+      → :class:`TorchGridLabeler` (needs torch for deserialization).
+    """
+    if spec is None:
+        return DeterministicLabeler()
+    kind = spec.get("kind", "deterministic")
+    kwargs = {k: v for k, v in spec.items() if k != "kind"}
+    if kind == "deterministic":
+        return DeterministicLabeler(**kwargs)
+    if kind == "grid":
+        return GridLabeler(**kwargs)
+    if kind == "torch":
+        return TorchGridLabeler(**kwargs)
+    raise ValueError(f"unknown labeler kind {kind!r}")
+
+
 def default_labeler(seed: int = 777) -> DeterministicLabeler:
     return DeterministicLabeler(seed=seed)
 
