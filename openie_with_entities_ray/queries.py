@@ -485,13 +485,92 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q_revenue_by_nation(sf_dir):
-    """lineitem ⋈ orders (hash join, both large) then broadcast
-    customer→nation + nation→name lookups inside map_batches (small side,
-    SURVEY.md J-pattern)."""
+def _nation_revenue_rollup(joined, sf_dir):
+    """Shared tail of the revenue-by-nation family: (o_custkey,
+    l_extendedprice, l_discount) fact stream → (n_name, revenue_cents).
+
+    Scale shape (no full-dimension driver dict anywhere): a per-batch
+    COMBINER shrinks the fact stream to revenue partials per custkey
+    BEFORE any exchange; the customer dimension — which scales with SF
+    (~150k rows/SF), far too big to ship as a driver dict at the 100×
+    target — joins through a distributed hash join; only the genuinely
+    tiny 25-row nation map is broadcast. Ray's NATIVE hash join is
+    safe here (unlike for filtered dimension subsets, which can empty
+    out — those use stages/joins.py:equi_join): both sides are whole
+    tables, never empty, and the partition count stays far below the
+    small side's key count.
+"""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        return batch.groupby("o_custkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+
+    per_cust = joined.map_batches(
+        combine, batch_format="pandas", batch_size=65536
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    with_nation = per_cust.join(
+        customer,
+        join_type="inner",
+        num_partitions=max(2, cpus // 4),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nation_map = dict(
+        zip(nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist())
+    )
+    nref = ray.put(nation_map)
+
+    def to_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nref)
+        batch["n_name"] = [nmap[int(k)] for k in batch["c_nationkey"]]
+        return batch.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+
+    agg = (
+        with_nation.map_batches(
+            to_nation, batch_format="pandas", batch_size=65536
+        )
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue_cents": pa.array(
+                    [_cents(v) for v in batch.column("revenue").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_revenue_by_nation(sf_dir):
+    """lineitem ⋈ orders (hash join, both large), then the shared
+    rollup: combiner → distributed customer join → 25-row nation
+    broadcast (:func:`_nation_revenue_rollup`)."""
+    import ray
+    import ray.data
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -510,54 +589,7 @@ def q_revenue_by_nation(sf_dir):
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-
-    # broadcast the dimension maps once
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    cust_map = dict(
-        zip(cust.column("c_custkey").to_pylist(),
-            cust.column("c_nationkey").to_pylist())
-    )
-    nation_map = dict(
-        zip(nation.column("n_nationkey").to_pylist(),
-            nation.column("n_name").to_pylist())
-    )
-    maps_ref = ray.put((cust_map, nation_map))
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cmap, nmap = ray.get(maps_ref)
-        batch["n_name"] = [
-            nmap[cmap[c]] for c in batch["o_custkey"].to_list()
-        ]
-        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
-        return batch.groupby("n_name", as_index=False).agg(
-            revenue=("revenue", "sum")
-        )
-
-    agg = (
-        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "n_name": batch.column("n_name"),
-                "revenue_cents": pa.array(
-                    [_cents(v) for v in batch.column("revenue").to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return _nation_revenue_rollup(joined, sf_dir)
 
 
 SQL_REVENUE_BY_NATION = """
@@ -613,9 +645,12 @@ def q_local_supplier_revenue(sf_dir):
     """TPC-H Q5 shape: revenue from lineitems whose CUSTOMER and
     SUPPLIER share a nation, per nation, orders date-windowed. One
     big–big hash join (lineitem ⋈ filtered orders, column-pruned and
-    pre-filtered BEFORE the shuffle); customer/supplier/nation are
-    broadcast dimension maps applied inside the same combiner batch
-    that pre-aggregates revenue — the locality filter never shuffles."""
+    pre-filtered BEFORE the shuffle); a combiner then shrinks the fact
+    stream to revenue partials per (custkey, suppkey) and the
+    SF-scaled customer and supplier dimensions attach through
+    distributed tagged co-group joins (no full-dimension driver dict
+    anywhere) — only the 25-row nation map is broadcast; the locality
+    filter runs on the joined partials."""
     from datetime import datetime
 
     import pyarrow.compute as pc
@@ -624,6 +659,8 @@ def q_local_supplier_revenue(sf_dir):
     import ray
     import ray.data
     from ray.data.aggregate import Sum
+
+    from .stages.joins import equi_join
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -654,32 +691,40 @@ def q_local_supplier_revenue(sf_dir):
         right_on=("o_orderkey",),
     )
 
-    cust = pq.read_table(
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = (
+            batch["l_extendedprice"] * (1 - batch["l_discount"])
+        )
+        return batch.groupby(
+            ["o_custkey", "l_suppkey"], as_index=False
+        ).agg(revenue=("revenue", "sum"))
+
+    per_pair = joined.map_batches(
+        combine, batch_format="pandas", batch_size=65536
+    )
+    customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    supp = pq.read_table(
+    supplier = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     )
+    with_dims = equi_join(
+        equi_join(per_pair, customer, on="o_custkey",
+                  right_on="c_custkey"),
+        supplier, on="l_suppkey", right_on="s_suppkey",
+    )
+
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    maps_ref = ray.put(
-        (
-            dict(zip(cust.column("c_custkey").to_pylist(),
-                     cust.column("c_nationkey").to_pylist())),
-            dict(zip(supp.column("s_suppkey").to_pylist(),
-                     supp.column("s_nationkey").to_pylist())),
-            dict(zip(nation.column("n_nationkey").to_pylist(),
-                     nation.column("n_name").to_pylist())),
-        )
+    nref = ray.put(
+        dict(zip(nation.column("n_nationkey").to_pylist(),
+                 nation.column("n_name").to_pylist()))
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cmap, smap, nmap = ray.get(maps_ref)
-        cn = [cmap[c] for c in batch["o_custkey"]]
-        sn = [smap[s] for s in batch["l_suppkey"]]
-        batch = batch.assign(_cn=cn, _sn=sn)
-        batch = batch[batch["_cn"] == batch["_sn"]]
+        nmap = ray.get(nref)
+        batch = batch[batch["c_nationkey"] == batch["s_nationkey"]]
         if len(batch) == 0:
             return pd.DataFrame(
                 {
@@ -687,17 +732,16 @@ def q_local_supplier_revenue(sf_dir):
                     "revenue": pd.Series([], dtype="float64"),
                 }
             )
-        batch["n_name"] = [nmap[n] for n in batch["_cn"]]
-        batch["revenue"] = (
-            batch["l_extendedprice"] * (1 - batch["l_discount"])
+        batch = batch.assign(
+            n_name=[nmap[int(n)] for n in batch["c_nationkey"]]
         )
         return batch.groupby("n_name", as_index=False).agg(
             revenue=("revenue", "sum")
         )
 
     agg = (
-        joined.map_batches(partial, batch_format="pandas",
-                           batch_size=65536)
+        with_dims.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
         .groupby("n_name")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
@@ -755,53 +799,7 @@ def q_revenue_by_nation_salted(sf_dir):
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     joined = salted_join(li, orders, on="l_orderkey", right_on="o_orderkey")
-
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    cust_map = dict(
-        zip(cust.column("c_custkey").to_pylist(),
-            cust.column("c_nationkey").to_pylist())
-    )
-    nation_map = dict(
-        zip(nation.column("n_nationkey").to_pylist(),
-            nation.column("n_name").to_pylist())
-    )
-    maps_ref = ray.put((cust_map, nation_map))
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cmap, nmap = ray.get(maps_ref)
-        batch["n_name"] = [
-            nmap[cmap[c]] for c in batch["o_custkey"].to_list()
-        ]
-        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
-        return batch.groupby("n_name", as_index=False).agg(
-            revenue=("revenue", "sum")
-        )
-
-    agg = (
-        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "n_name": batch.column("n_name"),
-                "revenue_cents": pa.array(
-                    [_cents(v) for v in batch.column("revenue").to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return _nation_revenue_rollup(joined, sf_dir)
 
 
 def q_top_customers(sf_dir):
@@ -3314,31 +3312,48 @@ FROM per_cust GROUP BY c_count
 
 def _per_nation_revenue(sf_dir):
     """The shared finest-level aggregate under the ROLLUP/CUBE queries:
-    (region, nation, revenue_cents) — orders is the only table that
-    moves; customer→nation→region are broadcast lookups inside the
-    combiner; per-row integer cents so every derived level is exact."""
+    (region, nation, revenue_cents). Scale shape: a per-batch combiner
+    pre-aggregates integer cents per custkey BEFORE any exchange; the
+    SF-scaled customer dimension (~150k rows/SF — not a broadcastable
+    driver dict at the 100× target) joins through the distributed
+    tagged co-group; only the 25-row nation→(region, name) map is
+    broadcast. Per-row integer cents so every derived level is exact."""
     import ray
     import ray.data
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
+    from .stages.joins import equi_join
+
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    cust = pq.read_table(
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["cents"] = (
+            np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
+            .astype("int64")
+        )
+        return batch.groupby("o_custkey", as_index=False).agg(
+            revenue_cents=("cents", "sum")
+        )
+
+    per_cust = orders.map_batches(
+        combine, batch_format="pandas", batch_size=65536
+    )
+    customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
+    with_nation = equi_join(
+        per_cust, customer, on="o_custkey", right_on="c_custkey"
+    )
+
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet",
         columns=["n_nationkey", "n_name", "n_regionkey"],
     )
     region = pq.read_table(
         f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
-    )
-    cust_map = dict(
-        zip(cust.column("c_custkey").to_pylist(),
-            cust.column("c_nationkey").to_pylist())
     )
     region_names = dict(
         zip(region.column("r_regionkey").to_pylist(),
@@ -3352,23 +3367,22 @@ def _per_nation_revenue(sf_dir):
             nation.column("n_regionkey").to_pylist(),
         )
     }
-    maps_ref = ray.put((cust_map, nation_map))
+    nref = ray.put(nation_map)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cmap, nmap = ray.get(maps_ref)
-        rn = [nmap[cmap[c]] for c in batch["o_custkey"].to_list()]
+    def to_region(batch: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(nref)
+        rn = [nmap[int(n)] for n in batch["c_nationkey"]]
         batch["region"] = [x[0] for x in rn]
         batch["nation"] = [x[1] for x in rn]
-        batch["cents"] = (
-            np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
-            .astype("int64")
-        )
+        batch["revenue_cents"] = batch["revenue_cents"].astype("int64")
         return batch.groupby(["region", "nation"], as_index=False).agg(
-            revenue_cents=("cents", "sum")
+            revenue_cents=("revenue_cents", "sum")
         )
 
     return (
-        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+        with_nation.map_batches(
+            to_region, batch_format="pandas", batch_size=65536
+        )
         .groupby(["region", "nation"])
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
@@ -3903,33 +3917,34 @@ LIMIT 20
 
 def q_shipping_priority(sf_dir):
     """TPC-H Q3 shape: top-10 open orders by in-window revenue for one
-    market segment. The segment's custkeys are a broadcast set (dims
-    never shuffle), both fact tables are date-filtered and
-    column-pruned BEFORE the hash join, the per-order revenue sum is a
-    per-batch combiner → coarse orderkey partition with a per-part
-    top-10 prune, and only parts×10 rows reach the final sort."""
+    market segment. The segment filter is a distributed semi-join
+    (inner equi_join of date-filtered orders against the BUILDING
+    subset of the SF-scaled customer dimension — never a driver set),
+    both fact tables are date-filtered and column-pruned BEFORE the
+    hash join, the per-order revenue sum is a per-batch combiner →
+    coarse orderkey partition with a per-part top-10 prune, and only
+    parts×10 rows reach the final sort."""
     import zlib
 
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
     import ray
     import ray.data
 
     from .stages.dataops import _cluster_parts, cluster_cpus
+    from .stages.joins import equi_join
 
     num_parts = _cluster_parts()
     cutoff = pd.Timestamp("1997-06-01")
 
-    cust = pq.read_table(
+    def building_cust(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"])
+
+    customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"],
-    )
-    seg_keys = set(
-        cust.filter(
-            pc.equal(cust.column("c_mktsegment"), "BUILDING")
-        ).column("c_custkey").to_pylist()
-    )
-    seg_ref = ray.put(seg_keys)
+    ).map_batches(building_cust, batch_format="pyarrow")
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -3937,10 +3952,18 @@ def q_shipping_priority(sf_dir):
     )
 
     def open_orders(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(seg_ref)
         batch = batch[batch["o_orderdate"] < cutoff]
-        batch = batch[[c in keys for c in batch["o_custkey"]]]
-        return batch[["o_orderkey"]]
+        return batch[["o_orderkey", "o_custkey"]]
+
+    seg_orders = equi_join(
+        orders.map_batches(open_orders, batch_format="pandas"),
+        customer, on="o_custkey", right_on="c_custkey",
+    )
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+        })
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -3958,7 +3981,7 @@ def q_shipping_priority(sf_dir):
         return batch[["l_orderkey", "cents"]]
 
     joined = li.map_batches(shipped_late, batch_format="pandas").join(
-        orders.map_batches(open_orders, batch_format="pandas"),
+        seg_orders.map_batches(order_keys, batch_format="pyarrow"),
         join_type="inner",
         num_partitions=max(2, cluster_cpus() // 4),
         on=("l_orderkey",),
@@ -5725,7 +5748,12 @@ def q_nation_trade(sf_dir):
     filter on lineitem, customer-nation filter on orders); the ship
     year is projected to int64 pre-join so no timestamp column rides
     the shuffle; revenue pre-aggregates per (supp, cust, year) inside
-    the combiner batch so the global groupby sees O(groups) rows."""
+    the combiner batch so the global groupby sees O(groups) rows. The
+    SF-scaled supplier/customer dimensions attach via distributed
+    tagged co-group joins against their target-nation subsets (an
+    inner equi_join against a filtered unique-key dimension IS the
+    filter+attach in one exchange) — no full-dimension driver dict;
+    only the 25-row nation map is broadcast."""
     from datetime import datetime
 
     import pyarrow.compute as pc
@@ -5743,70 +5771,99 @@ def q_nation_trade(sf_dir):
     nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
                     nation.column("n_name").to_pylist()))
     target = {k for k, v in nmap.items() if v in ("NATION_1", "NATION_2")}
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    smap = dict(zip(supp.column("s_suppkey").to_pylist(),
-                    supp.column("s_nationkey").to_pylist()))
-    cmap = dict(zip(cust.column("c_custkey").to_pylist(),
-                    cust.column("c_nationkey").to_pylist()))
-    maps_ref = ray.put((smap, cmap, nmap, target))
+    nref = ray.put((nmap, target))
 
     lo = datetime(1995, 1, 1)
     hi = datetime(1997, 1, 1)
 
     def li_prefilter(batch: pa.Table) -> pa.Table:
-        smap, _, _, target = ray.get(maps_ref)
         d = batch.column("l_shipdate")
         mask = pc.and_(
             pc.greater_equal(d, pa.scalar(lo, type=d.type)),
             pc.less(d, pa.scalar(hi, type=d.type)),
         )
         batch = batch.filter(mask)
-        sn = np.array(
-            [smap[s] for s in batch.column("l_suppkey").to_pylist()],
-            dtype=np.int64,
-        )
-        keep = np.isin(sn, np.fromiter(target, dtype=np.int64))
-        batch = batch.append_column("_sn", pa.array(sn, pa.int64()))
         batch = batch.append_column(
             "l_year", pc.cast(pc.year(batch.column("l_shipdate")),
                               pa.int64())
         )
-        return batch.filter(pa.array(keep)).select(
-            ["l_orderkey", "_sn", "l_year", "l_extendedprice",
+        return batch.select(
+            ["l_orderkey", "l_suppkey", "l_year", "l_extendedprice",
              "l_discount"]
         )
 
-    def o_prefilter(batch: pa.Table) -> pa.Table:
-        _, cmap, _, target = ray.get(maps_ref)
-        cn = np.array(
-            [cmap[c] for c in batch.column("o_custkey").to_pylist()],
-            dtype=np.int64,
+    def _nation_subset(batch: pa.Table) -> pa.Table:
+        _, tgt = ray.get(nref)
+        key = batch.column_names[1]  # (id, nationkey) projection
+        keep = pa.array(
+            [n in tgt for n in batch.column(key).to_pylist()],
+            pa.bool_(),
         )
-        keep = np.isin(cn, np.fromiter(target, dtype=np.int64))
-        batch = batch.append_column("_cn", pa.array(cn, pa.int64()))
-        return batch.filter(pa.array(keep)).select(["o_orderkey", "_cn"])
+        return batch.filter(keep)
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
-                 "l_discount", "l_shipdate"],
-    ).map_batches(li_prefilter, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(o_prefilter, batch_format="pyarrow")
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_nation_subset, batch_format="pyarrow")
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_nation_subset, batch_format="pyarrow")
+
+    li = equi_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"],
+        ).map_batches(li_prefilter, batch_format="pyarrow"),
+        supplier, on="l_suppkey", right_on="s_suppkey",
+    )
+    orders = equi_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        customer, on="o_custkey", right_on="c_custkey",
+    )
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        # typed arrow projection: a 0-row pandas UDF output erases the
+        # block schema (round-4 hazard family), which the downstream
+        # equi_join contract-checks
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "_sn": pc.cast(batch.column("s_nationkey"), pa.int64()),
+            "l_year": batch.column("l_year"),
+            "l_extendedprice": batch.column("l_extendedprice"),
+            "l_discount": batch.column("l_discount"),
+        })
+
+    def o_project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "_cn": pc.cast(batch.column("c_nationkey"), pa.int64()),
+        })
+
+    li = li.map_batches(li_project, batch_format="pyarrow")
+    orders = orders.map_batches(o_project, batch_format="pyarrow")
 
     # equi_join (tagged co-group), not Dataset.join: the nation
     # prefilters can empty out a whole side at small sf, which the
-    # native join cannot survive (empty-partition hazard).
-    joined = equi_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    # native join cannot survive (empty-partition hazard). Explicit
+    # schemas: either projected side can be legitimately EMPTY (no
+    # suppliers/customers in the target nations at tiny sf), and Ray
+    # reports schema()=None for an executed-empty dataset.
+    joined = equi_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("_sn", pa.int64()),
+            ("l_year", pa.int64()), ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+        ]),
+        right_schema=pa.schema([
+            ("o_orderkey", pa.int64()), ("_cn", pa.int64()),
+        ]),
+    )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        _, _, nmap, _ = ray.get(maps_ref)
+        nmap, _ = ray.get(nref)
         batch = batch[batch["_sn"] != batch["_cn"]]
         if len(batch) == 0:
             return pd.DataFrame(
@@ -5826,28 +5883,29 @@ def q_nation_trade(sf_dir):
             ["supp_nation", "cust_nation", "l_year"], as_index=False
         ).agg(revenue=("revenue", "sum"))
 
-    agg = (
+    df = (
         joined.map_batches(partial, batch_format="pandas",
                            batch_size=65536)
         .groupby(["supp_nation", "cust_nation", "l_year"])
         .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()  # nation-pair × year cardinality — a small result
     )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "supp_nation": batch.column("supp_nation"),
-                "cust_nation": batch.column("cust_nation"),
-                "l_year": batch.column("l_year"),
-                "revenue_cents": pa.array(
-                    [_cents(v)
-                     for v in batch.column("revenue").to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    out = pd.DataFrame({
+        "supp_nation": pd.Series(
+            df["supp_nation"] if len(df) else [], dtype="object"
+        ),
+        "cust_nation": pd.Series(
+            df["cust_nation"] if len(df) else [], dtype="object"
+        ),
+        "l_year": pd.Series(
+            df["l_year"] if len(df) else [], dtype="int64"
+        ),
+        "revenue_cents": pd.Series(
+            [_cents(v) for v in df["revenue"]] if len(df) else [],
+            dtype="int64",
+        ),
+    })
+    return _from_pandas_exact(out)
 
 
 SQL_NATION_TRADE = """
@@ -5875,12 +5933,12 @@ def q_market_share(sf_dir):
     market sold to EUROPE customers, per order-year. Share is
     computed from the already-rounded integer cents on both sides
     (``target_cents*10000 // market_cents`` basis points) so the
-    ratio is bit-reproducible. Scale shape: lineitem is pre-filtered
-    by the broadcast promo-part id set, orders by the broadcast
-    customer→region map, both BEFORE the single big-big hash join;
-    at production scale the part filter becomes a hash semi-join
-    (part is not a broadcastable dimension at 100 TB), everything
-    else is unchanged."""
+    ratio is bit-reproducible. Scale shape: the SF-scaled part,
+    supplier and customer dimensions all attach via distributed
+    tagged co-group joins (the promo subset and the EUROPE-customer
+    subset are inner equi_joins against filtered unique-key
+    dimensions — the semi-join and the filter in one exchange); only
+    the 25-row nation/region maps are broadcast."""
     from datetime import datetime
 
     import pyarrow.compute as pc
@@ -5911,77 +5969,87 @@ def q_market_share(sf_dir):
                           nation.column("n_name").to_pylist())
         if v == "NATION_3"
     }
-    part = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    )
-    promo = {
-        k for k, t in zip(part.column("p_partkey").to_pylist(),
-                          part.column("p_type").to_pylist())
-        if t == "PROMO"
-    }
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    cust_region = {
-        k: nat_region[n]
-        for k, n in zip(cust.column("c_custkey").to_pylist(),
-                        cust.column("c_nationkey").to_pylist())
-    }
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    smap = dict(zip(supp.column("s_suppkey").to_pylist(),
-                    supp.column("s_nationkey").to_pylist()))
-    maps_ref = ray.put((promo, cust_region, smap, target_nkey))
+    nref = ray.put((nat_region, target_nkey))
 
     lo = datetime(1995, 1, 1)
     hi = datetime(1997, 1, 1)
 
-    def li_prefilter(batch: pa.Table) -> pa.Table:
-        promo, _, smap, target = ray.get(maps_ref)
-        pk = np.array(batch.column("l_partkey").to_pylist(),
-                      dtype=np.int64)
-        keep = np.isin(pk, np.fromiter(promo, dtype=np.int64))
-        batch = batch.filter(pa.array(keep))
-        is_target = pa.array(
-            [smap[s] in target
-             for s in batch.column("l_suppkey").to_pylist()],
-            pa.bool_(),
-        )
-        batch = batch.append_column("_is_target", is_target)
-        return batch.select(
-            ["l_orderkey", "_is_target", "l_extendedprice", "l_discount"]
-        )
+    def promo_parts(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("p_type"), "PROMO")
+        ).select(["p_partkey"])
 
-    def o_prefilter(batch: pa.Table) -> pa.Table:
-        _, cust_region, _, _ = ray.get(maps_ref)
+    def o_window(batch: pa.Table) -> pa.Table:
         d = batch.column("o_orderdate")
         mask = pc.and_(
             pc.greater_equal(d, pa.scalar(lo, type=d.type)),
             pc.less(d, pa.scalar(hi, type=d.type)),
         )
         batch = batch.filter(mask)
-        keep = pa.array(
-            [cust_region[c] == "EUROPE"
-             for c in batch.column("o_custkey").to_pylist()],
-            pa.bool_(),
-        )
-        batch = batch.filter(keep)
         batch = batch.append_column(
             "o_year", pc.cast(pc.year(batch.column("o_orderdate")),
                               pa.int64())
         )
-        return batch.select(["o_orderkey", "o_year"])
+        return batch.select(["o_orderkey", "o_custkey", "o_year"])
 
-    li = ray.data.read_parquet(
+    def europe_cust(batch: pa.Table) -> pa.Table:
+        nat_region, _ = ray.get(nref)
+        keep = pa.array(
+            [nat_region[int(n)] == "EUROPE"
+             for n in batch.column("c_nationkey").to_pylist()],
+            pa.bool_(),
+        )
+        return batch.filter(keep).select(["c_custkey"])
+
+    part_ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(promo_parts, batch_format="pyarrow")
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(europe_cust, batch_format="pyarrow")
+
+    li_raw = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"],
-    ).map_batches(li_prefilter, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
+    )
+    li_promo = equi_join(li_raw, part_ds, on="l_partkey",
+                         right_on="p_partkey")
+    li_supp = equi_join(li_promo, supplier, on="l_suppkey",
+                        right_on="s_suppkey")
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        _, target = ray.get(nref)
+        is_target = pc.is_in(
+            batch.column("s_nationkey"),
+            value_set=pa.array(sorted(target), pa.int64()),
+        )
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "_is_target": pc.cast(is_target, pa.bool_()),
+            "l_extendedprice": batch.column("l_extendedprice"),
+            "l_discount": batch.column("l_discount"),
+        })
+
+    li = li_supp.map_batches(li_project, batch_format="pyarrow")
+
+    o_win = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(o_prefilter, batch_format="pyarrow")
+    ).map_batches(o_window, batch_format="pyarrow")
+    o_eur = equi_join(o_win, customer, on="o_custkey",
+                      right_on="c_custkey")
+
+    def o_project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+            "o_year": pc.cast(batch.column("o_year"), pa.int64()),
+        })
+
+    orders = o_eur.map_batches(o_project, batch_format="pyarrow")
 
     # equi_join (tagged co-group) for the same empty-side safety as
     # nation_trade: the region/part prefilters can zero out a side.
@@ -6523,8 +6591,12 @@ def q_top_supplier(sf_dir):
     else:
         best = int(df["revenue_cents"].max())
         win = df[df["revenue_cents"] == best]
+        # row-group-pruned read of only the winners' rows (the winner
+        # set is tiny; never load the full SF-scaled dimension)
         sup = pq.read_table(
-            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+            filters=[("s_suppkey", "in",
+                      [int(k) for k in win["l_suppkey"]])],
         )
         names = dict(zip(sup.column("s_suppkey").to_pylist(),
                          sup.column("s_name").to_pylist()))

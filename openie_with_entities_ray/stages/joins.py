@@ -121,13 +121,20 @@ def _key_parts(col, num_parts: int):
 
 
 def _conform_union(left_ds, right_ds, *, left_key: str, right_key: str,
-                   num_parts: int):
+                   num_parts: int, left_schema=None, right_schema=None):
     """Tag each side, null-pad to the shared superset schema (fixed
     column order + explicit types, so Ray's shuffle sees ONE schema) and
     co-partition by the equi-key. Returns (union_ds, fields) where
-    fields maps every payload column to its pyarrow type."""
-    lschema = left_ds.schema()
-    rschema = right_ds.schema()
+    fields maps every payload column to its pyarrow type.
+
+    ``left_schema``/``right_schema`` (pyarrow.Schema) override the
+    schema probe: Ray reports ``schema() is None`` for any
+    executed-EMPTY dataset even when its blocks are typed, so a
+    chained join whose input can be legitimately empty (e.g. a
+    dimension subset that matched nothing at small scale) must declare
+    its columns explicitly."""
+    lschema = left_schema if left_schema is not None else left_ds.schema()
+    rschema = right_schema if right_schema is not None else right_ds.schema()
     if lschema is None or rschema is None:
         # Ray loses the schema of an EMPTY dataset once a transform
         # (e.g. repartition) touches it — from_arrow on a 0-row table
@@ -412,6 +419,8 @@ def equi_join(
     on: str,
     right_on: str,
     num_parts: int | None = None,
+    left_schema=None,
+    right_schema=None,
 ):
     """Inner hash equi-join on the tagged co-group scaffold. Unlike
     Ray's native ``Dataset.join`` this is safe when either side (or any
@@ -433,10 +442,13 @@ def equi_join(
 
     union, fields = _conform_union(
         left_ds, right_ds, left_key=on, right_key=right_on,
-        num_parts=num_parts,
+        num_parts=num_parts, left_schema=left_schema,
+        right_schema=right_schema,
     )
-    lnames = list(left_ds.schema().names)
-    rnames = list(right_ds.schema().names)
+    lnames = list((left_schema if left_schema is not None
+                   else left_ds.schema()).names)
+    rnames = list((right_schema if right_schema is not None
+                   else right_ds.schema()).names)
     out_fields = [(n, fields[n]) for n in lnames + rnames]
 
     def empty_out() -> pa.Table:
@@ -675,10 +687,13 @@ def outer_join(
     merge_how = {"full": "outer", "left": "left", "right": "right"}[how]
     union, fields = _conform_union(
         left_ds, right_ds, left_key=on, right_key=right_on,
-        num_parts=num_parts,
+        num_parts=num_parts, left_schema=left_schema,
+        right_schema=right_schema,
     )
-    lnames = list(left_ds.schema().names)
-    rnames = list(right_ds.schema().names)
+    lnames = list((left_schema if left_schema is not None
+                   else left_ds.schema()).names)
+    rnames = list((right_schema if right_schema is not None
+                   else right_ds.schema()).names)
     out_fields = [(n, fields[n]) for n in lnames + rnames]
 
     def empty_out() -> pa.Table:
