@@ -10,8 +10,12 @@ Three backends:
   native libs, which this container honestly does not claim to be);
 - ``'fake'`` (default) — deterministic hash-derived features, same
   schema/plumbing, for corpora whose payloads aren't real media;
-- ``'real'`` — the PIL/av/torchaudio slot; raises NotImplementedError
-  here (libraries absent).
+- ``'real'`` — PIL (images) + av (audio/video) adapters, import-gated:
+  the libraries are absent here, so instantiating without injected
+  ``pil=``/``av=`` modules raises ImportError with the remedy. The
+  adapter logic itself is real and contract-tested with fake modules
+  built over the stdlib codecs (tests/test_dataops.py), so dropping in
+  the actual libraries exercises already-tested code.
 
 Everything Ray-side (small batches for large payloads, actor pools with
 per-actor codec state, binary columns kept in Arrow) is shared by all
@@ -30,6 +34,32 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import codecs
+
+
+def _import_pil():
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ImportError(
+            "backend='real' needs PIL for image decode — not installed "
+            "here; use backend='stdlib' (real PNG/WAV codecs) or "
+            "'fake', or inject a pil= module in tests"
+        ) from e
+    import types as _t
+
+    return _t.SimpleNamespace(Image=Image)
+
+
+def _import_av():
+    try:
+        import av
+    except ImportError as e:
+        raise ImportError(
+            "backend='real' needs av for audio/video decode — not "
+            "installed here; use backend='stdlib' (WAV/FCV1 codecs) or "
+            "'fake', or inject an av= module in tests"
+        ) from e
+    return av
 
 
 def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
@@ -106,16 +136,17 @@ class MediaDecoder:
 
     ``backend='stdlib'`` REALLY decodes (PNG/WAV/FCV1 — see module
     docstring); ``backend='fake'`` derives deterministic features from
-    payload bytes; ``backend='real'`` is the PIL/av slot and raises
-    NotImplementedError here."""
+    payload bytes; ``backend='real'`` runs the PIL/av adapters
+    (import-gated; inject pil=/av= fakes in tests)."""
 
-    def __init__(self, backend: str = "fake", feature_dim: int = 16):
+    def __init__(self, backend: str = "fake", feature_dim: int = 16,
+                 pil=None, av=None):
         if backend == "real":
-            raise NotImplementedError(
-                "real media codecs (PIL/av) are not available in this "
-                "environment; use backend='stdlib' (PNG/WAV) or 'fake'"
-            )
-        if backend not in ("fake", "stdlib"):
+            # adapters over PIL.Image / av containers; inject fake
+            # modules (same call surface) to test without the libs
+            self._pil = pil if pil is not None else _import_pil()
+            self._av = av if av is not None else _import_av()
+        elif backend not in ("fake", "stdlib"):
             raise ValueError(f"unknown media backend: {backend}")
         self.backend = backend
         self.feature_dim = feature_dim
@@ -160,12 +191,46 @@ class MediaDecoder:
             return self._segment_means(means)
         raise ValueError(f"unknown media kind: {kind}")
 
+    def _real_features(self, kind: str, payload: bytes) -> np.ndarray:
+        """PIL/av adapter with the SAME feature semantics as the stdlib
+        backend (gray/abs/frame-mean segment means), so for formats both
+        can read the two backends agree."""
+        import io
+
+        if kind == "image":
+            img = self._pil.Image.open(io.BytesIO(payload)).convert("RGB")
+            rgb = np.asarray(img)
+            gray = rgb.astype(np.float32).mean(axis=2) / 255.0
+            return self._segment_means(gray.reshape(-1))
+        if kind == "audio":
+            container = self._av.open(io.BytesIO(payload))
+            chunks = [f.to_ndarray() for f in container.decode(audio=0)]
+            samples = (np.concatenate([c.reshape(-1) for c in chunks])
+                       if chunks else np.zeros(0, dtype=np.int16))
+            return self._segment_means(
+                np.abs(samples.astype(np.float32)) / 32768.0
+            )
+        if kind == "video":
+            container = self._av.open(io.BytesIO(payload))
+            means = np.array(
+                [f.to_ndarray(format="rgb24").astype(np.float32).mean()
+                 / 255.0
+                 for f in container.decode(video=0)],
+                dtype=np.float32,
+            )
+            return self._segment_means(means)
+        raise ValueError(f"unknown media kind: {kind}")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         kinds = batch.column("kind").to_pylist()
         if self.backend == "stdlib":
             feats = [
                 self._stdlib_features(k, p) for k, p in zip(kinds, payloads)
+            ]
+        elif self.backend == "real":
+            feats = [
+                self._real_features(k, p) for k, p in zip(kinds, payloads)
             ]
         else:
             feats = [self._fake_features(p) for p in payloads]
@@ -189,32 +254,52 @@ class FrameSampler:
     re-encoded PNG frames (uniform sampling); 'fake' slices payload
     bytes."""
 
-    def __init__(self, num_frames: int = 4, backend: str = "fake"):
+    def __init__(self, num_frames: int = 4, backend: str = "fake",
+                 pil=None, av=None):
         if backend == "real":
-            raise NotImplementedError(
-                "real video decode unavailable; use 'stdlib' or 'fake'"
-            )
-        if backend not in ("fake", "stdlib"):
+            self._pil = pil if pil is not None else _import_pil()
+            self._av = av if av is not None else _import_av()
+        elif backend not in ("fake", "stdlib"):
             raise ValueError(f"unknown media backend: {backend}")
         self.num_frames = num_frames
         self.backend = backend
+
+    def _real_frames(self, payload: bytes):
+        """av adapter: decode the container, return rgb24 frame arrays."""
+        import io
+
+        container = self._av.open(io.BytesIO(payload))
+        return [f.to_ndarray(format="rgb24")
+                for f in container.decode(video=0)]
+
+    def _encode_png_real(self, rgb: np.ndarray) -> bytes:
+        import io
+
+        img = self._pil.Image.fromarray(rgb.astype(np.uint8), "RGB")
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, offsets = [], [], []
         for i, payload in zip(
             batch.column("id").to_pylist(), batch.column("payload").to_pylist()
         ):
-            if self.backend == "stdlib":
-                decoded = codecs.read_frame_container(payload)
+            if self.backend in ("stdlib", "real"):
+                decoded = (codecs.read_frame_container(payload)
+                           if self.backend == "stdlib"
+                           else self._real_frames(payload))
                 if not decoded:  # empty container: no frames, not a crash
                     continue
                 picks = np.linspace(
                     0, len(decoded) - 1, self.num_frames
                 ).astype(int)
+                encode = (codecs.write_png if self.backend == "stdlib"
+                          else self._encode_png_real)
                 for k, idx in enumerate(picks):
                     ids.append(i)
                     frames.append(k)
-                    offsets.append(codecs.write_png(decoded[idx]))
+                    offsets.append(encode(decoded[idx]))
             else:
                 step = max(1, len(payload) // self.num_frames)
                 for k in range(self.num_frames):
@@ -262,24 +347,34 @@ class ImageResizer:
     gather → PNG encode; ``backend='fake'`` emits a deterministic
     payload of the right nominal size (sha256-seeded) so the Ray-side
     plumbing (schema, batch sizing, actor lifecycle) is exercised
-    without a codec; ``backend='real'`` is the PIL slot and raises
-    NotImplementedError here. Non-image rows pass through untouched
+    without a codec; ``backend='real'`` runs the PIL adapter
+    (import-gated). Non-image rows pass through untouched
     (resize is a per-kind stage, same contract as FrameSampler's video
     filter — callers usually pre-filter, but passthrough keeps the
     stage composable in a mixed pipeline)."""
 
     def __init__(self, out_h: int = 16, out_w: int = 16,
-                 backend: str = "fake"):
+                 backend: str = "fake", pil=None):
         if backend == "real":
-            raise NotImplementedError(
-                "real image codecs (PIL) are not available in this "
-                "environment; use backend='stdlib' (PNG) or 'fake'"
-            )
-        if backend not in ("fake", "stdlib"):
+            self._pil = pil if pil is not None else _import_pil()
+        elif backend not in ("fake", "stdlib"):
             raise ValueError(f"unknown media backend: {backend}")
         self.out_h = out_h
         self.out_w = out_w
         self.backend = backend
+
+    def _resize_real(self, payload: bytes) -> bytes:
+        """PIL adapter: open → RGB → NEAREST resize → PNG re-encode.
+        NEAREST matches the stdlib backend's pixel-center index gather,
+        so both backends produce the same pixels for PNG inputs."""
+        import io
+
+        img = self._pil.Image.open(io.BytesIO(payload)).convert("RGB")
+        img = img.resize((self.out_w, self.out_h),
+                         self._pil.Image.NEAREST)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
 
     def _resize_rgb(self, rgb: np.ndarray) -> np.ndarray:
         h, w = rgb.shape[:2]
@@ -306,6 +401,8 @@ class ImageResizer:
                 out.append(
                     codecs.write_png(self._resize_rgb(codecs.read_png(p)))
                 )
+            elif self.backend == "real":
+                out.append(self._resize_real(p))
             else:
                 seed = hashlib.sha256(p).digest()
                 nominal = self.out_h * self.out_w * 3

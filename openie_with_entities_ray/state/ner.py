@@ -152,11 +152,17 @@ class CapitalizedRunNER:
 
 
 def make_ner(backend: str = "dictionary", alias_dict=None):
-    """Backend dispatch (data.py:327-330 analogue)."""
+    """Backend dispatch (data.py:327-330 analogue). ``flair``/``spacy``
+    select the real model backends (import-gated: both need external
+    downloads absent in this environment)."""
     if backend == "dictionary":
         return DictionaryNER(alias_dict)
     if backend == "capitalized":
         return CapitalizedRunNER()
+    if backend == "flair":
+        return FlairNER()
+    if backend == "spacy":
+        return SpacyNER()
     raise ValueError(f"unknown ent_extractor backend: {backend}")
 
 
@@ -233,3 +239,178 @@ class DictionaryNER:
             m.canonical_id = cid
             m.type = typ
         return mentions
+
+
+# ---------------------------------------------------------------------------
+# model-backed span taggers (the reference's real flair/spacy backends)
+
+
+def char_index_to_word_index(tokens: List[str], offset: int) -> int:
+    """Span start-char offset → whitespace-word index, bit-faithful to
+    /root/reference/data.py:173-190 (quirks kept: the scan breaks at the
+    first token whose cumulative start offset reaches ``offset``, so an
+    offset INSIDE a token maps to the NEXT token; an offset past the
+    sentence end returns 0 because the loop finishes without breaking)."""
+    char_index = 0
+    index = 0
+    for i in range(len(tokens)):
+        if offset > char_index:
+            char_index = char_index + len(tokens[i]) + 1
+        else:
+            index = i
+            break
+    return index
+
+
+class SpanModelNER:
+    """Shared span→word mapping for model-backed taggers.
+
+    Subclasses provide a *pipe*: ``pipe(sentence_text) -> [(text,
+    start_char, label), ...]`` in model emission order. This base maps
+    the spans through :func:`char_index_to_word_index` with the
+    reference's overlap skip (the "Texas-Louisiana problem",
+    data.py:52-66/149-156) and serves the same contract as the
+    deterministic backends (find_mentions / word_features /
+    tag_and_link); canonical ids are content-addressed from the surface
+    (the reference does not link). ``reference_features`` exposes the
+    exact 5-tuple shape of reference ``ent_tags`` (data.py:138-169,
+    incl. the three marker-slot pads) for differential tests."""
+
+    def __init__(self, pipe):
+        self._pipe = pipe
+
+    def _spans(self, words: List[str]):
+        return self._pipe(" ".join(words))
+
+    def find_mentions(self, words: List[str]) -> List[Mention]:
+        n = len(words)
+        ent_pos = [0] * n
+        mentions: List[Mention] = []
+        pos = 0
+        for text, start_char, label in self._spans(words):
+            pos += 1
+            i1 = char_index_to_word_index(words, start_char)
+            i2 = min(i1 + len(text.split()), n)
+            if i1 < n and ent_pos[i1] > 0:
+                pos -= 1  # overlap skip (data.py:52-56)
+                continue
+            for k in range(i1, i2):
+                ent_pos[k] = pos
+            if i2 > i1:
+                mentions.append(
+                    Mention(i1, i2 - 1, " ".join(words[i1:i2]),
+                            label or "MISC", None)
+                )
+        return mentions
+
+    def word_features(self, words: List[str]):
+        ent = [0] * len(words)
+        ent_pos = [0] * len(words)
+        for ordinal, m in enumerate(self.find_mentions(words), start=1):
+            for k in range(m.start, m.end + 1):
+                ent[k] = 1
+                ent_pos[k] = ordinal
+        return ent, ent_pos
+
+    def reference_features(self, words: List[str]):
+        """data.py:138-169 ``ent_tags`` 5-tuple: (ent, reverse_ent,
+        ent_indices, ent_words, ent_pos) with the +3 marker pads
+        (ent/ent_pos 0, reverse_ent 1)."""
+        n = len(words)
+        ent = [0] * n
+        reverse_ent = [0] * n
+        ent_indices: List[int] = []
+        ent_words: List[str] = []
+        ent_pos = [0] * n
+        pos = 0
+        for text, start_char, _label in self._spans(words):
+            pos += 1
+            i1 = char_index_to_word_index(words, start_char)
+            i2 = min(i1 + len(text.split(" ")), n)
+            if i1 < n and ent_pos[i1] > 0:
+                pos -= 1
+                continue
+            for k in range(i1, i2):
+                ent[k] = 1
+                ent_pos[k] = pos
+                ent_indices.append(k)
+                ent_words.append(words[k].lower())
+        for i in range(n):
+            reverse_ent[i] = 1 if ent[i] == 0 else 0
+        ent.extend([0, 0, 0])
+        reverse_ent.extend([1, 1, 1])
+        return ent, reverse_ent, ent_indices, ent_words, ent_pos
+
+    def link(self, mention: Mention, context_words: List[str]):
+        cid = "S" + hashlib.sha1(
+            mention.surface.lower().encode("utf-8")
+        ).hexdigest()[:16]
+        return cid, mention.type
+
+    def tag_and_link(self, words: List[str]) -> List[Mention]:
+        mentions = self.find_mentions(words)
+        for m in mentions:
+            m.canonical_id, _ = self.link(m, words)
+        return mentions
+
+
+class FlairNER(SpanModelNER):
+    """Real Flair backend (reference data.py:28-30,34-74: module-level
+    ``SequenceTagger.load('ner-fast')``, ``Sentence(s,
+    use_tokenizer=False)``, ``get_spans('ner')``). Import-gates cleanly
+    — flair and its weights are external downloads absent here; pass a
+    fake ``pipeline`` (``pipe(text) -> [(text, start_char, label)]``)
+    to exercise the mapping without the model."""
+
+    def __init__(self, model: str = "ner-fast", pipeline=None):
+        if pipeline is not None:
+            super().__init__(pipeline)
+            return
+        try:
+            from flair.data import Sentence
+            from flair.models import SequenceTagger
+        except ImportError as e:
+            raise ImportError(
+                "FlairNER needs flair (and its ner-fast weights, an "
+                "external download) — this environment ships neither; "
+                "use --ent_extractor dictionary|capitalized, or pass a "
+                "fake pipeline for tests"
+            ) from e
+        tagger = SequenceTagger.load(model)  # once per actor __init__
+
+        def pipe(text: str):
+            s = Sentence(text, use_tokenizer=False)
+            tagger.predict(s)
+            return [
+                (sp.text, sp.start_position, sp.get_label("ner").value)
+                for sp in s.get_spans("ner")
+            ]
+
+        super().__init__(pipe)
+
+
+class SpacyNER(SpanModelNER):
+    """Real spaCy backend (reference data.py:327-330 dispatch +
+    ent_tags, data.py:138-169: ``doc.ents`` with char offsets).
+    Import-gates cleanly; pass a fake ``pipeline`` for tests."""
+
+    def __init__(self, model: str = "en_core_web_sm", pipeline=None):
+        if pipeline is not None:
+            super().__init__(pipeline)
+            return
+        try:
+            import spacy
+        except ImportError as e:
+            raise ImportError(
+                "SpacyNER needs spacy (and en_core_web_sm, an external "
+                "download) — this environment ships neither; use "
+                "--ent_extractor dictionary|capitalized, or pass a fake "
+                "pipeline for tests"
+            ) from e
+        nlp = spacy.load(model)  # once per actor __init__
+
+        def pipe(text: str):
+            doc = nlp(text)
+            return [(e.text, e.start_char, e.label_) for e in doc.ents]
+
+        super().__init__(pipe)

@@ -85,6 +85,25 @@ def load_conj_oracle():
     return mod
 
 
+def load_ent_tags_oracle():
+    """data.ent_tags + data.char_index_to_word_index — the span→word
+    mapping behind the reference's spaCy NER path (pure functions; the
+    flair variant differs only in reading .text off token objects)."""
+    if "ent_tags" in _cache:
+        return _cache["ent_tags"]
+    ns: dict = {}
+    exec(
+        _extract(
+            os.path.join(REFERENCE_DIR, "data.py"),
+            {"ent_tags", "char_index_to_word_index"},
+        ),
+        ns,
+    )
+    mod = types.SimpleNamespace(**ns)
+    _cache["ent_tags"] = mod
+    return mod
+
+
 class _FakeExtraction:
     def __init__(self, pred, head_pred_index, sent, confidence, index):
         self.pred = pred
