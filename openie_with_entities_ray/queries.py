@@ -236,6 +236,102 @@ WHERE sentence <> ''
 """
 
 
+def q_doc_sentences_wordpieces(sf_dir):
+    """O4's wordpiece half as a flag-and-carry column (SURVEY O4 says
+    flag, don't drop; reference data.py:284-285,294-303): doc_sentences
+    + ``n_wordpieces`` (len([bos]+pieces+[eos]) from the torch-free
+    greedy longest-prefix kernel over the literal demo vocab) +
+    ``fits_model`` (<=100 words AND <512 wordpieces, as int64). The SQL
+    oracle mirrors the greedy longest-prefix walk with a recursive CTE
+    over the same vocab literal."""
+    from .stages.sentences import with_wordpiece_counts
+
+    return with_wordpiece_counts(q_doc_sentences(sf_dir))
+
+
+def _sql_doc_sentences_wordpieces() -> str:
+    """Greedy longest-prefix wordpiece count in SQL: per (word, pos) the
+    longest vocab match (prefix tokens at pos 0, '##' continuations
+    after) is precomputed in ``best``; a recursive walk then advances
+    through each distinct word, any failed step marking the whole word
+    UNK (count 1 — the published algorithm's is_bad rule, also applied
+    to >100-char words)."""
+    from .functions.wordpiece import demo_vocab
+
+    vocab_values = ", ".join(
+        "('" + t.replace("'", "''") + "')" for t in sorted(demo_vocab())
+    )
+    return f"""
+WITH RECURSIVE
+sents AS ({_sql_doc_sentences()}),
+vocab(tok) AS (VALUES {vocab_values}),
+rawwords AS (
+  SELECT doc_id, sent_id, u.word0
+  FROM sents, unnest(string_split(sentence, ' ')) AS u(word0)
+),
+-- basic_tokenize's punctuation split (functions/wordpiece.py:64-91,
+-- ASCII ranges 33-47/58-64/91-96/123-126): every punct char becomes
+-- its own sub-token before the greedy wordpiece walk
+words AS (
+  SELECT r.doc_id, r.sent_id, t.word
+  FROM rawwords r,
+       unnest(string_split(
+         regexp_replace(r.word0, '([!-/:-@\[-`{{-~])',
+                        chr(1) || '\\1' || chr(1), 'g'),
+         chr(1))) AS t(word)
+  WHERE t.word <> ''
+),
+dwords AS (SELECT DISTINCT word FROM words),
+grid AS (
+  SELECT d.word, CAST(g.range AS INT) AS pos
+  FROM dwords d CROSS JOIN range(0, 100) g
+  WHERE CAST(g.range AS INT) < len(d.word)
+),
+best AS (
+  SELECT g.word, g.pos,
+         max(CASE WHEN g.pos = 0 THEN
+                    CASE WHEN v.tok NOT LIKE '##%'
+                          AND substr(g.word, 1, len(v.tok)) = v.tok
+                         THEN len(v.tok) END
+                  ELSE
+                    CASE WHEN v.tok LIKE '##%' AND len(v.tok) > 2
+                          AND substr(g.word, g.pos + 1, len(v.tok) - 2)
+                              = substr(v.tok, 3)
+                         THEN len(v.tok) - 2 END
+             END) AS step_len
+  FROM grid g, vocab v
+  GROUP BY g.word, g.pos
+),
+walk(word, pos, n, bad) AS (
+  SELECT word, 0, 0, false FROM dwords
+  UNION ALL
+  SELECT w.word,
+         w.pos + coalesce(b.step_len, 0),
+         w.n + 1,
+         b.step_len IS NULL
+  FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+  WHERE w.pos < len(w.word) AND NOT w.bad
+),
+word_counts AS (
+  SELECT word,
+         CASE WHEN len(word) > 100 OR bool_or(bad) THEN 1
+              ELSE max(n) END AS n_pieces
+  FROM walk GROUP BY word
+),
+per_sent AS (
+  SELECT w.doc_id, w.sent_id, (2 + sum(c.n_pieces))::BIGINT AS n_wordpieces
+  FROM words w JOIN word_counts c ON c.word = w.word
+  GROUP BY w.doc_id, w.sent_id
+)
+SELECT s.doc_id, s.sent_id, s.sentence, p.n_wordpieces,
+       (CASE WHEN len(string_split(s.sentence, ' ')) <= 100
+              AND p.n_wordpieces < 512 THEN 1 ELSE 0 END)::BIGINT
+         AS fits_model
+FROM sents s JOIN per_sent p
+  ON p.doc_id = s.doc_id AND p.sent_id = s.sent_id
+"""
+
+
 def q_token_counts(sf_dir):
     def counts(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -7351,6 +7447,7 @@ def build_queries():
     return {
         # SQL-oracled operators
         "doc_sentences": q_doc_sentences,
+        "doc_sentences_wordpieces": q_doc_sentences_wordpieces,
         "token_counts": q_token_counts,
         "lang_counts": q_lang_counts,
         "doc_hashes": q_doc_hashes,
@@ -7496,6 +7593,7 @@ def build_queries():
 def build_oracle_sql():
     return {
         "doc_sentences": _sql_doc_sentences(),
+        "doc_sentences_wordpieces": _sql_doc_sentences_wordpieces(),
         "token_counts": SQL_TOKEN_COUNTS,
         "lang_counts": SQL_LANG_COUNTS,
         "doc_hashes": SQL_DOC_HASHES,

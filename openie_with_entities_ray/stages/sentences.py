@@ -88,3 +88,53 @@ def docs_to_sentences(docs_ds, *, batch_size: int = 256):
     return docs_ds.map_batches(
         _explode_batch, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+class WordpieceCounter:
+    """O4's second half as a flag-and-carry column (SURVEY O4: flag,
+    don't drop): per sentence, ``n_wordpieces`` = len([bos] + pieces +
+    [eos]) from the torch-free greedy longest-prefix kernel
+    (functions/wordpiece.py, data.py:294-303) and ``fits_model`` =
+    the reference's <=100-words AND <512-wordpieces gate
+    (data.py:284-285) as int64 0/1.
+
+    Callable-class actor: the vocab dict (30k entries for a real
+    vocab.txt) loads once per actor in ``__init__``, never per batch."""
+
+    def __init__(self, vocab=None, vocab_path=None,
+                 sentence_col: str = "sentence"):
+        from ..functions.wordpiece import demo_vocab, load_vocab
+
+        if vocab is None:
+            vocab = load_vocab(vocab_path) if vocab_path else demo_vocab()
+        self.vocab = vocab
+        self.sentence_col = sentence_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.wordpiece import encode_words, fits_model_limits
+
+        counts, fits = [], []
+        for sent in batch.column(self.sentence_col).to_pylist():
+            words = sent.split()
+            ids, _starts = encode_words(words, self.vocab)
+            counts.append(len(ids))
+            fits.append(1 if fits_model_limits(words, ids) else 0)
+        cols = {c: batch.column(c) for c in batch.column_names}
+        cols["n_wordpieces"] = pa.array(counts, pa.int64())
+        cols["fits_model"] = pa.array(fits, pa.int64())
+        return pa.table(cols)
+
+
+def with_wordpiece_counts(sentences_ds, *, vocab=None, vocab_path=None,
+                          sentence_col: str = "sentence",
+                          batch_size: int = 1024, concurrency=(1, 4)):
+    """Attach the O4 wordpiece-count columns to any sentence Dataset."""
+    return sentences_ds.map_batches(
+        WordpieceCounter,
+        fn_constructor_kwargs=dict(
+            vocab=vocab, vocab_path=vocab_path, sentence_col=sentence_col
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -4319,3 +4319,30 @@ def test_real_media_backends_agree_with_stdlib():
     for a, b in zip(std_f.column("frame_bytes").to_pylist(),
                     real_f.column("frame_bytes").to_pylist()):
         assert np.array_equal(read_png(bytes(a)), read_png(bytes(b)))
+
+
+def test_wordpiece_counter_flags_oversize(ray_session):
+    """O4 flag-don't-drop: n_wordpieces counts [bos]+pieces+[eos]; a
+    sentence crossing 512 wordpieces keeps its row with fits_model=0
+    (reference data.py:284-285 drops; SURVEY O4 says flag)."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.sentences import (
+        with_wordpiece_counts,
+    )
+
+    vocab = {"[PAD]": 0, "[UNK]": 100, "[CLS]": 101, "[SEP]": 102,
+             "x": 1, "##x": 2, "hello": 3}
+    long_word = "x" * 90  # 90 pieces under greedy x/##x
+    sents = pa.table({
+        "sentence": pa.array([
+            "hello hello",                      # 2+2 = 4 pieces
+            " ".join([long_word] * 6),          # 2+540 -> over 512
+        ]),
+    })
+    got = with_wordpiece_counts(
+        ray.data.from_arrow(sents), vocab=vocab
+    ).to_pandas().sort_values("n_wordpieces").reset_index(drop=True)
+    assert got["n_wordpieces"].tolist() == [4, 542]
+    assert got["fits_model"].tolist() == [1, 0]
