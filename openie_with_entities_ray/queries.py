@@ -1346,7 +1346,7 @@ def _sql_component_sizes() -> str:
     )
 
 
-def q_khop_neighbors(sf_dir):
+def _khop_edges_and_seeds(sf_dir):
     """2-hop undirected neighborhood of the lexicographically smallest
     source node in the KG (the subgraph-retrieval primitive:
     stages/graph_algos.py:khop_neighbors — one broadcast-filtered edge
@@ -1392,9 +1392,28 @@ def q_khop_neighbors(sf_dir):
         .sort_values(["c", "node"], ascending=[False, True])
         .head(3)["node"]
     )
+    return edges, seeds
+
+
+def q_khop_neighbors(sf_dir):
+    """Driver-side variant: one broadcast-filtered edge pass per hop,
+    only new neighbor ids return to the driver (retrieval-sized
+    neighborhoods by contract)."""
     from .stages.graph_algos import khop_neighbors
 
+    edges, seeds = _khop_edges_and_seeds(sf_dir)
     return khop_neighbors(edges, seeds, k=2)
+
+
+def q_khop_neighbors_ds(sf_dir):
+    """Large-frontier variant against the SAME oracle: frontier and
+    visited stay Datasets (semi-join + exact Bloom anti-join per hop,
+    stages/graph_algos.py:khop_neighbors_dataset) — nothing node-scaled
+    on the driver."""
+    from .stages.graph_algos import khop_neighbors_dataset
+
+    edges, seeds = _khop_edges_and_seeds(sf_dir)
+    return khop_neighbors_dataset(edges, seeds, k=2)
 
 
 def _sql_khop_neighbors() -> str:
@@ -7582,6 +7601,7 @@ def build_queries():
         "dup_span_scrub": q_dup_span_scrub,
         "sql_projection": q_sql_projection,
         "khop_neighbors": q_khop_neighbors,
+        "khop_neighbors_ds": q_khop_neighbors_ds,
         "user_customer_coverage": q_user_customer_coverage,
         "revenue_cube": q_revenue_cube,
         "supplier_part_intersect": q_supplier_part_intersect,
@@ -7728,6 +7748,7 @@ def build_oracle_sql():
         "dup_span_scrub": _sql_dup_span_scrub(),
         "sql_projection": _SQL_ROWLOCAL_ORDERS.format(src="orders"),
         "khop_neighbors": _sql_khop_neighbors(),
+        "khop_neighbors_ds": _sql_khop_neighbors(),
         "user_customer_coverage": SQL_USER_CUSTOMER_COVERAGE,
         "revenue_cube": SQL_REVENUE_CUBE,
         "supplier_part_intersect": _SQL_SETOP.format(op="INTERSECT"),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def node_degrees(edges_ds, src: str = "src", dst: str = "dst",
@@ -1458,3 +1459,95 @@ def khop_neighbors(edges_ds, seeds, k: int = 2, *, src: str = "src",
         "node_id": pa.array(nodes),
         "hop": pa.array([visited[n] for n in nodes], pa.int64()),
     }))
+
+
+def khop_neighbors_dataset(edges_ds, seeds, k: int = 2, *,
+                           src: str = "src", dst: str = "dst",
+                           directed: bool = False):
+    """(node_id, hop) within ``k`` hops — the LARGE-frontier variant of
+    :func:`khop_neighbors`: frontier and visited stay DATASETS, so no
+    node-scaled set ever lands on the driver.
+
+    Per hop: one semi-join of the edge table against the frontier per
+    direction (stages/joins.py:equi_join — the inner join against the
+    deduped frontier IS the semi-join), a distinct on the candidate
+    ids, then an EXACT Bloom anti-join against the visited set
+    (joins.py:bloom_anti_join: fixed-size filter + exact verify) to
+    keep only first-reach nodes. ~3 exchanges per hop; use the
+    driver-side variant for retrieval-sized neighborhoods (it is one
+    broadcast-filtered pass per hop) and this one when frontiers are
+    corpus-scaled. Early-exits when a hop adds nothing."""
+    import ray.data
+
+    from .joins import bloom_anti_join, equi_join
+
+    key_type = None
+    for name, typ in zip(edges_ds.schema().names, edges_ds.schema().types):
+        if name == src:
+            key_type = typ
+    assert key_type is not None, f"no {src!r} column in edges"
+    if not isinstance(key_type, pa.DataType):
+        # pandas-block datasets report numpy dtypes / python types
+        import numpy as np
+
+        key_type = (pa.string() if key_type in (str, object)
+                    else pa.from_numpy_dtype(np.dtype(key_type)))
+
+    def _seed_table(ids, hop):
+        return pa.table({
+            "node_id": pa.array(sorted(ids), type=key_type),
+            "hop": pa.array([hop] * len(ids), pa.int64()),
+        })
+
+    visited = ray.data.from_arrow(_seed_table(set(seeds), 0)).materialize()
+    frontier = visited.drop_columns(["hop"]).materialize()
+
+    for hop in range(1, k + 1):
+        def fwd_project(batch: pa.Table, _d=dst) -> pa.Table:
+            return pa.table({"node_id": pc.cast(batch.column(_d),
+                                                key_type)})
+
+        def rev_project(batch: pa.Table, _s=src) -> pa.Table:
+            return pa.table({"node_id": pc.cast(batch.column(_s),
+                                                key_type)})
+
+        cand = equi_join(
+            edges_ds, frontier, on=src, right_on="node_id"
+        ).map_batches(fwd_project, batch_format="pyarrow")
+        if not directed:
+            rev_frontier = frontier.map_batches(
+                lambda b: b.rename_columns(["rev_node_id"]),
+                batch_format="pyarrow",
+            )
+            cand = cand.union(
+                equi_join(
+                    edges_ds, rev_frontier, on=dst,
+                    right_on="rev_node_id",
+                ).map_batches(rev_project, batch_format="pyarrow")
+            )
+        cand = cand.materialize()
+        if cand.count() == 0:
+            break
+        distinct = (
+            cand.groupby("node_id").count()
+            .map_batches(
+                lambda b: pa.table({"node_id": b.column("node_id")}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        fresh = bloom_anti_join(
+            lambda: distinct, visited, on="node_id", right_on="node_id"
+        ).materialize()
+        if fresh.count() == 0:
+            break
+        with_hop = fresh.map_batches(
+            lambda b, _h=hop: pa.table({
+                "node_id": b.column("node_id"),
+                "hop": pa.array([_h] * b.num_rows, pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        visited = visited.union(with_hop).materialize()
+        frontier = fresh
+    return visited

@@ -154,8 +154,22 @@ def _conform_union(left_ds, right_ds, *, left_key: str, right_key: str,
             f"left/right column names must be disjoint (rename first): "
             f"{sorted(overlap)}"
         )
-    fields = [(n, t) for n, t in zip(lschema.names, lschema.types)]
-    fields += [(n, t) for n, t in zip(rschema.names, rschema.types)]
+
+    def _as_arrow_type(t):
+        # a PANDAS-block dataset reports numpy dtypes / python types in
+        # schema().types; pa.nulls needs real Arrow types
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (str, object) or str(t) == "object":
+            return pa.string()
+        import numpy as np
+
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    fields = [(n, _as_arrow_type(t))
+              for n, t in zip(lschema.names, lschema.types)]
+    fields += [(n, _as_arrow_type(t))
+               for n, t in zip(rschema.names, rschema.types)]
 
     def conform(side: int, key_col: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -662,6 +676,8 @@ def outer_join(
     right_on: str,
     how: str = "full",
     num_parts: int | None = None,
+    left_schema=None,
+    right_schema=None,
 ):
     """LEFT / RIGHT / FULL OUTER hash equi-join on the tagged co-group
     scaffold — matched rows plus the preserved side(s)' unmatched rows

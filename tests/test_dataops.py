@@ -4346,3 +4346,44 @@ def test_wordpiece_counter_flags_oversize(ray_session):
     ).to_pandas().sort_values("n_wordpieces").reset_index(drop=True)
     assert got["n_wordpieces"].tolist() == [4, 542]
     assert got["fits_model"].tolist() == [1, 0]
+
+
+def test_khop_dataset_variant_agrees_with_driver_side(ray_session):
+    """khop_neighbors_dataset (frontier/visited as Datasets: semi-join +
+    exact Bloom anti-join per hop) must agree with the driver-side
+    variant on random graphs, directed and undirected, across k."""
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import (
+        khop_neighbors,
+        khop_neighbors_dataset,
+    )
+
+    rng = random.Random(99)
+    for trial in range(4):
+        n = rng.randint(5, 14)
+        m = rng.randint(4, 25)
+        srcs = [f"n{rng.randrange(n)}" for _ in range(m)]
+        dsts = [f"n{rng.randrange(n)}" for _ in range(m)]
+        edges = ray.data.from_arrow(pa.table({
+            "src": pa.array(srcs), "dst": pa.array(dsts),
+        })).repartition(3).materialize()
+        seeds = sorted({srcs[0], dsts[-1]})
+        for directed in (False, True):
+            for k in (1, 3):
+                want = {
+                    (r["node_id"], r["hop"])
+                    for r in khop_neighbors(
+                        edges, seeds, k=k, directed=directed
+                    ).take_all()
+                }
+                got = {
+                    (r["node_id"], r["hop"])
+                    for r in khop_neighbors_dataset(
+                        edges, seeds, k=k, directed=directed
+                    ).take_all()
+                }
+                assert got == want, (trial, directed, k)
