@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 
 from . import oracles
+from .memo import cached_read_parquet, dataset_memo
 
 _ANN_SEED = 123
 _ANN_K = 10
@@ -34,7 +35,7 @@ def _docs(sf_dir, num_blocks: int | None = None):
     block parallelism and the repartition is unnecessary)."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     if num_blocks:
@@ -470,7 +471,7 @@ def q_ann_topk(sf_dir):
 
     from .stages.dataops import ann_topk
 
-    emb = ray.data.read_parquet(
+    emb = cached_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     top = ann_topk(emb, ann_query_vector(), k=_ANN_K)
@@ -515,7 +516,7 @@ def q_lineitem_agg(sf_dir):
     import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -609,7 +610,7 @@ def _nation_revenue_rollup(joined, sf_dir):
     per_cust = joined.map_batches(
         combine, batch_format="pandas", batch_size=65536
     )
-    customer = ray.data.read_parquet(
+    customer = cached_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -668,11 +669,11 @@ def q_revenue_by_nation(sf_dir):
     import ray
     import ray.data
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     # hash-join partition count scales with the cluster: ~cpus/4 aggregator
@@ -758,12 +759,12 @@ def q_local_supplier_revenue(sf_dir):
 
     from .stages.joins import equi_join
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"],
     )
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -798,10 +799,10 @@ def q_local_supplier_revenue(sf_dir):
     per_pair = joined.map_batches(
         combine, batch_format="pandas", batch_size=65536
     )
-    customer = ray.data.read_parquet(
+    customer = cached_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    supplier = ray.data.read_parquet(
+    supplier = cached_read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     )
     with_dims = equi_join(
@@ -887,11 +888,11 @@ def q_revenue_by_nation_salted(sf_dir):
 
     from .stages.joins import salted_join
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     joined = salted_join(li, orders, on="l_orderkey", right_on="o_orderkey")
@@ -909,7 +910,7 @@ def q_top_customers(sf_dir):
 
     from .stages.dataops import _cluster_parts
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     num_parts = _cluster_parts()
@@ -963,7 +964,7 @@ def q_events_windows(sf_dir):
 
     from .stages.dataops import _cluster_parts
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     num_parts = _cluster_parts()
@@ -1020,7 +1021,7 @@ def q_sessionize(sf_dir):
 
     from .stages.dataops import _cluster_parts
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
     num_parts = _cluster_parts()
@@ -1073,7 +1074,7 @@ def q_mktsegment_stats(sf_dir):
     import ray.data
     from ray.data.aggregate import Sum
 
-    cust = ray.data.read_parquet(
+    cust = cached_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
     )
 
@@ -1138,7 +1139,7 @@ def q_customers_per_region(sf_dir):
     )
     maps_ref = ray.put((nmap, rmap))
 
-    cust = ray.data.read_parquet(
+    cust = cached_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey"]
     )
 
@@ -1176,6 +1177,45 @@ def _source_docs(sf_dir):
     return read_source_docs(sf_dir)
 
 
+def _shared_triples(sf_dir):
+    """Default-config flagship extraction, memoized at gate scale.
+
+    ~15 registry queries consume the identical extraction of the whole
+    corpus; below the size gate (memo.dataset_memo) it materializes once
+    per process and is reused, above it the call is a pass-through and
+    the pipeline streams exactly as before."""
+    from .pipelines.flagship import extract_triples
+
+    return dataset_memo(
+        ("flagship_triples", sf_dir),
+        lambda: extract_triples(_source_docs(sf_dir)),
+        gate_path=f"{sf_dir}/documents.parquet",
+    )
+
+
+def _shared_triples_entities(sf_dir):
+    """extract_triples_with_entities twin of :func:`_shared_triples`."""
+    from .pipelines.flagship import extract_triples_with_entities
+
+    return dataset_memo(
+        ("flagship_triples_entities", sf_dir),
+        lambda: extract_triples_with_entities(_source_docs(sf_dir)),
+        gate_path=f"{sf_dir}/documents.parquet",
+    )
+
+
+def _shared_graph_edges(sf_dir):
+    """Deduped flagship edge set, memoized at gate scale (8 graph
+    queries recompute the identical triples->edges->dedup chain)."""
+    from .pipelines.flagship import build_graph
+
+    return dataset_memo(
+        ("flagship_graph_edges", sf_dir),
+        lambda: build_graph(_shared_triples(sf_dir))[1],
+        gate_path=f"{sf_dir}/documents.parquet",
+    )
+
+
 def _conf_to_centi(ds):
     """confidence (already 2-decimal, model.py:477) → integer centi so the
     driver's value hash can't diverge on float formatting."""
@@ -1202,7 +1242,7 @@ def q_triples(sf_dir):
     from .pipelines.flagship import extract_triples
 
     return _conf_to_centi(
-        extract_triples(_source_docs(sf_dir)).drop_columns(
+        _shared_triples(sf_dir).drop_columns(
             ["orig_sentence", "content_sha256"]
         )
     )
@@ -1214,7 +1254,7 @@ def q_triples_entities(sf_dir):
     numpy arrays from the two sides print differently)."""
     from .pipelines.flagship import extract_triples_with_entities
 
-    tr = extract_triples_with_entities(_source_docs(sf_dir)).drop_columns(
+    tr = _shared_triples_entities(sf_dir).drop_columns(
         ["orig_sentence", "content_sha256"]
     )
 
@@ -1282,13 +1322,13 @@ def q_graph_nodes(sf_dir):
     from .pipelines.flagship import extract_triples
     from .stages.canonical import canonicalize_surfaces
 
-    return canonicalize_surfaces(extract_triples(_source_docs(sf_dir)))
+    return canonicalize_surfaces(_shared_triples(sf_dir))
 
 
 def q_graph_edges(sf_dir):
     from .pipelines.flagship import build_graph, extract_triples
 
-    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    edges = _shared_graph_edges(sf_dir)
     return _conf_to_centi(edges)
 
 
@@ -1300,7 +1340,7 @@ def q_components(sf_dir):
     from .pipelines.flagship import build_graph, extract_triples
     from .stages.graph_algos import connected_components_join
 
-    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    edges = _shared_graph_edges(sf_dir)
     return connected_components_join(edges, max_iters=100)
 
 
@@ -1358,7 +1398,7 @@ def _khop_edges_and_seeds(sf_dir):
 
     from .stages.dataops import _cluster_parts
 
-    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    edges = _shared_graph_edges(sf_dir)
     edges = edges.select_columns(["src", "dst"]).materialize()
     num_parts = _cluster_parts()
 
@@ -1454,7 +1494,7 @@ def q_pagerank(sf_dir):
     from .pipelines.flagship import build_graph, extract_triples
     from .stages.graph_algos import pagerank_join
 
-    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    edges = _shared_graph_edges(sf_dir)
     return pagerank_join(edges)
 
 
@@ -1462,7 +1502,7 @@ def q_predicate_freq(sf_dir):
     from .pipelines.flagship import extract_triples
     from .stages.canonical import predicate_frequencies
 
-    return predicate_frequencies(extract_triples(_source_docs(sf_dir)))
+    return predicate_frequencies(_shared_triples(sf_dir))
 
 
 def q_violations(sf_dir):
@@ -1473,7 +1513,7 @@ def q_violations(sf_dir):
 
     from .pipelines.flagship import extract_triples_with_entities
 
-    tr = extract_triples_with_entities(_source_docs(sf_dir))
+    tr = _shared_triples_entities(sf_dir)
 
     def flags(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1573,7 +1613,7 @@ def q_carb_selfcheck(sf_dir):
     from .pipelines.flagship import extract_triples
     from .pipelines.oracle import oracle_predictions
 
-    pred = extract_triples(_source_docs(sf_dir)).map_batches(
+    pred = _shared_triples(sf_dir).map_batches(
         lambda b: pa.table(
             {
                 "sentence": b.column("orig_sentence"),
@@ -1712,7 +1752,7 @@ def q_doc_sample(sf_dir):
 
     from .stages.dataops import deterministic_sample
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return deterministic_sample(docs, rate_permille=100)
@@ -1731,7 +1771,7 @@ def q_doc_sample_stratified(sf_dir):
 
     from .stages.dataops import stratified_sample
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return stratified_sample(
@@ -1771,7 +1811,7 @@ def q_corpus_budget(sf_dir):
 
     from .stages.dataops import corpus_budget
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]
     )
     return corpus_budget(docs)
@@ -1791,7 +1831,7 @@ def q_mixture_weights(sf_dir):
 
     from .stages.dataops import corpus_budget
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]
     )
     # lang-cardinality rows — a true small result
@@ -2103,7 +2143,7 @@ def q_embedding_dups(sf_dir):
     )
     ref_ids = np.array(ref.column("vec_id").to_pylist())
     ref_mat = np.array(ref.column("embedding").to_pylist(), dtype=np.float64)
-    emb = ray.data.read_parquet(
+    emb = cached_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return embedding_dup_pairs_exact(emb, ref_ids, ref_mat, threshold=0.3)
@@ -2142,7 +2182,7 @@ def q_embedding_alignment(sf_dir):
     b_ids = np.array(b.column("vec_id").to_pylist())
     b_mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
 
-    a_ds = ray.data.read_parquet(
+    a_ds = cached_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         lambda t: t.filter(
@@ -2162,7 +2202,7 @@ def q_label_centroids(sf_dir):
     import ray.data
     from ray.data.aggregate import Sum
 
-    emb = ray.data.read_parquet(
+    emb = cached_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     )
 
@@ -2228,7 +2268,7 @@ def q_user_event_pivot(sf_dir):
 
     from .stages.dataops import _cluster_parts
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     types = ["click", "error", "purchase", "signup", "view"]
@@ -2342,7 +2382,7 @@ def q_embedding_dups_lsh(sf_dir):
 
     from .stages.dataops import embedding_near_dup_pairs
 
-    emb = ray.data.read_parquet(
+    emb = cached_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     # fixed geometry (8 planes x 12 tables): reproducible output the SQL
@@ -2551,10 +2591,10 @@ def q_events_last_order(sf_dir):
 
     from .stages.joins import asof_join
 
-    events = ray.data.read_parquet(
+    events = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
@@ -2605,10 +2645,10 @@ def q_purchase_followups(sf_dir):
 
     from .stages.joins import range_join
 
-    events = ray.data.read_parquet(
+    events = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    raw_anchors = ray.data.read_parquet(
+    raw_anchors = cached_read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"],
     )
@@ -2658,7 +2698,7 @@ def q_top_docs_per_lang(sf_dir):
 
     from .stages.dataops import grouped_topk
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "n_chars"],
     )
@@ -2687,7 +2727,7 @@ def q_hopping_windows(sf_dir):
 
     from .stages.dataops import _cluster_parts
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     num_parts = _cluster_parts()
@@ -2753,7 +2793,7 @@ def q_doc_top_terms(sf_dir):
 
     from .stages.dataops import _cluster_parts, grouped_topk
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     num_parts = _cluster_parts()
@@ -2852,7 +2892,7 @@ def q_distinct_token_estimate(sf_dir):
 
     from .stages.dataops import kmv_distinct_sketch
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
 
@@ -3060,7 +3100,7 @@ def q_order_priority_counts(sf_dir):
 
     from .stages.dataops import cluster_cpus
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
@@ -3075,7 +3115,7 @@ def q_order_priority_counts(sf_dir):
         )
         return batch.filter(mask).select(["o_orderkey", "o_orderpriority"])
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_discount"]
     )
 
@@ -3128,7 +3168,7 @@ def q_returnflag_priority(sf_dir):
 
     from .stages.dataops import cluster_cpus
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_shipdate"],
     )
@@ -3143,7 +3183,7 @@ def q_returnflag_priority(sf_dir):
         )
         return batch.filter(mask).select(["l_orderkey", "l_returnflag"])
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     joined = li.map_batches(shipped, batch_format="pyarrow").join(
@@ -3198,12 +3238,12 @@ def q_customers_without_events(sf_dir):
     from .stages.joins import bloom_anti_join
 
     def customers():
-        return ray.data.read_parquet(
+        return cached_read_parquet(
             f"{sf_dir}/customer.parquet",
             columns=["c_custkey", "c_mktsegment"],
         )
 
-    events = ray.data.read_parquet(
+    events = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id"]
     )
     return bloom_anti_join(customers, events, on="c_custkey",
@@ -3235,7 +3275,7 @@ def q_running_revenue(sf_dir):
 
     from .stages.windows import running_sum
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
@@ -3279,7 +3319,7 @@ def q_event_gaps(sf_dir):
 
     from .stages.windows import lag_delta
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
     )
 
@@ -3320,7 +3360,7 @@ def q_rolling_event_stats(sf_dir):
 
     from .stages.windows import range_rolling
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_id", "ts", "value"],
     )
@@ -3373,7 +3413,7 @@ def q_order_count_distribution(sf_dir):
     from .stages.dataops import _cluster_parts
 
     num_parts = _cluster_parts()
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"]
     )
 
@@ -3401,7 +3441,7 @@ def q_order_count_distribution(sf_dir):
         .aggregate(Sum("custdist", alias_name="custdist"))
         .to_pandas()  # few dozen rows: one per distinct order count
     )
-    total_customers = ray.data.read_parquet(
+    total_customers = cached_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).count()
     zero = total_customers - int(dist["custdist"].sum())
@@ -3440,7 +3480,7 @@ def _per_nation_revenue(sf_dir):
 
     from .stages.joins import equi_join
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -3456,7 +3496,7 @@ def _per_nation_revenue(sf_dir):
     per_cust = orders.map_batches(
         combine, batch_format="pandas", batch_size=65536
     )
-    customer = ray.data.read_parquet(
+    customer = cached_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     with_nation = equi_join(
@@ -3605,7 +3645,7 @@ def q_doc_length_histogram(sf_dir):
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["n_chars"]
     )
 
@@ -3644,7 +3684,7 @@ def q_lineitem_profile(sf_dir):
     from ray.data.aggregate import Max, Min, Sum
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    li = cached_read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -3732,7 +3772,7 @@ def q_new_docs_vs_snapshot(sf_dir):
         import pyarrow.compute as pc
 
         def read():
-            ds = ray.data.read_parquet(
+            ds = cached_read_parquet(
                 f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
             )
             return ds.map_batches(
@@ -3808,7 +3848,7 @@ def q_orders_checksum(sf_dir):
 
     from .stages.dataops import table_checksum
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_orderpriority"],
@@ -3846,7 +3886,7 @@ def q_conversion_funnel(sf_dir):
     from .stages.dataops import _cluster_parts
 
     num_parts = _cluster_parts()
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     )
 
@@ -3945,7 +3985,7 @@ def q_doc_percentile_rank(sf_dir):
 
     from .stages.dataops import percent_rank_by_value
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
     return percent_rank_by_value(
@@ -3970,7 +4010,7 @@ def q_triangle_count(sf_dir):
     from .pipelines.flagship import build_graph, extract_triples
     from .stages.graph_algos import triangle_count
 
-    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    edges = _shared_graph_edges(sf_dir)
     return triangle_count(edges)
 
 
@@ -4000,7 +4040,7 @@ def q_link_prediction(sf_dir):
     from .pipelines.flagship import build_graph, extract_triples
     from .stages.graph_algos import common_neighbors_topk
 
-    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    edges = _shared_graph_edges(sf_dir)
     return common_neighbors_topk(edges, k=20)
 
 
@@ -4056,12 +4096,12 @@ def q_shipping_priority(sf_dir):
             pc.equal(batch.column("c_mktsegment"), "BUILDING")
         ).select(["c_custkey"])
 
-    customer = ray.data.read_parquet(
+    customer = cached_read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"],
     ).map_batches(building_cust, batch_format="pyarrow")
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -4080,7 +4120,7 @@ def q_shipping_priority(sf_dir):
             "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
         })
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_shipdate", "l_extendedprice",
                  "l_discount"],
@@ -4151,7 +4191,7 @@ def q_distinct_users_by_type(sf_dir):
 
     from .stages.dataops import kmv_distinct_by_group
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return kmv_distinct_by_group(
@@ -4193,7 +4233,7 @@ def q_event_type_cooccurrence(sf_dir):
     from .stages.dataops import _cluster_parts
 
     num_parts = _cluster_parts()
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
 
@@ -4327,7 +4367,7 @@ def q_kmeans_clusters(sf_dir):
 
     from .stages.dataops import kmeans_embeddings
 
-    emb = ray.data.read_parquet(
+    emb = cached_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()  # multi-round loop: pin blocks once (kmeans docstring)
     return kmeans_embeddings(emb, k=8, iters=5)
@@ -4346,7 +4386,7 @@ def q_hard_negatives(sf_dir):
     from .stages.dataops import ann_topk, kmeans_embeddings
     from .stages.joins import equi_join
 
-    emb = ray.data.read_parquet(
+    emb = cached_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()  # three passes (k-means rounds, top-1, rank)
     q = ann_query_vector()
@@ -4454,7 +4494,7 @@ def q_semantic_dedup(sf_dir):
 
     from .stages.dataops import semantic_dedup
 
-    emb = ray.data.read_parquet(
+    emb = cached_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()  # per kmeans docstring: multi-round loop over the
     # same (column-pruned) input — pin blocks in the object store once
@@ -4526,7 +4566,7 @@ def q_communities(sf_dir):
     from .pipelines.flagship import build_graph, extract_triples
     from .stages.graph_algos import label_propagation_join
 
-    _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+    edges = _shared_graph_edges(sf_dir)
     return label_propagation_join(edges, iterations=3)
 
 
@@ -4545,7 +4585,7 @@ def q_edge_provenance(sf_dir):
     from .stages.graph import edge_provenance
 
     _, edges = build_graph(
-        extract_triples(_source_docs(sf_dir)), deduped=False
+        _shared_triples(sf_dir), deduped=False
     )
     return edge_provenance(edges, k=3)
 
@@ -4572,7 +4612,7 @@ def q_kg_snapshot_diff(sf_dir):
             ]
             return batch.filter(pa.array(mask, pa.bool_()))
 
-        triples = extract_triples(_source_docs(sf_dir)).map_batches(
+        triples = _shared_triples(sf_dir).map_batches(
             keep_even, batch_format="pyarrow"
         )
         _, edges = build_graph(triples)
@@ -4581,7 +4621,7 @@ def q_kg_snapshot_diff(sf_dir):
         )
 
     def full_edges():
-        _, edges = build_graph(extract_triples(_source_docs(sf_dir)))
+        edges = _shared_graph_edges(sf_dir)
         return _conf_to_centi(edges).select_columns(
             ["src", "rel", "dst", "conf_centi"]
         )
@@ -4606,7 +4646,7 @@ def q_kcore(sf_dir):
 
     from .stages.graph_algos import kcore_join
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey"],
     )
@@ -4653,7 +4693,7 @@ def q_supplier_name_pairs(sf_dir):
 
     from .stages.dataops import edit_distance_join
 
-    sup = ray.data.read_parquet(
+    sup = cached_read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_name"]
     )
     return edit_distance_join(sup, col="s_name")
@@ -4681,7 +4721,7 @@ def q_canonical_suppliers(sf_dir):
     from .stages.dataops import _cluster_parts, edit_distance_join
     from .stages.graph_algos import connected_components_join
 
-    sup = ray.data.read_parquet(
+    sup = cached_read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_name"]
     )
     pairs = edit_distance_join(sup, col="s_name").map_batches(
@@ -4765,7 +4805,7 @@ def q_dataset_splits(sf_dir):
 
     from .stages.dataops import dataset_splits
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return dataset_splits(docs, val_permille=50, test_permille=50)
@@ -4794,7 +4834,7 @@ def q_decontaminated_docs(sf_dir):
     import pyarrow.compute as pc
 
     def side(name):
-        docs = ray.data.read_parquet(
+        docs = cached_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
         split = dataset_splits(docs, val_permille=50, test_permille=50)
@@ -4822,7 +4862,7 @@ def q_retention_cohorts(sf_dir):
 
     from .stages.dataops import _cluster_parts
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
     num_parts = _cluster_parts()
@@ -4886,7 +4926,7 @@ def q_source_overlap(sf_dir):
     from .functions.textstats import winnow_fingerprints
     from .stages.dataops import _cluster_parts
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text", "source"]
     )
     num_parts = _cluster_parts()
@@ -4974,7 +5014,7 @@ def q_event_type_runs(sf_dir):
 
     from .stages.dataops import _cluster_parts
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["ts", "user_id", "event_type", "event_id"],
     )
@@ -5038,7 +5078,7 @@ def q_props_stats(sf_dir):
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "props"]
     )
 
@@ -5121,7 +5161,7 @@ def q_term_pairs(sf_dir):
 
     from .stages.dataops import term_cooccurrence_topk
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return term_cooccurrence_topk(docs, vocab_size=40, k=50)
@@ -5136,7 +5176,7 @@ def q_doc_sample_weighted(sf_dir):
 
     from .stages.dataops import weighted_sample
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "n_chars"],
     )
@@ -5151,7 +5191,7 @@ def q_doc_sample_exact_k(sf_dir):
 
     from .stages.dataops import exact_k_sample
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return exact_k_sample(docs, k=20, strat_col="lang")
@@ -5187,7 +5227,7 @@ def q_packed_sequences(sf_dir):
 
     from .stages.dataops import pack_sequences
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return pack_sequences(docs, seq_len=128, bucket_size=64)
@@ -5263,7 +5303,7 @@ def q_bm25_topk(sf_dir):
 
     from .stages.dataops import bm25_topk
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return bm25_topk(docs, ["spark", "join", "window"], k=10)
@@ -5343,7 +5383,7 @@ def q_training_order(sf_dir):
 
     from .stages.dataops import training_order
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
     return training_order(docs, salt="shuffle", bucket_bits=10)
@@ -5368,7 +5408,7 @@ def q_ngram_counts(sf_dir):
 
     from .stages.dataops import ngram_counts
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
     return ngram_counts(docs, n=3, min_count=3)
@@ -5441,7 +5481,7 @@ def q_event_outliers(sf_dir):
 
     num_parts = _cluster_parts()
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "value"],
     )
@@ -5523,7 +5563,7 @@ def q_large_orders(sf_dir):
     threshold = 150
     num_parts = _cluster_parts()
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_quantity"],
     )
@@ -5559,7 +5599,7 @@ def q_large_orders(sf_dir):
                  (int(q) for q in winners["qty"])))
     )
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -5620,7 +5660,7 @@ def q_key_skew(sf_dir):
 
     num_parts = _cluster_parts()
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id"]
     )
 
@@ -5687,7 +5727,7 @@ def q_range_bounds(sf_dir):
 
     from .stages.dataops import range_bounds
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
     return range_bounds(
@@ -5725,7 +5765,7 @@ def q_epoch_slice(sf_dir):
     from .stages.dataops import training_order
 
     lo, hi = 100, 200
-    docs_ids = ray.data.read_parquet(
+    docs_ids = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
     ranks = training_order(docs_ids, salt="shuffle", bucket_bits=10)
@@ -5746,7 +5786,7 @@ def q_epoch_slice(sf_dir):
                  (int(p) for p in window["shuffle_pos"])))
     )
 
-    docs = ray.data.read_parquet(
+    docs = cached_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
 
@@ -5916,15 +5956,15 @@ def q_nation_trade(sf_dir):
         )
         return batch.filter(keep)
 
-    supplier = ray.data.read_parquet(
+    supplier = cached_read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     ).map_batches(_nation_subset, batch_format="pyarrow")
-    customer = ray.data.read_parquet(
+    customer = cached_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(_nation_subset, batch_format="pyarrow")
 
     li = equi_join(
-        ray.data.read_parquet(
+        cached_read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                      "l_discount", "l_shipdate"],
@@ -5932,7 +5972,7 @@ def q_nation_trade(sf_dir):
         supplier, on="l_suppkey", right_on="s_suppkey",
     )
     orders = equi_join(
-        ray.data.read_parquet(
+        cached_read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
         ),
         customer, on="o_custkey", right_on="c_custkey",
@@ -6116,17 +6156,17 @@ def q_market_share(sf_dir):
         )
         return batch.filter(keep).select(["c_custkey"])
 
-    part_ds = ray.data.read_parquet(
+    part_ds = cached_read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
     ).map_batches(promo_parts, batch_format="pyarrow")
-    supplier = ray.data.read_parquet(
+    supplier = cached_read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     )
-    customer = ray.data.read_parquet(
+    customer = cached_read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(europe_cust, batch_format="pyarrow")
 
-    li_raw = ray.data.read_parquet(
+    li_raw = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"],
@@ -6151,7 +6191,7 @@ def q_market_share(sf_dir):
 
     li = li_supp.map_batches(li_project, batch_format="pyarrow")
 
-    o_win = ray.data.read_parquet(
+    o_win = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(o_window, batch_format="pyarrow")
@@ -6287,12 +6327,12 @@ def q_returned_item_customers(sf_dir):
         )
         return batch.filter(mask).select(["o_orderkey", "o_custkey"])
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"],
     ).map_batches(li_prefilter, batch_format="pyarrow")
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(o_prefilter, batch_format="pyarrow")
@@ -6406,7 +6446,7 @@ def q_small_quantity_revenue(sf_dir):
 
     num_parts = _cluster_parts()
 
-    li_stats_in = ray.data.read_parquet(
+    li_stats_in = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity"],
     )
@@ -6436,7 +6476,7 @@ def q_small_quantity_revenue(sf_dir):
         .map_groups(stats_merge, batch_format="pandas")
     )
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )
@@ -6497,7 +6537,7 @@ def q_forecast_revenue(sf_dir):
     import pyarrow.compute as pc
     import ray.data
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_shipdate", "l_quantity", "l_extendedprice",
                  "l_discount"],
@@ -6587,7 +6627,7 @@ def q_promo_revenue(sf_dir):
     )
     promo_ref = ray.put(promo)
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_shipdate", "l_extendedprice",
                  "l_discount"],
@@ -6664,7 +6704,7 @@ def q_top_supplier(sf_dir):
     import ray.data
     from ray.data.aggregate import Sum
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_shipdate", "l_extendedprice",
                  "l_discount"],
@@ -6774,7 +6814,7 @@ def q_brand_bulk_revenue(sf_dir):
          for (_, _, _, q_lo, q_hi), keys in zip(legs, leg_keys)]
     )
 
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice",
                  "l_discount"],
@@ -6839,7 +6879,7 @@ def q_sole_return_suppliers(sf_dir):
     from .stages.dataops import _cluster_parts
 
     num_parts = _cluster_parts()
-    li = ray.data.read_parquet(
+    li = cached_read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_returnflag"],
     )
@@ -6956,7 +6996,7 @@ def q_sales_opportunity(sf_dir):
         return pd.DataFrame({"s": [int(pos.sum())], "n": [int(len(pos))]})
 
     stats = (
-        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+        cached_read_parquet(f"{sf_dir}/customer.parquet",
                               columns=["c_acctbal"])
         .map_batches(pos_partial, batch_format="pandas")
         .to_pandas()
@@ -6981,7 +7021,7 @@ def q_sales_opportunity(sf_dir):
             )
             return batch.filter(mask)
 
-        return ray.data.read_parquet(
+        return cached_read_parquet(
             f"{sf_dir}/customer.parquet", columns=cust_cols
         ).map_batches(above_avg, batch_format="pyarrow")
 
@@ -6995,7 +7035,7 @@ def q_sales_opportunity(sf_dir):
             pc.greater_equal(d, pa.scalar(cutoff, type=d.type))
         ).select(["o_custkey"])
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     ).map_batches(recent, batch_format="pyarrow")
     lonely = bloom_anti_join(
@@ -7056,7 +7096,7 @@ def q_embedding_gram(sf_dir):
     import ray.data
     from ray.data.aggregate import Sum
 
-    emb = ray.data.read_parquet(
+    emb = cached_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
     )
 
@@ -7310,7 +7350,7 @@ def q_sql_projection(sf_dir):
 
     from .stages.dataops import sql_map_batches
 
-    orders = ray.data.read_parquet(
+    orders = cached_read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderstatus", "o_totalprice",
                  "o_orderdate", "o_orderpriority"],
@@ -7330,14 +7370,14 @@ def q_user_customer_coverage(sf_dir):
     from .stages.joins import full_outer_join
 
     ev = (
-        ray.data.read_parquet(
+        cached_read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id"]
         )
         .filter(expr="user_id < 10")
         .groupby("user_id")
         .aggregate(Count(alias_name="n_events"))
     )
-    cust = ray.data.read_parquet(
+    cust = cached_read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"],
     ).filter(expr="c_custkey >= 5 and c_custkey <= 14").map_batches(
@@ -7366,7 +7406,7 @@ FROM l FULL OUTER JOIN r ON l.user_id = r.cust_id
 def _setop_sides(sf_dir):
     import ray.data
 
-    li = lambda: ray.data.read_parquet(  # noqa: E731
+    li = lambda: cached_read_parquet(  # noqa: E731
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_partkey", "l_quantity"],
     )
@@ -7425,7 +7465,7 @@ def q_event_type_mode(sf_dir):
 
     from .stages.dataops import mode_per_group
 
-    ev = ray.data.read_parquet(
+    ev = cached_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     return mode_per_group(ev, group_col="user_id", value_col="event_type")

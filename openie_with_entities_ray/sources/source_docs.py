@@ -33,10 +33,11 @@ def read_source_docs(sf_dir: str, columns=None, num_blocks: int | None = None,
     commit provenance — used by the benchmark to give the pipeline enough
     work to measure throughput rather than fixed startup overhead.
     """
-    import ray.data
+    from ..memo import cached_read_parquet
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    ds = cached_read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
     )
     if replicate > 1:
         def rep(batch: pa.Table) -> pa.Table:
