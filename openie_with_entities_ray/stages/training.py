@@ -48,14 +48,49 @@ def align_extractions(ds, max_rows_per_sentence: int = 5):
 
     aligned = ds.map_batches(align, batch_format="pyarrow")
 
-    def cap(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(max_rows_per_sentence)
+    def cap(group: pa.Table) -> pa.Table:
+        # Arrow-native slice: keeps tags as list<string> blocks (a pandas
+        # group block turns the list column into object ndarrays that
+        # cannot convert back to Arrow for downstream sort/write stages).
+        return group.slice(0, max_rows_per_sentence)
 
-    return aligned.groupby("sentence").map_groups(cap, batch_format="pandas")
+    return aligned.groupby("sentence").map_groups(cap, batch_format="pyarrow")
+
+
+def write_labels_file(aligned_ds, path: str) -> int:
+    """Streaming S2-format sink (the scale path of render_labels_file).
+
+    Distributed sort by sentence co-locates each sentence's tag rows,
+    then batches stream through the driver one at a time — peak driver
+    memory is one batch, not the corpus. Returns the number of sentence
+    blocks written. Output ordering is lexicographic by sentence (the
+    format itself is order-insensitive: the S2 reader keys on the
+    sentence line of each block)."""
+    n = 0
+    prev_sent = None
+    with open(path, "w") as fh:
+        for batch in aligned_ds.sort("sentence").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for sentence, tags in zip(
+                batch.column("sentence").to_pylist(),
+                batch.column("tags").to_pylist(),
+            ):
+                if sentence != prev_sent:
+                    if prev_sent is not None:
+                        fh.write("\n")
+                    fh.write(sentence + " [unused1] [unused2] [unused3]\n")
+                    prev_sent = sentence
+                    n += 1
+                fh.write(" ".join(tags) + "\n")
+    return n
 
 
 def render_labels_file(aligned_ds) -> str:
-    """Blank-line-separated S2 format (data.py:256-309 reader's input)."""
+    """Blank-line-separated S2 format (data.py:256-309 reader's input).
+
+    Fixture-scale only (drains take_all into a driver dict) — use
+    :func:`write_labels_file` for anything larger."""
     blocks = []
     import collections
 
