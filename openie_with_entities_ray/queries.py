@@ -7499,6 +7499,120 @@ GROUP BY a.dim, b.dim
 
 
 # ---------------------------------------------------------------------------
+# exact distributed percentiles + percentile-cutoff curation
+
+
+def q_doc_length_percentiles(sf_dir):
+    """Exact type-1 discrete percentiles of document length, computed by
+    exchanging the VALUE DISTRIBUTION (dataops.value_distribution) —
+    shuffle volume is the length domain, not the corpus. Rank rule
+    ceil(q/1000*n) matches the SQL mirror's row_number() selection."""
+    from .stages.dataops import exact_percentiles
+
+    def with_len(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "n_chars",
+            pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+        )
+
+    docs = _docs(sf_dir).map_batches(with_len, batch_format="pyarrow")
+    return exact_percentiles(
+        docs, "n_chars", (100, 250, 500, 750, 900, 990)
+    )
+
+
+def _sql_percentile_cuts(qs, src="documents", val="length(text)",
+                         part=""):
+    over = f"PARTITION BY {part} " if part else ""
+    sel = ", ".join(
+        f"max(CASE WHEN rn = GREATEST(1, CAST(CEIL({q}/1000.0 * n) AS BIGINT)) "
+        f"THEN v END) AS p{q}" for q in qs
+    )
+    cols = (part + ", ") if part else ""
+    grp = f"GROUP BY {part}" if part else ""
+    return f"""
+ranked AS (
+  SELECT {cols}{val}::BIGINT AS v,
+         row_number() OVER ({over}ORDER BY {val}) AS rn,
+         count(*) OVER ({over.strip() or ''}) AS n
+  FROM {src}
+), cuts AS (
+  SELECT {cols}{sel} FROM ranked {grp}
+)"""
+
+
+def _sql_doc_length_percentiles():
+    qs = (100, 250, 500, 750, 900, 990)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {q}::BIGINT AS q_permille, p{q}::BIGINT AS value FROM cuts"
+        for q in qs
+    )
+    return f"WITH {_sql_percentile_cuts(qs)}\n{arms}\nORDER BY q_permille"
+
+
+def q_doc_length_percentiles_by_lang(sf_dir):
+    """Per-language percentile profile (grouped variant — the by-key
+    rides the same distribution exchange)."""
+    from .stages.dataops import exact_percentiles
+
+    def with_len(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "n_chars",
+            pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+        )
+
+    docs = _docs(sf_dir).map_batches(with_len, batch_format="pyarrow")
+    return exact_percentiles(docs, "n_chars", (250, 500, 750), by="lang")
+
+
+def _sql_doc_length_percentiles_by_lang():
+    qs = (250, 500, 750)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT lang, {q}::BIGINT AS q_permille, p{q}::BIGINT AS value FROM cuts"
+        for q in qs
+    )
+    return (
+        f"WITH {_sql_percentile_cuts(qs, part='lang')}\n{arms}\n"
+        "ORDER BY lang, q_permille"
+    )
+
+
+def q_length_clipped_docs(sf_dir):
+    """Percentile-cutoff curation: keep docs whose length lies within the
+    exact [p5, p95] band — pass 1 computes the two cutoffs from the
+    value distribution, pass 2 re-streams the corpus filtering on two
+    closure ints (dataops.percentile_clip; no broadcast table, no
+    shuffle in pass 2)."""
+    from .stages.dataops import percentile_clip
+
+    def with_len(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "n_chars",
+            pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+        )
+
+    docs = _docs(sf_dir).map_batches(with_len, batch_format="pyarrow")
+    return percentile_clip(
+        docs, "n_chars", lo_permille=50, hi_permille=950
+    ).select_columns(["doc_id", "n_chars"])
+
+
+def _sql_length_clipped_docs():
+    return f"""
+WITH {_sql_percentile_cuts((50, 950))}
+SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
+FROM documents d, cuts
+WHERE length(d.text) BETWEEN cuts.p50 AND cuts.p950
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -7535,6 +7649,9 @@ def build_queries():
         "carb_selfcheck": q_carb_selfcheck,
         "entity_filtered_triples": q_entity_filtered_triples,
         "text_stats": q_text_stats,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "doc_length_percentiles_by_lang": q_doc_length_percentiles_by_lang,
+        "length_clipped_docs": q_length_clipped_docs,
         "minhash_pairs": q_minhash_pairs,
         "near_dedup_corpus": q_near_dedup_corpus,
         "leakage_safe_splits": q_leakage_safe_splits,
@@ -7668,6 +7785,9 @@ def build_oracle_sql():
         "mktsegment_stats": SQL_MKTSEGMENT_STATS,
         "customers_per_region": SQL_CUSTOMERS_PER_REGION,
         "text_stats": SQL_TEXT_STATS,
+        "doc_length_percentiles": _sql_doc_length_percentiles(),
+        "doc_length_percentiles_by_lang": _sql_doc_length_percentiles_by_lang(),
+        "length_clipped_docs": _sql_length_clipped_docs(),
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "minhash_pairs": _sql_minhash_pairs(),
         "near_dedup_corpus": _sql_near_dedup_corpus(),

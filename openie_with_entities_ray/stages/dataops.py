@@ -4764,3 +4764,142 @@ def unpivot(ds, *, id_cols: list, value_cols: list,
         return out.dropna(subset=[value_col]).reset_index(drop=True)
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact distributed percentiles (type-1 / lower discrete quantile)
+
+
+def value_distribution(ds, col: str, *, by: str | None = None,
+                       num_parts: int | None = None):
+    """(value[, by]) → exact count table, exchanged as a DISTRIBUTION.
+
+    Each batch collapses to at most |distinct values in batch| partial
+    rows (vectorized ``pc.value_counts`` / pandas groupby), then a
+    coarse value-hash partition sums the partials — the shuffle moves
+    the value distribution, never the rows, so its volume is bounded by
+    the value domain (lengths/scores are small-int domains) regardless
+    of corpus size."""
+    import pyarrow.compute as pc
+
+    if num_parts is None:
+        num_parts = _cluster_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if by is None:
+            vc = pc.value_counts(batch.column(col).combine_chunks())
+            t = pa.table(
+                {
+                    "v": vc.field("values"),
+                    "cnt": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+        else:
+            df = batch.select([by, col]).to_pandas()
+            g = df.groupby([by, col], as_index=False, dropna=False).size()
+            t = pa.table(
+                {
+                    by: pa.array(g[by]),
+                    "v": pa.array(g[col]),
+                    "cnt": pa.array(g["size"], pa.int64()),
+                }
+            )
+        parts = pc.cast(
+            pc.bit_wise_and(pc.cast(t.column("v"), pa.int64()), num_parts - 1
+                            if (num_parts & (num_parts - 1)) == 0
+                            else 0x7FFFFFFF),
+            pa.int64(),
+        )
+        if (num_parts & (num_parts - 1)) != 0:  # non-power-of-two fallback
+            parts = pa.array(
+                [int(x) % num_parts for x in t.column("v").to_pylist()],
+                pa.int64(),
+            )
+        return t.append_column("part", parts)
+
+    keys = (["part", by, "v"] if by else ["part", "v"])
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(keys[1:], as_index=False, dropna=False)["cnt"].sum()
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _rank_select(dist: pd.DataFrame, q_permille) -> list[tuple]:
+    """Walk one sorted (v, cnt) distribution; pick rank ceil(q/1000*n)."""
+    import math
+
+    dist = dist.sort_values("v").reset_index(drop=True)
+    n = int(dist["cnt"].sum())
+    cum = dist["cnt"].cumsum()
+    out = []
+    for q in q_permille:
+        rank = max(1, math.ceil(q / 1000.0 * n))
+        idx = int((cum >= rank).idxmax())
+        out.append((int(q), int(dist["v"].iloc[idx])))
+    return out
+
+
+def exact_percentiles(ds, col: str, q_permille=(100, 250, 500, 750, 900),
+                      *, by: str | None = None,
+                      num_parts: int | None = None) -> pa.Table:
+    """Exact discrete percentiles of an integer column, distributed.
+
+    Type-1 (lower) quantile: the element at rank ``ceil(q/1000 * n)`` of
+    the sorted values — deterministic under ties, and computable in SQL
+    with ``row_number() OVER (ORDER BY v)`` (the oracle mirror). The
+    heavy pass is :func:`value_distribution`; the final rank walk runs
+    on the driver over the distribution table (|distinct values| rows —
+    the same bounded-result contract as the BM25 stats pass), never the
+    corpus. Returns a pyarrow.Table ``([by,] q_permille, value)``."""
+    dist = value_distribution(ds, col, by=by, num_parts=num_parts).to_pandas()
+    if by is None:
+        rows = _rank_select(dist, q_permille)
+        return pa.table(
+            {
+                "q_permille": pa.array([q for q, _ in rows], pa.int64()),
+                "value": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+    out_by, out_q, out_v = [], [], []
+    for key, g in dist.groupby(by, dropna=False, sort=True):
+        for q, v in _rank_select(g, q_permille):
+            out_by.append(key)
+            out_q.append(q)
+            out_v.append(v)
+    return pa.table(
+        {
+            by: pa.array(out_by),
+            "q_permille": pa.array(out_q, pa.int64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+def percentile_clip(ds, col: str, *, lo_permille: int = 50,
+                    hi_permille: int = 950, num_parts: int | None = None):
+    """Two-pass percentile-cutoff curation filter.
+
+    Pass 1 computes the exact [lo, hi] cutoffs via
+    :func:`exact_percentiles`; pass 2 re-streams the dataset filtering
+    ``lo <= col <= hi`` — the cutoffs are two ints carried in the task
+    closure (nothing is re-shipped per batch, no shuffle in pass 2)."""
+    import pyarrow.compute as pc
+
+    cuts = exact_percentiles(
+        ds, col, (lo_permille, hi_permille), num_parts=num_parts
+    )
+    lo, hi = cuts.column("value")[0].as_py(), cuts.column("value")[1].as_py()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        return batch.filter(
+            pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")

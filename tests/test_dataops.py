@@ -4387,3 +4387,50 @@ def test_khop_dataset_variant_agrees_with_driver_side(ray_session):
                     ).take_all()
                 }
                 assert got == want, (trial, directed, k)
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles
+
+
+def test_exact_percentiles_matches_numpy_type1(ray_session):
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        exact_percentiles,
+        percentile_clip,
+    )
+
+    rng = np.random.default_rng(42)
+    vals = rng.integers(-50, 200, size=2000)  # ties + negatives
+    langs = rng.choice(["en", "de", "fr"], size=2000)
+    ds = ray.data.from_items(
+        [{"v": int(v), "lang": str(l)} for v, l in zip(vals, langs)]
+    ).repartition(8)
+
+    qs = (50, 250, 500, 750, 990)
+
+    def type1(a, q):
+        s = np.sort(a)
+        return int(s[max(1, math.ceil(q / 1000.0 * len(s))) - 1])
+
+    got = exact_percentiles(ds, "v", qs).to_pandas()
+    want = {q: type1(vals, q) for q in qs}
+    assert dict(zip(got["q_permille"], got["value"])) == want
+
+    by = exact_percentiles(ds, "v", qs, by="lang").to_pandas()
+    for lang in ("en", "de", "fr"):
+        sub = vals[langs == lang]
+        g = by[by["lang"] == lang]
+        assert dict(zip(g["q_permille"], g["value"])) == {
+            q: type1(sub, q) for q in qs
+        }
+
+    clipped = percentile_clip(ds, "v", lo_permille=100, hi_permille=900)
+    lo, hi = type1(vals, 100), type1(vals, 900)
+    kept = clipped.to_pandas()["v"].to_numpy()
+    assert kept.min() >= lo and kept.max() <= hi
+    assert len(kept) == int(((vals >= lo) & (vals <= hi)).sum())
