@@ -1216,6 +1216,38 @@ def _shared_graph_edges(sf_dir):
     )
 
 
+def _shared_components(sf_dir):
+    """CC labeling of the flagship edge table, memoized at gate scale
+    (q_components and q_component_sizes run the identical iterative
+    join-CC; the labeling is node-table-sized, far below the memo gate)."""
+    from .stages.graph_algos import connected_components_join
+
+    return dataset_memo(
+        ("flagship_components", sf_dir),
+        lambda: connected_components_join(
+            _shared_graph_edges(sf_dir), max_iters=100
+        ),
+        gate_path=f"{sf_dir}/documents.parquet",
+    )
+
+
+def _shared_minhash_pairs(sf_dir):
+    """Verified MinHash pairs at threshold 0.5, memoized at gate scale —
+    q_minhash_pairs, q_near_dedup_corpus and q_leakage_safe_splits all
+    consume this identical pair table (the latter two via their
+    ``pairs_ds`` override, the same seam the cross-shard dedup job
+    uses)."""
+    from .stages.dataops import minhash_candidate_pairs
+
+    return dataset_memo(
+        ("minhash_pairs_t500", sf_dir),
+        lambda: minhash_candidate_pairs(
+            _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5
+        ),
+        gate_path=f"{sf_dir}/documents.parquet",
+    )
+
+
 def _conf_to_centi(ds):
     """confidence (already 2-decimal, model.py:477) → integer centi so the
     driver's value hash can't diverge on float formatting."""
@@ -1337,11 +1369,7 @@ def q_components(sf_dir):
     the 100-TB path (connected_components_join: labels stay a Dataset,
     per-round hash join + anti-join convergence) — hard value-hash gate
     against a DuckDB recursive-CTE reachability oracle."""
-    from .pipelines.flagship import build_graph, extract_triples
-    from .stages.graph_algos import connected_components_join
-
-    edges = _shared_graph_edges(sf_dir)
-    return connected_components_join(edges, max_iters=100)
+    return _shared_components(sf_dir)
 
 
 def q_component_sizes(sf_dir):
@@ -1900,11 +1928,7 @@ FROM documents GROUP BY lang
 
 
 def q_minhash_pairs(sf_dir):
-    from .stages.dataops import minhash_candidate_pairs
-
-    return minhash_candidate_pairs(
-        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5
-    )
+    return _shared_minhash_pairs(sf_dir)
 
 
 def q_near_dedup_corpus(sf_dir):
@@ -1915,7 +1939,8 @@ def q_near_dedup_corpus(sf_dir):
     from .stages.dataops import near_dedup_corpus
 
     return near_dedup_corpus(
-        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5
+        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5,
+        pairs_ds=_shared_minhash_pairs(sf_dir),
     )
 
 
@@ -1929,7 +1954,8 @@ def q_leakage_safe_splits(sf_dir):
     from .stages.dataops import leakage_safe_splits
 
     return leakage_safe_splits(
-        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5
+        _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5,
+        pairs_ds=_shared_minhash_pairs(sf_dir),
     )
 
 
@@ -7612,6 +7638,35 @@ WHERE length(d.text) BETWEEN cuts.p50 AND cuts.p950
 """
 
 
+def q_table_profile(sf_dir):
+    """Column-profiling audit of the documents table (dataops.
+    profile_table): per column n_rows / n_nulls / n_distinct / min /
+    max in ONE streaming pass — one partial row per column per batch,
+    merge group count = #columns. n_distinct is the repo-standard
+    KMV rule, exact below k=65536 distinct values (so it equals the
+    oracle's COUNT(DISTINCT) at any fixture scale), the closed-form
+    estimator beyond (the 100-TB path)."""
+    from .stages.dataops import profile_table
+
+    docs = cached_read_parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def _sql_table_profile():
+    arms = []
+    for col in ("doc_id", "text", "lang", "source", "n_chars"):
+        arms.append(f"""
+SELECT '{col}' AS col, COUNT(*)::BIGINT AS n_rows,
+       (COUNT(*) - COUNT({col}))::BIGINT AS n_nulls,
+       COUNT(DISTINCT {col})::BIGINT AS n_distinct,
+       CAST(MIN({col}) AS VARCHAR) AS min_v,
+       CAST(MAX({col}) AS VARCHAR) AS max_v
+FROM documents""")
+    return "\nUNION ALL\n".join(arms)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7651,6 +7706,7 @@ def build_queries():
         "text_stats": q_text_stats,
         "doc_length_percentiles": q_doc_length_percentiles,
         "doc_length_percentiles_by_lang": q_doc_length_percentiles_by_lang,
+        "table_profile": q_table_profile,
         "length_clipped_docs": q_length_clipped_docs,
         "minhash_pairs": q_minhash_pairs,
         "near_dedup_corpus": q_near_dedup_corpus,
@@ -7788,6 +7844,7 @@ def build_oracle_sql():
         "doc_length_percentiles": _sql_doc_length_percentiles(),
         "doc_length_percentiles_by_lang": _sql_doc_length_percentiles_by_lang(),
         "length_clipped_docs": _sql_length_clipped_docs(),
+        "table_profile": _sql_table_profile(),
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "minhash_pairs": _sql_minhash_pairs(),
         "near_dedup_corpus": _sql_near_dedup_corpus(),

@@ -4881,6 +4881,144 @@ def exact_percentiles(ds, col: str, q_permille=(100, 250, 500, 750, 900),
     )
 
 
+def profile_table(ds, cols, *, kmv_k: int = 65536):
+    """Column-profiling pass — the data-quality audit every ingest runs:
+    per column ``(col, n_rows, n_nulls, n_distinct, min_v, max_v)``.
+
+    ONE stream over the data: each batch emits one partial row per
+    column (count, null count, min/max, and the column's k-minimum
+    md5 hash sketch packed as bytes), then a ``groupby(col)`` whose
+    group count is ``len(cols)`` — the shuffle carries #blocks×#cols
+    tiny rows regardless of corpus size. ``n_distinct`` follows the
+    repo-standard KMV rule (:func:`kmv_distinct_sketch`): exact below
+    ``kmv_k`` distinct values (so the SQL oracle's COUNT(DISTINCT)
+    matches bit-for-bit at fixture scale), the ``(k-1)·2^64 // h_k``
+    estimator beyond it (the 100-TB path; the sketch stays ≤ k·8
+    bytes per column per batch). Nulls are excluded from distinct and
+    min/max, SQL-style. min/max travel the shuffle as strings with a
+    per-column kind tag (int values compared numerically after
+    decode) so pandas block conversion can never drift an int64
+    column to float64 (CLAUDE.md round-4 hazard). Integer and string
+    columns are supported; other types raise."""
+    import ray.data
+
+    from ..functions.textstats import _md5_number_lower
+
+    schema = ds.schema()
+    kinds = {}
+    for name, typ in zip(schema.names, schema.types):
+        if name in cols:
+            if isinstance(typ, pa.DataType):
+                is_int = pa.types.is_integer(typ)
+                is_str = pa.types.is_string(typ) or pa.types.is_large_string(
+                    typ
+                )
+            else:  # pandas-block dataset: numpy dtype or python type
+                is_int = getattr(typ, "kind", None) in ("i", "u")
+                is_str = typ in (str, object) or getattr(
+                    typ, "kind", None
+                ) in ("U", "S", "O")
+            if is_int:
+                kinds[name] = "i"
+            elif is_str:
+                kinds[name] = "s"
+            else:
+                raise TypeError(
+                    f"profile_table supports integer/string columns; "
+                    f"{name!r} has type {typ}"
+                )
+    missing = [c for c in cols if c not in kinds]
+    if missing:
+        raise KeyError(f"profile_table: columns not in schema: {missing}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {
+            "col": [], "kind": [], "n": [], "nulls": [],
+            "min_v": [], "max_v": [], "hvs": [],
+        }
+        for name in cols:
+            arr = batch.column(name)
+            vals = [v for v in arr.to_pylist() if v is not None]
+            hs = sorted(
+                _md5_number_lower(str(v)) for v in set(vals)
+            )[:kmv_k]
+            out["col"].append(name)
+            out["kind"].append(kinds[name])
+            out["n"].append(batch.num_rows)
+            out["nulls"].append(batch.num_rows - len(vals))
+            out["min_v"].append(str(min(vals)) if vals else None)
+            out["max_v"].append(str(max(vals)) if vals else None)
+            out["hvs"].append(
+                np.asarray(hs, dtype=np.uint64).tobytes()
+            )
+        return pa.table(
+            {
+                "col": pa.array(out["col"], pa.string()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "nulls": pa.array(out["nulls"], pa.int64()),
+                "min_v": pa.array(out["min_v"], pa.string()),
+                "max_v": pa.array(out["max_v"], pa.string()),
+                "hvs": pa.array(out["hvs"], pa.binary()),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        kind = df["kind"].iloc[0]
+        dec = (lambda s: int(s)) if kind == "i" else (lambda s: s)
+        mins = [dec(s) for s in df["min_v"] if s is not None]
+        maxs = [dec(s) for s in df["max_v"] if s is not None]
+        hs = sorted(
+            set().union(
+                *(np.frombuffer(b, dtype=np.uint64).tolist()
+                  for b in df["hvs"])
+            )
+        )[:kmv_k]
+        if len(hs) >= kmv_k:
+            nd = min((kmv_k - 1) * (1 << 64) // int(hs[-1]), 2**63 - 1)
+        else:
+            nd = len(hs)
+        return pd.DataFrame(
+            {
+                "col": [df["col"].iloc[0]],
+                "n_rows": pd.Series([int(df["n"].sum())], dtype="int64"),
+                "n_nulls": pd.Series(
+                    [int(df["nulls"].sum())], dtype="int64"
+                ),
+                "n_distinct": pd.Series([int(nd)], dtype="int64"),
+                "min_v": pd.Series(
+                    [str(min(mins)) if mins else None], dtype="object"
+                ),
+                "max_v": pd.Series(
+                    [str(max(maxs)) if maxs else None], dtype="object"
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("col")
+        .map_groups(merge, batch_format="pandas")
+        .materialize()  # len(cols) rows
+    )
+    if out.count() == 0:
+        # zero input rows: the SQL mirror still emits one row per column
+        # (COUNT -> 0, MIN/MAX -> NULL)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "col": pa.array(sorted(cols), pa.string()),
+                    "n_rows": pa.array([0] * len(cols), pa.int64()),
+                    "n_nulls": pa.array([0] * len(cols), pa.int64()),
+                    "n_distinct": pa.array([0] * len(cols), pa.int64()),
+                    "min_v": pa.array([None] * len(cols), pa.string()),
+                    "max_v": pa.array([None] * len(cols), pa.string()),
+                }
+            )
+        )
+    return out
+
+
 def percentile_clip(ds, col: str, *, lo_permille: int = 50,
                     hi_permille: int = 950, num_parts: int | None = None):
     """Two-pass percentile-cutoff curation filter.

@@ -4434,3 +4434,61 @@ def test_exact_percentiles_matches_numpy_type1(ray_session):
     kept = clipped.to_pandas()["v"].to_numpy()
     assert kept.min() >= lo and kept.max() <= hi
     assert len(kept) == int(((vals >= lo) & (vals <= hi)).sum())
+
+
+def test_profile_table_counts_nulls_minmax_and_estimator(ray_session):
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import profile_table
+
+    rows = [
+        {"k": 5, "s": "banana"},
+        {"k": None, "s": "apple"},
+        {"k": 12, "s": None},
+        {"k": 5, "s": "cherry"},
+        {"k": -3, "s": "apple"},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = (
+        profile_table(ds, ["k", "s"])
+        .to_pandas()
+        .set_index("col")
+        .sort_index()
+    )
+    assert got.loc["k", "n_rows"] == 5
+    assert got.loc["k", "n_nulls"] == 1
+    assert got.loc["k", "n_distinct"] == 3  # 5, 12, -3 (null excluded)
+    assert got.loc["k", "min_v"] == "-3" and got.loc["k", "max_v"] == "12"
+    assert got.loc["s", "n_nulls"] == 1
+    assert got.loc["s", "n_distinct"] == 3
+    assert got.loc["s", "min_v"] == "apple"
+    assert got.loc["s", "max_v"] == "cherry"
+
+    # block-structure invariance: same answer at any partitioning
+    again = (
+        profile_table(ds.repartition(1), ["k", "s"])
+        .to_pandas()
+        .set_index("col")
+        .sort_index()
+    )
+    assert again.equals(got)
+
+    # estimator path: k smaller than the distinct count still yields a
+    # positive estimate in the right ballpark (never the exact count)
+    wide = ray.data.from_items(
+        [{"v": i} for i in range(500)]
+    ).repartition(4)
+    est = (
+        profile_table(wide, ["v"], kmv_k=64)
+        .to_pandas()
+        .iloc[0]["n_distinct"]
+    )
+    assert 250 <= est <= 1000
+
+    # typed error for unsupported column types
+    fl = ray.data.from_items([{"x": 1.5}])
+    try:
+        profile_table(fl, ["x"])
+        raise AssertionError("expected TypeError for float column")
+    except TypeError:
+        pass
