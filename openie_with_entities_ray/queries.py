@@ -1248,6 +1248,37 @@ def _shared_minhash_pairs(sf_dir):
     )
 
 
+def _shared_dup_components(sf_dir):
+    """CC labeling of the shared threshold-0.5 MinHash pair graph,
+    memoized at gate scale — near_dedup_corpus and leakage_safe_splits
+    both label the identical pair graph; each consumes this via its
+    ``comp_ds`` seam. Returns None — and the consumers run their own
+    streaming path untouched — when the size gate is off (so the
+    emptiness probe below never executes a corpus-scale pipeline) or
+    when there are no pairs (the consumers' empty-pairs fast path)."""
+    import os
+
+    from .memo import memo_max_bytes
+    from .stages.dataops import dup_pair_components
+
+    try:
+        gated = os.path.getsize(
+            f"{sf_dir}/documents.parquet"
+        ) < memo_max_bytes()
+    except OSError:
+        gated = False
+    if not gated:
+        return None
+    pairs = _shared_minhash_pairs(sf_dir)  # memoized (materialized) here
+    if pairs.count() == 0:
+        return None
+    return dataset_memo(
+        ("dup_components_t500", sf_dir),
+        lambda: dup_pair_components(pairs),
+        gate_path=f"{sf_dir}/documents.parquet",
+    )
+
+
 def _conf_to_centi(ds):
     """confidence (already 2-decimal, model.py:477) → integer centi so the
     driver's value hash can't diverge on float formatting."""
@@ -1941,6 +1972,7 @@ def q_near_dedup_corpus(sf_dir):
     return near_dedup_corpus(
         _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5,
         pairs_ds=_shared_minhash_pairs(sf_dir),
+        comp_ds=_shared_dup_components(sf_dir),
     )
 
 
@@ -1956,6 +1988,7 @@ def q_leakage_safe_splits(sf_dir):
     return leakage_safe_splits(
         _docs(sf_dir, num_blocks=_read_blocks()), threshold=0.5,
         pairs_ds=_shared_minhash_pairs(sf_dir),
+        comp_ds=_shared_dup_components(sf_dir),
     )
 
 

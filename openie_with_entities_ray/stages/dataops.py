@@ -734,28 +734,17 @@ def minhash_band_pairs(sig_ds, *, num_perm: int = 128,
     )
 
 
-def near_dedup_dropped_ids(pairs_ds, *, id_col: str = "doc_id"):
-    """Near-dup pair table (``id_a, id_b``) → the ids to DROP: connected
-    components over the pair graph (:func:`~.graph_algos.
-    connected_components_join` — labels stay a Dataset, nothing
-    corpus-scaled touches the driver), keeper = numeric-min id per
-    component, dropped = every other member.
-
-    Ids must be non-negative integers; they are zero-padded to 20 digits
-    so the component algorithm's lexicographic min IS the numeric min.
-    The pair table is materialized first (it is duplicate-pair-sized,
-    orders of magnitude below the corpus) — the empty case then costs a
-    metadata-only count instead of a join against an empty, schemaless
-    dataset."""
-    import ray.data
-
+def dup_pair_components(pairs_ds):
+    """CC labeling of a near-dup pair table (``id_a, id_b``):
+    zero-pad the non-negative integer ids to 20 digits (so the
+    component algorithm's lexicographic min IS the numeric min) and
+    run :func:`~.graph_algos.connected_components_join` (labels stay
+    a Dataset). The shared prefix of :func:`near_dedup_dropped_ids`
+    and :func:`leakage_safe_splits` — both accept the result via
+    their ``comp_ds`` seam so one labeling can serve both (the gate
+    does this; a production dedup job can too). ``pairs_ds`` must be
+    non-empty."""
     from .graph_algos import connected_components_join
-
-    pairs_ds = pairs_ds.materialize()
-    if pairs_ds.count() == 0:
-        return ray.data.from_arrow(
-            pa.table({id_col: pa.array([], pa.int64())})
-        )
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_pylist()
@@ -767,9 +756,35 @@ def near_dedup_dropped_ids(pairs_ds, *, id_col: str = "doc_id"):
             }
         )
 
-    comp = connected_components_join(
+    return connected_components_join(
         pairs_ds.map_batches(to_edges, batch_format="pyarrow")
     )
+
+
+def near_dedup_dropped_ids(pairs_ds, *, id_col: str = "doc_id",
+                           comp_ds=None):
+    """Near-dup pair table (``id_a, id_b``) → the ids to DROP: connected
+    components over the pair graph (:func:`dup_pair_components` —
+    labels stay a Dataset, nothing corpus-scaled touches the driver),
+    keeper = numeric-min id per component, dropped = every other
+    member. ``comp_ds`` supplies a precomputed labeling (skips the CC
+    run when the caller shares one across consumers).
+
+    Ids must be non-negative integers. The pair table is materialized
+    first (it is duplicate-pair-sized, orders of magnitude below the
+    corpus) — the empty case then costs a metadata-only count instead
+    of a join against an empty, schemaless dataset."""
+    import ray.data
+
+    if comp_ds is None:
+        pairs_ds = pairs_ds.materialize()
+        if pairs_ds.count() == 0:
+            return ray.data.from_arrow(
+                pa.table({id_col: pa.array([], pa.int64())})
+            )
+        comp = dup_pair_components(pairs_ds)
+    else:
+        comp = comp_ds
 
     def dropped(batch: pa.Table) -> pa.Table:
         out = [
@@ -794,6 +809,7 @@ def near_dedup_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     pairs_ds=None,
+    comp_ds=None,
 ):
     """Corpus → corpus near-dedup, the full loop users actually want:
     MinHash-LSH pairs → connected components → keep the min-id document
@@ -815,7 +831,9 @@ def near_dedup_corpus(
     # count metadata-only and lets the join partition count scale DOWN
     # for tiny inputs (an all-empty hash-join partition is built
     # schemaless by Ray and crashes pyarrow's key resolution)
-    dropped = near_dedup_dropped_ids(pairs_ds, id_col=id_col).materialize()
+    dropped = near_dedup_dropped_ids(
+        pairs_ds, id_col=id_col, comp_ds=comp_ds
+    ).materialize()
     n_dropped = dropped.count()
     if n_dropped == 0:
         return docs_ds.select_columns([id_col])
@@ -840,6 +858,7 @@ def leakage_safe_splits(
     text_col: str = "text",
     id_col: str = "doc_id",
     pairs_ds=None,
+    comp_ds=None,
 ):
     """Split-leakage repair: the deterministic train/val/test
     assignment (:func:`dataset_splits`) with the guarantee that every
@@ -861,7 +880,6 @@ def leakage_safe_splits(
     """
     import ray.data
 
-    from .graph_algos import connected_components_join
     from .joins import bloom_anti_join
 
     if pairs_ds is None:
@@ -874,23 +892,13 @@ def leakage_safe_splits(
         val_permille=val_permille, test_permille=test_permille,
         id_col=id_col,
     )
-    pairs_ds = pairs_ds.materialize()
-    if pairs_ds.count() == 0:
-        return base
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        return pa.table(
-            {
-                "src": pa.array([f"{x:020d}" for x in a], pa.string()),
-                "dst": pa.array([f"{x:020d}" for x in b], pa.string()),
-            }
-        )
-
-    comp = connected_components_join(
-        pairs_ds.map_batches(to_edges, batch_format="pyarrow")
-    )
+    if comp_ds is None:
+        pairs_ds = pairs_ds.materialize()
+        if pairs_ds.count() == 0:
+            return base
+        comp = dup_pair_components(pairs_ds)
+    else:
+        comp = comp_ds
 
     def decode_labels(batch: pa.Table) -> pa.Table:
         return pa.table(
