@@ -4492,3 +4492,52 @@ def test_profile_table_counts_nulls_minmax_and_estimator(ray_session):
         raise AssertionError("expected TypeError for float column")
     except TypeError:
         pass
+
+
+def test_comp_ds_seam_matches_unshared_path(ray_session):
+    """One CC labeling (dup_pair_components) feeding BOTH near-dedup
+    consumers must reproduce each consumer's self-computed result."""
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        dup_pair_components,
+        leakage_safe_splits,
+        near_dedup_corpus,
+    )
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(12)]
+    )
+    # pair graph: {0,1,2} and {7,9} are duplicate clusters
+    pairs = ray.data.from_items(
+        [
+            {"id_a": 0, "id_b": 1, "est_permille": 900},
+            {"id_a": 1, "id_b": 2, "est_permille": 850},
+            {"id_a": 7, "id_b": 9, "est_permille": 800},
+        ]
+    )
+    comp = dup_pair_components(pairs).materialize()
+
+    surv_shared = sorted(
+        near_dedup_corpus(docs, pairs_ds=pairs, comp_ds=comp)
+        .to_pandas()["doc_id"]
+    )
+    surv_own = sorted(
+        near_dedup_corpus(docs, pairs_ds=pairs).to_pandas()["doc_id"]
+    )
+    assert surv_shared == surv_own
+    assert 1 not in surv_shared and 2 not in surv_shared  # keepers win
+    assert 9 not in surv_shared and 0 in surv_shared and 7 in surv_shared
+
+    sp_shared = (
+        leakage_safe_splits(docs, pairs_ds=pairs, comp_ds=comp)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    sp_own = (
+        leakage_safe_splits(docs, pairs_ds=pairs)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert sp_shared.equals(sp_own)
+    by_id = dict(zip(sp_shared["doc_id"], sp_shared["split"]))
+    assert by_id[0] == by_id[1] == by_id[2]  # cluster rides its keeper
+    assert by_id[7] == by_id[9]
