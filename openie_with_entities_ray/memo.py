@@ -44,6 +44,26 @@ def _path_bytes(path: str) -> int | None:
         return None
 
 
+def _path_stamp(path: str):
+    """(total bytes, newest mtime_ns) of a file or directory tree — the
+    freshness token memo keys carry so a rewritten input can never serve
+    stale cached datasets (same invariant as cached_read_parquet's
+    per-file stamp). None when the path is unreadable."""
+    try:
+        if os.path.isdir(path):
+            total, newest = 0, 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    total += st.st_size
+                    newest = max(newest, st.st_mtime_ns)
+            return (total, newest)
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
+
+
 def _job_token():
     """Current Ray job id, or None if Ray is not initialized yet."""
     import ray
@@ -70,14 +90,17 @@ def dataset_memo(key: tuple, thunk, *, gate_path: str):
     if limit <= 0 or size is None or size >= limit:
         return thunk()
     tok = _job_token()
-    full_key = (tok, *key)
+    # the gate file's stamp keys the entry: rewriting the input at the
+    # same path invalidates every pipeline memo derived from it
+    stamp = _path_stamp(gate_path)
+    full_key = (tok, stamp, *key)
     ds = _MEMO.get(full_key)
     if ds is None:
         ds = thunk().materialize()
         if tok is None:
             # thunk's execution initialized Ray; re-key under the live job
             # so a later ray.shutdown()/init() cannot resurrect stale refs.
-            full_key = (_job_token(), *key)
+            full_key = (_job_token(), stamp, *key)
         _MEMO[full_key] = ds
     return ds
 

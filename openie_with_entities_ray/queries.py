@@ -256,7 +256,16 @@ def _sql_doc_sentences_wordpieces() -> str:
     after) is precomputed in ``best``; a recursive walk then advances
     through each distinct word, any failed step marking the whole word
     UNK (count 1 — the published algorithm's is_bad rule, also applied
-    to >100-char words)."""
+    to >100-char words).
+
+    SCOPE: the punctuation-split class mirrors only the ASCII half of
+    BERT's is_punctuation rule (the engine kernel additionally splits
+    Unicode category-P chars and strips control chars,
+    functions/wordpiece.py:64-91). Every sf fixture is pure ASCII
+    (checked), so the mirror is exact here; on non-ASCII corpora the
+    ENGINE is the reference-faithful side and this oracle would
+    under-split — do not extend the hash gate to such inputs without
+    widening this class first (CLAUDE.md RE2-divergence rule)."""
     from .functions.wordpiece import demo_vocab
 
     vocab_values = ", ".join(
@@ -1256,18 +1265,13 @@ def _shared_dup_components(sf_dir):
     streaming path untouched — when the size gate is off (so the
     emptiness probe below never executes a corpus-scale pipeline) or
     when there are no pairs (the consumers' empty-pairs fast path)."""
-    import os
-
-    from .memo import memo_max_bytes
+    from .memo import _path_bytes, memo_max_bytes
     from .stages.dataops import dup_pair_components
 
-    try:
-        gated = os.path.getsize(
-            f"{sf_dir}/documents.parquet"
-        ) < memo_max_bytes()
-    except OSError:
-        gated = False
-    if not gated:
+    # same gate semantics as dataset_memo (directory-aware _path_bytes:
+    # a dir-shaped documents.parquet must NOT pass on its inode size)
+    size = _path_bytes(f"{sf_dir}/documents.parquet")
+    if memo_max_bytes() <= 0 or size is None or size >= memo_max_bytes():
         return None
     pairs = _shared_minhash_pairs(sf_dir)  # memoized (materialized) here
     if pairs.count() == 0:
@@ -7676,9 +7680,11 @@ def q_table_profile(sf_dir):
     profile_table): per column n_rows / n_nulls / n_distinct / min /
     max in ONE streaming pass — one partial row per column per batch,
     merge group count = #columns. n_distinct is the repo-standard
-    KMV rule, exact below k=65536 distinct values (so it equals the
-    oracle's COUNT(DISTINCT) at any fixture scale), the closed-form
-    estimator beyond (the 100-TB path)."""
+    KMV rule: exact STRICTLY below k=65536 distinct values (every sf
+    fixture is orders of magnitude under that, so it equals the
+    oracle's COUNT(DISTINCT) here), the closed-form estimator at k and
+    beyond (the 100-TB path — where this query stops being
+    SQL-hash-gateable, like the other sketch entries)."""
     from .stages.dataops import profile_table
 
     docs = cached_read_parquet(f"{sf_dir}/documents.parquet")

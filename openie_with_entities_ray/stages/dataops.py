@@ -4794,6 +4794,10 @@ def value_distribution(ds, col: str, *, by: str | None = None,
         num_parts = _cluster_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
+        # SQL aggregate semantics: NULL values never count toward the
+        # distribution (a null pc.value_counts row would also crash the
+        # partition cast below); a null GROUP key still forms its group.
+        batch = batch.filter(pc.is_valid(batch.column(col)))
         if by is None:
             vc = pc.value_counts(batch.column(col).combine_chunks())
             t = pa.table(
@@ -4803,24 +4807,26 @@ def value_distribution(ds, col: str, *, by: str | None = None,
                 }
             )
         else:
-            df = batch.select([by, col]).to_pandas()
+            from .joins import _to_pandas_exact
+
+            # nullable-Int64 conversion: a null in the BY column must
+            # not flip int64 columns to float64 (CLAUDE.md r4 hazard)
+            df = _to_pandas_exact(batch.select([by, col]))
             g = df.groupby([by, col], as_index=False, dropna=False).size()
             t = pa.table(
                 {
                     by: pa.array(g[by]),
-                    "v": pa.array(g[col]),
+                    "v": pa.array(g[col].astype("int64")),
                     "cnt": pa.array(g["size"], pa.int64()),
                 }
             )
-        parts = pc.cast(
-            pc.bit_wise_and(pc.cast(t.column("v"), pa.int64()), num_parts - 1
-                            if (num_parts & (num_parts - 1)) == 0
-                            else 0x7FFFFFFF),
-            pa.int64(),
-        )
-        if (num_parts & (num_parts - 1)) != 0:  # non-power-of-two fallback
+        v64 = pc.cast(t.column("v"), pa.int64())
+        if (num_parts & (num_parts - 1)) == 0:
+            parts = pc.cast(pc.bit_wise_and(v64, num_parts - 1), pa.int64())
+        else:  # non-power-of-two: vectorized numpy modulo
             parts = pa.array(
-                [int(x) % num_parts for x in t.column("v").to_pylist()],
+                v64.combine_chunks().to_numpy(zero_copy_only=False)
+                % num_parts,
                 pa.int64(),
             )
         return t.append_column("part", parts)
@@ -4866,6 +4872,24 @@ def exact_percentiles(ds, col: str, q_permille=(100, 250, 500, 750, 900),
     the same bounded-result contract as the BM25 stats pass), never the
     corpus. Returns a pyarrow.Table ``([by,] q_permille, value)``."""
     dist = value_distribution(ds, col, by=by, num_parts=num_parts).to_pandas()
+    if len(dist) == 0 or "v" not in dist.columns:
+        # empty input (or all-null column): Ray erases the block schema
+        # of an executed-empty dataset (round-4 hazard), so build the
+        # typed empty result explicitly — the SQL mirror yields 0 rows
+        cols = {}
+        if by is not None:
+            by_type = pa.string()
+            try:
+                sch = ds.schema()
+                for n, t in zip(sch.names, sch.types):
+                    if n == by and isinstance(t, pa.DataType):
+                        by_type = t
+            except Exception:
+                pass
+            cols[by] = pa.array([], by_type)
+        cols["q_permille"] = pa.array([], pa.int64())
+        cols["value"] = pa.array([], pa.int64())
+        return pa.table(cols)
     if by is None:
         rows = _rank_select(dist, q_permille)
         return pa.table(
@@ -5040,6 +5064,9 @@ def percentile_clip(ds, col: str, *, lo_permille: int = 50,
     cuts = exact_percentiles(
         ds, col, (lo_permille, hi_permille), num_parts=num_parts
     )
+    if cuts.num_rows == 0:
+        # empty/all-null input: SQL's BETWEEN NULL AND NULL keeps no rows
+        return ds.limit(0)
     lo, hi = cuts.column("value")[0].as_py(), cuts.column("value")[1].as_py()
 
     def keep(batch: pa.Table) -> pa.Table:

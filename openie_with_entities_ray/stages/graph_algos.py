@@ -1481,17 +1481,13 @@ def khop_neighbors_dataset(edges_ds, seeds, k: int = 2, *,
 
     from .joins import bloom_anti_join, equi_join
 
+    from .joins import _as_arrow_type
+
     key_type = None
     for name, typ in zip(edges_ds.schema().names, edges_ds.schema().types):
         if name == src:
-            key_type = typ
+            key_type = _as_arrow_type(typ)
     assert key_type is not None, f"no {src!r} column in edges"
-    if not isinstance(key_type, pa.DataType):
-        # pandas-block datasets report numpy dtypes / python types
-        import numpy as np
-
-        key_type = (pa.string() if key_type in (str, object)
-                    else pa.from_numpy_dtype(np.dtype(key_type)))
 
     def _seed_table(ids, hop):
         return pa.table({

@@ -155,17 +155,6 @@ def _conform_union(left_ds, right_ds, *, left_key: str, right_key: str,
             f"{sorted(overlap)}"
         )
 
-    def _as_arrow_type(t):
-        # a PANDAS-block dataset reports numpy dtypes / python types in
-        # schema().types; pa.nulls needs real Arrow types
-        if isinstance(t, pa.DataType):
-            return t
-        if t in (str, object) or str(t) == "object":
-            return pa.string()
-        import numpy as np
-
-        return pa.from_numpy_dtype(np.dtype(t))
-
     fields = [(n, _as_arrow_type(t))
               for n, t in zip(lschema.names, lschema.types)]
     fields += [(n, _as_arrow_type(t))
@@ -192,6 +181,20 @@ def _conform_union(left_ds, right_ds, *, left_key: str, right_key: str,
         right_ds.map_batches(conform(1, right_key), batch_format="pyarrow")
     )
     return union, dict(fields)
+
+
+def _as_arrow_type(t):
+    """Schema type → Arrow type: a PANDAS-block dataset reports numpy
+    dtypes / python types in ``schema().types``; typed constructors
+    (pa.nulls, pa.array) need real Arrow types. Shared by the co-group
+    join conform stage and graph_algos' khop frontier typing."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in (str, object) or str(t) == "object":
+        return pa.string()
+    import numpy as np
+
+    return pa.from_numpy_dtype(np.dtype(t))
 
 
 def _to_pandas_exact(table: pa.Table):

@@ -4541,3 +4541,46 @@ def test_comp_ds_seam_matches_unshared_path(ray_session):
     by_id = dict(zip(sp_shared["doc_id"], sp_shared["split"]))
     assert by_id[0] == by_id[1] == by_id[2]  # cluster rides its keeper
     assert by_id[7] == by_id[9]
+
+
+def test_percentiles_ignore_nulls_and_survive_empty_input(ray_session):
+    import ray.data
+
+    from openie_with_entities_ray.stages.dataops import (
+        exact_percentiles,
+        percentile_clip,
+        value_distribution,
+    )
+
+    # nulls never count toward the distribution (SQL aggregate rule),
+    # at a NON-power-of-two part count (the fallback partition path)
+    ds = ray.data.from_items(
+        [{"v": x, "lang": "en" if (x or 0) % 2 else "de"}
+         for x in [5, None, 7, 5, None, 9]]
+    ).repartition(3)
+    dist = value_distribution(ds, "v", num_parts=3).to_pandas()
+    assert dict(zip(dist["v"], dist["cnt"])) == {5: 2, 7: 1, 9: 1}
+    got = exact_percentiles(ds, "v", (500, 1000), num_parts=3)
+    assert got.column("value").to_pylist() == [5, 9]  # n=4, nulls gone
+
+    # grouped path: null values drop per group; a group whose values
+    # are ALL null vanishes (same as the rank-based SQL mirror)
+    ds2 = ray.data.from_items(
+        [
+            {"v": 5, "lang": "de"}, {"v": None, "lang": "de"},
+            {"v": 7, "lang": "de"}, {"v": 9, "lang": "en"},
+            {"v": None, "lang": "fr"},
+        ]
+    ).repartition(2)
+    by = exact_percentiles(ds2, "v", (1000,), by="lang", num_parts=3)
+    assert dict(
+        zip(by.column("lang").to_pylist(), by.column("value").to_pylist())
+    ) == {"de": 7, "en": 9}  # fr: all-null -> no row
+
+    # empty input: typed empty result, not a crash (SQL mirror: 0 rows)
+    empty = ray.data.from_items([{"v": 1}]).filter(lambda r: False)
+    out = exact_percentiles(empty, "v", (500,))
+    assert out.num_rows == 0
+    assert out.column_names == ["q_permille", "value"]
+    clipped = percentile_clip(empty, "v")
+    assert clipped.count() == 0
