@@ -315,16 +315,16 @@ def sql_graph_nodes() -> str:
         _triples_cte()
         + f"""
 , surf AS (
-  SELECT arg1 AS surface FROM triples WHERE arg1 <> ''
+  SELECT arg1 AS surface FROM triples
   UNION ALL
-  SELECT arg2 FROM triples WHERE arg2 <> ''
+  SELECT arg2 FROM triples
 ), normed AS (
   SELECT {_norm_expr('surface')} AS surface_norm, surface FROM surf
 )
 SELECT 'C' || substr(sha256(surface_norm), 1, 16) AS node_id,
        surface_norm, MIN(surface) AS surface,
        COUNT(*)::BIGINT AS n_mentions
-FROM normed WHERE surface_norm <> ''
+FROM normed
 GROUP BY surface_norm
 """
     )

@@ -23,6 +23,7 @@ from ..stages.entity import tag_entities
 from ..stages.graph import (
     completed_partitions,
     dedup_edges,
+    manifest_input as _manifest_input,
     triples_to_edges,
     write_partition,
 )
@@ -107,10 +108,7 @@ def extract_triples_with_entities(docs_ds, ent_backend: str = "dictionary",
     round trip of the full triples table). The staged path keeps the two
     pools separate."""
     if fused:
-        from .flagship import _default_concurrency  # self-import safe
-
         from ..stages.entity import FusedExtractorWithEntities
-        from ..stages.sentences import docs_to_sentences
 
         seed = kwargs.pop("seed", 777)
         num_extractions = kwargs.pop("num_extractions", 5)
@@ -118,6 +116,13 @@ def extract_triples_with_entities(docs_ds, ent_backend: str = "dictionary",
         labeler_spec = kwargs.pop("labeler_spec", None)
         concurrency = kwargs.pop("concurrency", None) or _single_pool_concurrency()
         batch_size = kwargs.pop("batch_size", 512)
+        if kwargs:
+            # the staged branch would raise via extract_triples(**kwargs);
+            # a silently-dropped typo (num_extraction=) must not run with
+            # defaults here either
+            raise TypeError(
+                f"unexpected keyword arguments: {sorted(kwargs)}"
+            )
         return docs_to_sentences(docs_ds).map_batches(
             FusedExtractorWithEntities,
             fn_constructor_kwargs=dict(
@@ -134,8 +139,6 @@ def extract_triples_with_entities(docs_ds, ent_backend: str = "dictionary",
 
 def build_graph(triples_ds, *, deduped: bool = True):
     """triples → (nodes_ds, edges_ds)."""
-    import pyarrow as pa
-
     nodes = canonicalize_surfaces(triples_ds)
     edges = triples_ds.map_batches(triples_to_edges, batch_format="pyarrow")
     if deduped:
@@ -182,8 +185,11 @@ def materialize_graph(docs_ds, out_dir: str, *, seed: int = 777,
     tri.map_batches(
         triples_to_edges, batch_format="pyarrow"
     ).write_parquet(f"{out_dir}/edges")
+    node_cols = ["arg1", "arg2"] + (
+        ["subj_ents", "obj_ents"] if with_entities else []
+    )  # entity columns so nodes cover entity-substituted edge endpoints
     canonicalize_surfaces(
-        ray.data.read_parquet(f"{out_dir}/triples", columns=["arg1", "arg2"])
+        ray.data.read_parquet(f"{out_dir}/triples", columns=node_cols)
     ).write_parquet(f"{out_dir}/nodes")
 
 
@@ -205,6 +211,12 @@ def resumable_materialize(
     post-hoc filter on the output). At cluster scale input_shards are the
     source-table files; per-shard pipelines still stream block-by-block.
 
+    Partition k is bound to input_shards[k]: each manifest records its
+    shard path, and a resume whose list disagrees with a completed
+    manifest fails loudly (same parameter-drift rule as jobs/scrub_job)
+    — a silently reordered/prepended list would otherwise skip the
+    wrong shard and double-count another.
+
     Returns (manifests_written, shards_skipped).
     """
     import ray.data
@@ -214,6 +226,14 @@ def resumable_materialize(
     manifests, skipped = [], []
     for part, shard_path in enumerate(input_shards):
         if part in done:
+            recorded = _manifest_input(edges_dir, part)
+            if recorded is not None and recorded != str(shard_path):
+                raise ValueError(
+                    f"resume mismatch: edges/part={part} was built from "
+                    f"{recorded!r} but input_shards[{part}] is "
+                    f"{shard_path!r} — pass the original shard list, or "
+                    "resume=False to rebuild everything"
+                )
             skipped.append(part)
             continue
         docs = ray.data.read_parquet(shard_path)

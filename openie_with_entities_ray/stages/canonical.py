@@ -37,45 +37,72 @@ def canonical_id(norm_surface: str) -> str:
     return "C" + hashlib.sha256(norm_surface.encode("utf-8")).hexdigest()[:16]
 
 
+_ENT_COL_OF = {"arg1": "subj_ents", "arg2": "obj_ents"}
+
+
 def _partial_counts(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: (surface col) → one row per distinct normalized
-    surface with its partial count + an example raw surface."""
+    """Per-batch combiner: (surface col) → one row per distinct node key
+    with its partial count + an example raw surface.
+
+    Entity-aware: when the triples carry entity columns, an argument
+    that linked to EXACTLY ONE entity becomes that entity's node (the
+    same ``node_of`` rule graph.triples_to_edges applies to edge
+    endpoints — keeping the nodes table referentially closed over the
+    edges it ships with); all other arguments canonicalize by
+    normalized surface as before. ``is_ent`` rides along so the merge
+    and finalize phases keep the two key spaces separate."""
     counts: Counter = Counter()
     example = {}
     for col in ("arg1", "arg2"):
         if col not in batch.column_names:
             continue
-        for v in batch.column(col).to_pylist():
-            if not v:
-                continue
-            norm = normalize_surface(v)
-            if not norm:
-                continue
-            counts[norm] += 1
+        ents_col = _ENT_COL_OF[col]
+        ents = (
+            batch.column(ents_col).to_pylist()
+            if ents_col in batch.column_names
+            else [None] * batch.num_rows
+        )
+        for v, es in zip(batch.column(col).to_pylist(), ents):
+            v = v or ""
+            if es is not None and len(es) == 1:
+                key = (es[0], True)
+            else:
+                # empty/punctuation-only arguments are real nodes: edges
+                # key them to canonical_id('') (graph.node_of), so
+                # dropping them here would dangle those endpoints
+                key = (normalize_surface(v), False)
+            counts[key] += 1
             # per-batch example = lexicographic MIN raw surface, so the
             # global Min aggregate is the true corpus-wide min regardless
             # of how rows landed in batches (deterministic at any
             # parallelism, and SQL-reproducible as min(arg))
-            prev = example.get(norm)
+            prev = example.get(key)
             if prev is None or v < prev:
-                example[norm] = v
-    norms = list(counts)
+                example[key] = v
+    keys = list(counts)
     return pa.table(
         {
-            "surface_norm": pa.array(norms, pa.string()),
-            "surface": pa.array([example[n] for n in norms], pa.string()),
-            "n_mentions": pa.array([counts[n] for n in norms], pa.int64()),
+            "surface_norm": pa.array([k for k, _ in keys], pa.string()),
+            "is_ent": pa.array([e for _, e in keys], pa.bool_()),
+            "surface": pa.array([example[k] for k in keys], pa.string()),
+            "n_mentions": pa.array([counts[k] for k in keys], pa.int64()),
         }
     )
 
 
 def canonicalize_surfaces(triples_ds, num_parts: int | None = None):
-    """triples → nodes table (node_id, surface, n_mentions).
+    """triples → nodes table (node_id, surface_norm, surface, n_mentions).
 
     Two-phase aggregate: map_batches partials (combiner) → coarse
     crc32 hash partition → ONE vectorized pandas aggregate per part.
     The 'surface' kept per canonical id is the lexicographic min of the
     per-batch examples (deterministic under any partitioning).
+
+    Entity-tagged triples (subj_ents/obj_ents columns present) follow
+    graph.triples_to_edges' ``node_of`` rule: a uniquely-linked argument
+    contributes its ENTITY node (node_id = the linked id, surface_norm
+    carries that id) instead of a surface node, so the emitted nodes
+    table covers every edge endpoint — no dangling ids.
 
     Scale shape: the merge groups by a cluster-scaled part key, never by
     ``surface_norm`` directly — Ray pays ~1 ms of Python per aggregate
@@ -105,7 +132,7 @@ def canonicalize_surfaces(triples_ds, num_parts: int | None = None):
         g = g.assign(
             _k=[s.encode("utf-8") for s in g["surface_norm"]]
         )
-        out = g.groupby("_k", as_index=False).agg(
+        out = g.groupby(["_k", "is_ent"], as_index=False).agg(
             surface_norm=("surface_norm", "first"),
             surface=("surface", "min"),
             n_mentions=("n_mentions", "sum"),
@@ -120,9 +147,16 @@ def canonicalize_surfaces(triples_ds, num_parts: int | None = None):
 
     def finalize(batch: pa.Table) -> pa.Table:
         norms = batch.column("surface_norm").to_pylist()
+        is_ent = batch.column("is_ent").to_pylist()
         return pa.table(
             {
-                "node_id": pa.array([canonical_id(n) for n in norms], pa.string()),
+                # entity rows keep the linked id verbatim (the id the
+                # edge endpoints carry); surface rows content-address
+                "node_id": pa.array(
+                    [n if e else canonical_id(n)
+                     for n, e in zip(norms, is_ent)],
+                    pa.string(),
+                ),
                 "surface_norm": batch.column("surface_norm"),
                 "surface": batch.column("surface"),
                 "n_mentions": batch.column("n_mentions"),

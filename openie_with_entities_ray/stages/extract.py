@@ -130,7 +130,13 @@ class OIEExtractor:
                 out_rel.append(triple.rel)
                 out_a2.append(triple.arg2)
                 out_conf.append(triple.confidence)
-        cols = {c: pa.array(out[c]) for c in carry_cols}
+        # type carried columns from the INPUT schema: an inferred
+        # pa.array([]) is null-typed, and one zero-triple batch would
+        # corrupt the Dataset schema (round-4 mixed-block hazard)
+        cols = {
+            c: pa.array(out[c], type=batch.schema.field(c).type)
+            for c in carry_cols
+        }
         cols["depth"] = pa.array(out_depth, pa.int64())
         cols["arg1"] = pa.array(out_a1, pa.string())
         cols["rel"] = pa.array(out_rel, pa.string())

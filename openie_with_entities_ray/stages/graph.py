@@ -6,10 +6,12 @@ Replaces the reference's append-mode output files
 unresumable file) with idempotent per-partition Parquet + a manifest:
 
     out_dir/
-      edges/part=<k>/...parquet      (hash partition of the doc key)
+      edges/part=<k>/...parquet      (one partition per input shard —
+                                      flagship.resumable_materialize
+                                      binds part k to input_shards[k])
       nodes/...parquet
       _manifests/part-<k>.json       {"partition": k, "rows": n,
-                                      "input_sha256s": [...]}
+                                      "elapsed_s": ..., "input": shard}
 
 Resume = anti-join of existing manifests against the partition plan: a
 re-run processes only partitions whose manifest is missing, then yields
@@ -23,23 +25,6 @@ import os
 import zlib
 
 import pyarrow as pa
-
-
-def doc_partition(repo: str, path: str, num_partitions: int) -> int:
-    """Stable hash partition of the document key (repo, path)."""
-    return zlib.crc32(f"{repo}\x00{path}".encode("utf-8")) % num_partitions
-
-
-def add_partition_column(ds, num_partitions: int):
-    def add(batch: pa.Table) -> pa.Table:
-        repos = batch.column("repo").to_pylist()
-        paths = batch.column("path").to_pylist()
-        parts = [
-            doc_partition(r, p, num_partitions) for r, p in zip(repos, paths)
-        ]
-        return batch.append_column("part", pa.array(parts, pa.int64()))
-
-    return ds.map_batches(add, batch_format="pyarrow")
 
 
 _CANON_MEMO: dict = {}  # per-worker-process memo: surfaces are Zipf
@@ -91,8 +76,6 @@ def triples_to_edges(batch: pa.Table) -> pa.Table:
         "commit": batch.column("commit"),
         "sent_id": batch.column("sent_id"),
     }
-    if "part" in batch.column_names:
-        cols["part"] = batch.column("part")
     return pa.table(cols)
 
 
@@ -346,6 +329,17 @@ def best_edge_per_key(df):
 
 def _manifest_path(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, "_manifests", f"part-{part}.json")
+
+
+def manifest_input(out_dir: str, part: int):
+    """The ``input`` field a completed partition's manifest recorded
+    (shard path lineage), or None when absent/unreadable — resume
+    callers compare it against the shard they are about to skip."""
+    try:
+        with open(_manifest_path(out_dir, part)) as f:
+            return json.load(f).get("input")
+    except (OSError, ValueError):
+        return None
 
 
 def completed_partitions(out_dir: str) -> set:

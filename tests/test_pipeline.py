@@ -257,3 +257,86 @@ def test_queries_deferred_imports_resolve():
             if not hasattr(mod, alias.name):
                 missing.append(f"{node.module}:{alias.name}")
     assert not missing, missing
+
+
+def test_resume_rejects_reordered_shard_list(ray_session, tmp_path):
+    """A resumed run whose shard list disagrees with a completed
+    manifest must fail loudly, not silently skip the wrong shard."""
+    import pyarrow as pa
+    import pytest
+
+    from openie_with_entities_ray.pipelines.flagship import (
+        resumable_materialize,
+    )
+
+    shards = []
+    for k in range(2):
+        docs = [synthetic_doc(i, SEED) for i in range(k * 10, (k + 1) * 10)]
+        path = tmp_path / f"shard{k}.parquet"
+        pq.write_table(
+            pa.table({c: [d[c] for d in docs] for c in docs[0]}), path
+        )
+        shards.append(str(path))
+
+    out = tmp_path / "out"
+    resumable_materialize(shards[:1], str(out))
+    with pytest.raises(ValueError, match="resume mismatch"):
+        resumable_materialize(list(reversed(shards)), str(out))
+
+
+def test_staged_oie_empty_batch_keeps_schema(ray_session):
+    """An OIEExtractor batch whose splits decode to ZERO triples must
+    emit typed carried columns, not null-typed ones (one such block
+    corrupts Dataset schema unification — mixed-block hazard)."""
+    import pyarrow as pa
+
+    from openie_with_entities_ray.stages.extract import OIEExtractor
+
+    batch = pa.table(
+        {
+            "repo": pa.array(["r"], pa.string()),
+            "path": pa.array(["p"], pa.string()),
+            "commit": pa.array(["c"], pa.string()),
+            "sent_id": pa.array([0], pa.int64()),
+            "orig_sentence": pa.array(["Done ."], pa.string()),
+            "split_id": pa.array([0], pa.int64()),
+            "split_sentence": pa.array(["Done ."], pa.string()),
+        }
+    )
+    out = OIEExtractor()(batch)
+    assert out.num_rows == 0  # no verbs -> zero triples
+    assert out.schema.field("repo").type == pa.string(), out.schema
+    assert out.schema.field("sent_id").type == pa.int64(), out.schema
+    assert not any(
+        pa.types.is_null(f.type) for f in out.schema
+    ), out.schema
+
+
+def test_entity_graph_nodes_cover_edge_endpoints(ray_session):
+    """Referential integrity: with entity linking on, every edge
+    src/dst id appears in the nodes table (uniquely-linked arguments
+    become ENTITY nodes, mirroring triples_to_edges' node_of rule)."""
+    import ray.data
+
+    from openie_with_entities_ray.pipelines.flagship import (
+        build_graph,
+        extract_triples_with_entities,
+    )
+
+    docs = ray.data.from_items(
+        [
+            {
+                "repo": "r", "path": f"p{i}", "commit": "c", "lang": "en",
+                "content": synthetic_doc(i, SEED)["content"],
+            }
+            for i in range(8)
+        ]
+    )
+    triples = extract_triples_with_entities(docs)
+    nodes, edges = build_graph(triples, deduped=True)
+    node_ids = set(nodes.to_pandas()["node_id"])
+    edf = edges.to_pandas()
+    endpoints = set(edf["src"]) | set(edf["dst"])
+    assert endpoints, "no edges extracted"
+    dangling = endpoints - node_ids
+    assert not dangling, sorted(dangling)[:5]
