@@ -79,6 +79,14 @@ def _group_counts(group: pd.DataFrame) -> pd.DataFrame:
     group = group.drop_duplicates(subset=["side", "rel", "arg1", "arg2"])
     gold = group[group["side"] == "g"]
     pred = group[group["side"] == "p"]
+    if len(gold) == 0:
+        # the reference iterates GOLD sentences only (carb/carb.py:62-
+        # 314): predictions on sentences absent from gold never enter
+        # either denominator — same guard as carb_sweep's group_arrays
+        return pd.DataFrame(
+            {"p_num": [], "p_den": [], "r_num": [], "r_den": []},
+            dtype="float64",
+        )
     gold_tuples = [
         MatchTuple(r, [a1, a2])
         for r, a1, a2 in zip(gold["rel"], gold["arg1"], gold["arg2"])
@@ -273,10 +281,12 @@ def carb_precision_recall(gold_ds, pred_ds):
         Sum("r_num", alias_name="r_num"),
         Sum("r_den", alias_name="r_den"),
     )
-    p_num = tot["p_num"] or 0.0
-    p_den = tot["p_den"] or 0.0
-    r_num = tot["r_num"] or 0.0
-    r_den = tot["r_den"] or 0.0
+    if tot is None:  # every sentence was pred-only: no gold anywhere
+        tot = {}
+    p_num = tot.get("p_num") or 0.0
+    p_den = tot.get("p_den") or 0.0
+    r_num = tot.get("r_num") or 0.0
+    r_den = tot.get("r_den") or 0.0
     precision = p_num / p_den if p_den else 1.0
     recall = r_num / r_den if r_den else 0.0
     return float(precision), float(recall)

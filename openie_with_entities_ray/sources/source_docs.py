@@ -142,8 +142,9 @@ def synthetic_doc(i: int, seed: int = 42):
 
 def synthetic_source_docs_table(n: int, seed: int = 42) -> pa.Table:
     rows = [synthetic_doc(i, seed) for i in range(n)]
+    cols = ("repo", "path", "commit", "lang", "content")
     return pa.table(
-        {k: pa.array([r[k] for r in rows], pa.string()) for k in rows[0]}
+        {k: pa.array([r[k] for r in rows], pa.string()) for k in cols}
     )
 
 

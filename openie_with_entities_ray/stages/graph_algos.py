@@ -89,6 +89,13 @@ def connected_components(
     # propagation round — lazy would re-run the whole upstream pipeline
     # every iteration
     pairs = edges_ds.select_columns([src, dst]).materialize()
+    if pairs.count() == 0:
+        # empty edge set: unique() over an executed-empty dataset yields
+        # None — return the empty labeling explicitly (the join variant
+        # guards the same case via adj.count())
+        import pandas as pd
+
+        return pd.DataFrame({"node_id": [], "component": []}, dtype=object)
 
     # initial labels: every endpoint labels itself
     def init_labels(batch: pa.Table) -> pa.Table:
@@ -478,8 +485,6 @@ def pagerank_join(
     ).materialize()
 
     def contrib_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd_  # local: zero-copy not needed here
-
         df = batch.select(["dst", "pr", "d"]).to_pandas()
         df["s"] = df["pr"].to_numpy() // df["d"].to_numpy()
         g = df.assign(_k=[x.encode("utf-8") for x in df["dst"]]).groupby(
@@ -1498,6 +1503,10 @@ def khop_neighbors_dataset(edges_ds, seeds, k: int = 2, *,
     visited = ray.data.from_arrow(_seed_table(set(seeds), 0)).materialize()
     frontier = visited.drop_columns(["hop"]).materialize()
 
+    from .dataops import _cluster_parts
+
+    _dedup_parts = _cluster_parts()
+
     for hop in range(1, k + 1):
         def fwd_project(batch: pa.Table, _d=dst) -> pa.Table:
             return pa.table({"node_id": pc.cast(batch.column(_d),
@@ -1524,12 +1533,41 @@ def khop_neighbors_dataset(edges_ds, seeds, k: int = 2, *,
         cand = cand.materialize()
         if cand.count() == 0:
             break
-        distinct = (
-            cand.groupby("node_id").count()
-            .map_batches(
-                lambda b: pa.table({"node_id": b.column("node_id")}),
-                batch_format="pyarrow",
+
+        # distinct candidates via the coarse-partition idiom (per-batch
+        # pre-dedup -> crc32 part key -> in-part drop_duplicates): a
+        # direct groupby(node_id) costs ~1 ms of Python PER NODE
+        # (CLAUDE.md lore) — fatal inside a per-hop loop on the
+        # corpus-scaled frontiers this variant exists for
+        def dedup_partial(batch: pa.Table, _np=_dedup_parts) -> pa.Table:
+            import zlib
+
+            vals = sorted(set(batch.column("node_id").to_pylist()))
+            return pa.table(
+                {
+                    "node_id": pa.array(vals, key_type),
+                    "dpart": pa.array(
+                        [zlib.crc32(str(v).encode()) % _np for v in vals],
+                        pa.int64(),
+                    ),
+                }
             )
+
+        def in_part_dedup(g: pd.DataFrame) -> pd.DataFrame:
+            # bytes key for string ids: pandas' string hashtable
+            # truncates at embedded NULs (the canonicalize rule)
+            k_ = [
+                v.encode("utf-8") if isinstance(v, str) else v
+                for v in g["node_id"]
+            ]
+            return g.assign(_k=k_).drop_duplicates("_k")[
+                ["node_id"]
+            ].reset_index(drop=True)
+
+        distinct = (
+            cand.map_batches(dedup_partial, batch_format="pyarrow")
+            .groupby("dpart")
+            .map_groups(in_part_dedup, batch_format="pandas")
             .materialize()
         )
         fresh = bloom_anti_join(

@@ -29,7 +29,6 @@ def _dedup_topk_group(group: pd.DataFrame, num_extractions: int) -> pd.DataFrame
         )
     ]
     kept = top_k(dedup_exact(triples), num_extractions)
-    keep_keys = []
     seen = set()
     for t in kept:
         seen.add((t.arg1, t.rel, t.arg2, t.confidence))

@@ -41,8 +41,17 @@ def salted_join(
     """Inner join with the BIG (possibly key-skewed) side salted and the
     other side replicated ``num_salts`` times. Returns the joined
     Dataset without the salt column; output rows are exactly those of
-    the plain inner join (pytest-gated)."""
+    the plain inner join (pytest-gated).
+
+    The replicated side is small by contract; it is materialized so an
+    EMPTY side short-circuits to a typed 0-row result instead of
+    feeding Ray's native hash join an all-empty build (which crashes in
+    the shuffle finalizer — the CLAUDE.md empty-side rule), and the
+    partition count is capped by its row count so no build partition
+    is empty."""
     import numpy as np
+
+    import ray.data
 
     if right_on is None:
         right_on = on
@@ -50,6 +59,20 @@ def salted_join(
         num_salts = max(2, cluster_cpus() // 4)
     if num_partitions is None:
         num_partitions = max(2, cluster_cpus() // 4)
+
+    rep_ds = rep_ds.materialize()
+    n_rep = rep_ds.count()
+    if n_rep == 0:
+        lsch, rsch = big_ds.schema(), rep_ds.schema()
+        cols = {
+            n: pa.array([], _as_arrow_type(t))
+            for n, t in zip(lsch.names, lsch.types)
+        }
+        for n, t in zip(rsch.names, rsch.types):
+            if n != right_on:
+                cols[n] = pa.array([], _as_arrow_type(t))
+        return ray.data.from_arrow(pa.table(cols))
+    num_partitions = max(1, min(num_partitions, n_rep))
 
     def add_salt(batch: pa.Table) -> pa.Table:
         # round-robin within the batch: uniform by construction, no RNG,
@@ -295,7 +318,14 @@ def asof_join(
             if len(r):
                 r = _as_numpy_keys(r.copy(), fields, [right_by, right_on])
                 if tiebreak is not None:
-                    r = r.sort_values(tiebreak, kind="mergesort")
+                    # stable pre-sort so merge_asof's pick among equal
+                    # right_on values is the GREATEST tiebreak: backward
+                    # takes the LAST such row (ascending), forward takes
+                    # the FIRST (descending)
+                    r = r.sort_values(
+                        tiebreak, kind="mergesort",
+                        ascending=(direction != "forward"),
+                    )
                 r = r.sort_values(right_on, kind="mergesort")
                 l = l.sort_values(on, kind="mergesort")
                 out = pd.merge_asof(
@@ -514,15 +544,22 @@ def _splitmix64(x):
     return z
 
 
-def _bloom_positions(keys, num_bits: int, num_hashes: int):
+def _bloom_positions(keys, num_bits: int, num_hashes: int, *, is_int: bool):
     """Kirsch–Mitzenmacher double hashing: k bit positions per key from
-    two splitmix64-derived hashes. ``keys`` is a Python list; integer
-    keys hash vectorized, anything else via md5 of the utf-8 repr."""
+    two splitmix64-derived hashes. ``keys`` is a null-free Python list.
+
+    ``is_int`` selects the hash path and MUST be derived from the key
+    column's ARROW TYPE by every caller (the _key_parts rule): deciding
+    per batch from the values would let one null/odd value flip a whole
+    batch to the md5 path while the other side hashed the same keys on
+    the int path — Bloom false NEGATIVES that silently drop matching
+    rows from the exact verify stage. Both sides' key columns must
+    share the type family (int with int, string with string)."""
     import hashlib as _hl
 
     import numpy as np
 
-    if keys and all(isinstance(k, (int, np.integer)) for k in keys):
+    if is_int:
         raw = np.array(keys, dtype=np.int64).view(np.uint64)
     else:
         raw = np.array(
@@ -555,9 +592,14 @@ def build_bloom_bits(ds, key: str, *, num_bits: int = 1 << 20,
 
     def partial(batch: pa.Table) -> pa.Table:
         bits = np.zeros(num_bits, dtype=bool)
-        keys = batch.column(key).to_pylist()
+        col = batch.column(key)
+        # null build keys match nothing (SQL NOT EXISTS) — never set bits
+        keys = [k for k in col.to_pylist() if k is not None]
         if keys:
-            for pos in _bloom_positions(keys, num_bits, num_hashes):
+            for pos in _bloom_positions(
+                keys, num_bits, num_hashes,
+                is_int=pa.types.is_integer(col.type),
+            ):
                 bits[pos] = True
         return pa.table({"bits": pa.array([np.packbits(bits).tobytes()])})
 
@@ -623,12 +665,21 @@ def bloom_anti_join(
     def flag(keep_maybe: bool):
         def fn(batch: pa.Table) -> pa.Table:
             b = ray.get(bits_ref)
-            keys = batch.column(on).to_pylist()
-            if not keys:
+            col = batch.column(on)
+            vals = col.to_pylist()
+            if not vals:
                 return batch
-            maybe = np.ones(len(keys), dtype=bool)
-            for pos in _bloom_positions(keys, num_bits, num_hashes):
-                maybe &= b[pos].astype(bool)
+            # null probe keys never match: definite non-match stream
+            maybe = np.zeros(len(vals), dtype=bool)
+            idx = [i for i, v in enumerate(vals) if v is not None]
+            if idx:
+                sub = np.ones(len(idx), dtype=bool)
+                for pos in _bloom_positions(
+                    [vals[i] for i in idx], num_bits, num_hashes,
+                    is_int=pa.types.is_integer(col.type),
+                ):
+                    sub &= b[pos].astype(bool)
+                maybe[idx] = sub
             return batch.filter(pa.array(maybe if keep_maybe else ~maybe))
 
         return fn

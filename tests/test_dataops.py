@@ -1564,8 +1564,36 @@ def test_bloom_bits_no_false_negatives(ray_session):
             ray.data.from_arrow(pa.table({"k": keys})),
             "k", num_bits=1 << 12, num_hashes=4,
         )
-        for pos in _bloom_positions(keys, 1 << 12, 4):
+        for pos in _bloom_positions(
+            keys, 1 << 12, 4, is_int=isinstance(keys[0], int)
+        ):
             assert bits[pos].all()
+
+
+def test_bloom_anti_join_nullable_int_probe_batch(ray_session):
+    """A null mixed into an int probe batch must not flip the batch to
+    the md5 hash path (Bloom false NEGATIVE: a matching key would skip
+    the exact verify and wrongly survive the anti-join). Nulls
+    themselves survive — SQL NOT EXISTS semantics."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import bloom_anti_join
+
+    probe = pa.table(
+        {
+            "k": pa.array([5, None, 7, 9], pa.int64()),
+            "tag": pa.array(list("abcd"), pa.string()),
+        }
+    )
+    build = ray.data.from_arrow(
+        pa.table({"rk": pa.array([5, 9], pa.int64())})
+    )
+    out = bloom_anti_join(
+        lambda: ray.data.from_arrow(probe), build, on="k", right_on="rk"
+    ).to_pandas()
+    got = sorted(out["tag"])
+    assert got == ["b", "c"], got  # 5 and 9 match; null + 7 survive
 
 
 def test_bloom_anti_join_exact_under_false_positives(ray_session):
@@ -4584,3 +4612,87 @@ def test_percentiles_ignore_nulls_and_survive_empty_input(ray_session):
     assert out.column_names == ["q_permille", "value"]
     clipped = percentile_clip(empty, "v")
     assert clipped.count() == 0
+
+
+def test_asof_join_forward_tiebreak_greatest(ray_session):
+    """direction='forward' must also break right_on ties toward the
+    GREATEST tiebreak value (the documented contract; the ascending
+    pre-sort used to invert it for forward picks)."""
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import asof_join
+
+    left = ray.data.from_items([{"user_id": 1, "ts": 10, "event_id": 1}])
+    right = ray.data.from_items(
+        [
+            {"o_custkey": 1, "o_orderdate": 20, "o_orderkey": 100},
+            {"o_custkey": 1, "o_orderdate": 20, "o_orderkey": 101},
+        ]
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        right_cols=["o_orderkey"], tiebreak="o_orderkey",
+        direction="forward",
+    ).take_all()
+    assert out[0]["o_orderkey"] == 101, out
+
+
+def test_salted_join_empty_replicated_side(ray_session):
+    """An empty small side returns the typed 0-row inner join instead
+    of crashing Ray's native hash join (CLAUDE.md empty-side rule)."""
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.joins import salted_join
+
+    big = ray.data.from_items(
+        [{"k": i % 3, "v": i} for i in range(50)]
+    )
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([], pa.int64()),
+                "name": pa.array([], pa.string()),
+            }
+        )
+    )
+    out = salted_join(big, empty, on="k", right_on="rk")
+    assert out.count() == 0
+    # Dataset-level schema survives (to_pandas() of ANY executed-empty
+    # dataset drops columns — the known Ray quirk; schema() is the
+    # contract surface here)
+    assert {"k", "v", "name"} <= set(out.schema().names)
+
+
+def test_connected_components_empty_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from openie_with_entities_ray.stages.graph_algos import (
+        connected_components,
+    )
+
+    out = connected_components(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                }
+            )
+        )
+    )
+    assert list(out.columns) == ["node_id", "component"] and len(out) == 0
+
+
+def test_synthetic_source_docs_table_zero_rows():
+    import pyarrow as pa
+
+    from openie_with_entities_ray.sources.source_docs import (
+        synthetic_source_docs_table,
+    )
+
+    t = synthetic_source_docs_table(0)
+    assert t.num_rows == 0
+    assert t.schema.field("content").type == pa.string()

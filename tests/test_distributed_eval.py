@@ -52,3 +52,27 @@ def test_carb_sweep_matches_driver_compare(ray_session):
     assert [
         (round(p, 10), round(r, 10), c) for p, r, c in got_curve
     ] == [(round(p, 10), round(r, 10), c) for p, r, c in want_curve]
+
+
+def test_carb_precision_ignores_pred_only_sentences(ray_session):
+    """Reference semantics (carb/carb.py iterates GOLD sentences only):
+    predictions on sentences absent from gold enter neither
+    denominator, matching carb_sweep's zero-threshold point."""
+    import ray.data
+
+    from openie_with_entities_ray.eval.distributed import (
+        carb_precision_recall,
+    )
+
+    gold = ray.data.from_items(
+        [{"sentence": "S1 .", "rel": "r", "arg1": "a", "arg2": "b"}]
+    )
+    pred = ray.data.from_items(
+        [
+            {"sentence": "S1 .", "rel": "r", "arg1": "a", "arg2": "b"},
+            {"sentence": "S2 .", "rel": "x", "arg1": "p", "arg2": "q"},
+            {"sentence": "S2 .", "rel": "y", "arg1": "p", "arg2": "q"},
+        ]
+    )
+    precision, recall = carb_precision_recall(gold, pred)
+    assert precision == 1.0 and recall == 1.0
