@@ -92,9 +92,8 @@ def connected_components(
     if pairs.count() == 0:
         # empty edge set: unique() over an executed-empty dataset yields
         # None — return the empty labeling explicitly (the join variant
-        # guards the same case via adj.count())
-        import pandas as pd
-
+        # guards the same case via adj.count()); module-level pd (a
+        # local import here would shadow it for the whole function)
         return pd.DataFrame({"node_id": [], "component": []}, dtype=object)
 
     # initial labels: every endpoint labels itself
