@@ -17,6 +17,16 @@ Two implementations of the same fixpoint:
   anti-join convergence check. Nothing node- or edge-scaled ever
   touches the driver; per-round label tables are materialized (spill to
   the object store) so the lineage does not grow with iterations.
+
+KNOWN DUPLICATION (accepted): pagerank_join, label_propagation_join,
+kcore_join, triangle_count and common_neighbors_topk each inline a
+variant of the same canonical-distinct-edges prologue (per-batch
+pre-dedup → crc32 coarse partition → in-part drop_duplicates). The
+variants genuinely differ (self-loop handling, a<b vs both-direction
+canonicalization, carried columns), and each is pinned by its own
+SQL-oracle gate — a shared helper was deliberately deferred rather
+than risk a five-algorithm regression in one change; factor it out
+next time any ONE of them needs touching, with all five gates green.
 """
 
 from __future__ import annotations
